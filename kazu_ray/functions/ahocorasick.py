@@ -1,0 +1,91 @@
+"""Minimal Aho–Corasick automaton (pure Python).
+
+The reference delegates to the ``pyahocorasick`` C extension
+(``memory_efficient_string_matching.py:5,42-94``), which is not
+available in this environment. This is a from-scratch implementation of
+the classic algorithm (Aho & Corasick 1975, "Efficient string matching:
+an aid to bibliographic search") with the same observable contract as
+the subset of the ``ahocorasick.Automaton`` API the reference uses:
+``add_word``, ``make_automaton``, and ``iter(haystack)`` yielding
+``(end_index, value)`` for EVERY occurrence of every key, including
+nested and overlapping matches.
+
+Built once per matcher actor (``__init__``), then shared across all
+batches that actor processes. For ontology-scale key sets (10^5-10^6)
+build time is seconds and scan time is O(len(text)).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Any, Iterator
+
+
+class Automaton:
+    __slots__ = ("_goto", "_fail", "_out", "_built")
+
+    def __init__(self) -> None:
+        # node 0 is the root; _goto is a list of dicts char -> node
+        self._goto: list[dict[str, int]] = [{}]
+        self._out: list[list[tuple[int, Any]]] = [[]]  # node -> [(key_len, value)]
+        self._fail: list[int] = [0]
+        self._built = False
+
+    def add_word(self, key: str, value: Any) -> None:
+        if self._built:
+            raise RuntimeError("automaton already built")
+        node = 0
+        for ch in key:
+            nxt = self._goto[node].get(ch)
+            if nxt is None:
+                nxt = len(self._goto)
+                self._goto.append({})
+                self._out.append([])
+                self._fail.append(0)
+                self._goto[node][ch] = nxt
+            node = nxt
+        self._out[node].append((len(key), value))
+
+    def make_automaton(self) -> None:
+        # BFS to set failure links and merge output lists so that each
+        # node's output includes all dict-suffix outputs — this is what
+        # makes nested matches (e.g. "cancer" inside "breast cancer")
+        # surface without walking fail chains at scan time.
+        queue: deque[int] = deque()
+        for node in self._goto[0].values():
+            self._fail[node] = 0
+            queue.append(node)
+        while queue:
+            cur = queue.popleft()
+            for ch, nxt in self._goto[cur].items():
+                queue.append(nxt)
+                f = self._fail[cur]
+                while f and ch not in self._goto[f]:
+                    f = self._fail[f]
+                self._fail[nxt] = self._goto[f].get(ch, 0)
+                if self._fail[nxt] == nxt:
+                    self._fail[nxt] = 0
+                if self._out[self._fail[nxt]]:
+                    self._out[nxt] = self._out[nxt] + self._out[self._fail[nxt]]
+        self._built = True
+
+    def iter(self, haystack: str) -> Iterator[tuple[int, Any]]:
+        """Yield ``(end_index, value)`` for every key occurrence; end_index
+        is the index of the match's LAST character (pyahocorasick
+        convention, consumed at ``memory_efficient_string_matching.py:111-115``)."""
+        if not self._built:
+            raise RuntimeError("call make_automaton() first")
+        goto = self._goto
+        fail = self._fail
+        out = self._out
+        node = 0
+        for i, ch in enumerate(haystack):
+            while node and ch not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(ch, 0)
+            if out[node]:
+                for _key_len, value in out[node]:
+                    yield i, value
+
+    def __len__(self) -> int:
+        return sum(len(o) for o in self._out)

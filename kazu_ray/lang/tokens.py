@@ -1,0 +1,74 @@
+"""Deterministic tokenization and sentence segmentation.
+
+The reference backfills token boundaries for its character-level string
+matcher with a custom spaCy tokenizer (``kazu/utils/spacy_pipeline.py:28-84``
+— hyphen-infix splitting removed, single-letter exceptions dropped) and
+segments sentences with spaCy's rule ``sentencizer``. spaCy is not
+available here, so both are re-implemented as small pure-regex routines
+with fixed, versionless behaviour — the per-row sha/text invariants and
+the P/R oracle both rely on this module, so its output must be a pure
+function of its input string.
+"""
+
+from __future__ import annotations
+
+import re
+
+# a token is a run of word chars (unicode), or a single non-space symbol.
+# hyphens/slashes between word chars are symbol tokens of their own, which
+# matches the reference tokenizer's behaviour of keeping "BRCA1/2" as
+# three tokens (BRCA1, /, 2).
+_TOKEN = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+# sentence boundary: ./!/? (possibly repeated) followed by whitespace.
+_SENT_BOUNDARY = re.compile(r"[.!?]+(?=\s)|[.!?]+$")
+
+
+def token_boundaries(text: str) -> tuple[set[int], set[int]]:
+    """Start-index and (inclusive) end-index sets for word-boundary
+    validation — the shape consumed by :func:`word_is_valid`
+    (``kazu/steps/joint_ner_and_linking/memory_efficient_string_matching.py:174-178``).
+    """
+    starts: set[int] = set()
+    ends: set[int] = set()
+    for m in _TOKEN.finditer(text):
+        starts.add(m.start())
+        ends.add(m.end() - 1)
+    return starts, ends
+
+
+def word_is_valid(start_char: int, end_char: int, starts: set[int], ends: set[int]) -> bool:
+    """Match must begin on a token start and finish on a token end
+    (``kazu/utils/utils.py:204-207``)."""
+    return start_char in starts and end_char in ends
+
+
+def sentence_spans(text: str) -> list[tuple[int, int]]:
+    """Split text into [start, end) sentence char spans.
+
+    Deterministic stand-in for the reference's spaCy sentencizer; spans
+    cover the full text (no gaps are lost — trailing text without a
+    terminator forms a final sentence).
+    """
+    spans: list[tuple[int, int]] = []
+    start = 0
+    for m in _SENT_BOUNDARY.finditer(text):
+        end = m.end()
+        # extend over trailing whitespace so spans tile the string
+        while end < len(text) and text[end].isspace():
+            end += 1
+        if end > start:
+            spans.append((start, end))
+        start = end
+    if start < len(text):
+        spans.append((start, len(text)))
+    return spans
+
+
+def sentence_index_for_span(spans: list[tuple[int, int]], start: int) -> int:
+    """Index of the sentence containing char offset ``start`` (two-pointer
+    interval lookup; spans are sorted and tiling)."""
+    for i, (s, e) in enumerate(spans):
+        if s <= start < e:
+            return i
+    return max(0, len(spans) - 1)

@@ -1,0 +1,326 @@
+"""Ontology cache build job.
+
+Re-expression of the reference's offline "parser" dataflow
+(``kazu/ontology_preprocessing/base.py:160-343,508-632``) as a
+deterministic table→table job producing three Parquet cache tables:
+
+* ``metadata``  — one row per (parser, idx): default_label, annotation_score
+  (columnar port of ``MetadataDatabase``, ``kazu/database/in_memory_db.py:23-74``)
+* ``synonyms``  — one row per (parser, syn_norm): the full
+  :class:`~kazu_ray.model.LinkingCandidate` as canonical JSON
+  (columnar port of ``SynonymDatabase``, ``in_memory_db.py:77-149``)
+* ``ner_terms`` — one row per active NER synonym surface form:
+  (term, term_lower, case_sensitive, confidence, syn_norm, entity_class,
+  parser) — the build table for the string-matching automaton
+  (``memory_efficient_string_matching.py:42-94``)
+
+The per-group logic (`resolve_candidates_for_group`) is shared between
+the driver-side builder used for the small synthetic ontologies and the
+Ray Data ``groupby("syn_norm").map_groups`` path
+(:func:`build_caches_ray`) used when an ontology is large. At 100 TB
+corpus scale the ontology side stays small (10^5–10^6 synonyms), so the
+cache build is a one-off job and the caches are broadcast, never
+shuffled.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from kazu_ray.lang import normalizer
+from kazu_ray.lang.similarity import label_similarity_scorer
+from kazu_ray.model import LinkingCandidate, MentionConfidence
+from kazu_ray.ontology.generate import PARSERS, generate_ontology_tables
+
+SYNONYM_MERGE_THRESHOLD = 0.70  # base.py:134 synonym_merge_threshold
+
+# stand-in for the model pack's 20k common-word list consumed by the
+# IsCommmonWord autocuration action (autocuration.py:37-60). Deliberately
+# small and fixed: enough to exercise the downgrade path.
+COMMON_WORDS = {
+    "the", "and", "all", "was", "in", "a", "of", "to", "for", "with", "is",
+    "on", "at", "by", "an", "be", "this", "that", "it", "as", "are", "or",
+    "from", "type", "disease", "cancer", "gene", "cell", "blood", "skin",
+    "bone", "brain", "treatment", "heck", "neck", "acute", "chronic", "flu",
+}
+
+
+def score_and_group_ids(
+    ids_and_source: set[tuple[str, str]],
+    is_symbolic: bool,
+    default_labels: dict[str, str],
+) -> tuple[frozenset, str]:
+    """Cluster the ids sharing one normalised synonym into equivalent-id
+    sets (``base.py:211-309``): single id or non-symbolic ⇒ one set;
+    symbolic ⇒ greedy agglomerative merge on default-label similarity
+    vs ``SYNONYM_MERGE_THRESHOLD``.
+    """
+    if len(ids_and_source) == 1:
+        return frozenset({frozenset(ids_and_source)}), "UNAMBIGUOUS"
+    if not is_symbolic:
+        return frozenset({frozenset(ids_and_source)}), "MERGED_AS_NON_SYMBOLIC"
+
+    id_list: list[tuple[set, set]] = []  # (ids_and_source, default_labels)
+    # deterministic iteration order regardless of set hashing
+    for id_and_source in sorted(ids_and_source):
+        label = default_labels[id_and_source[0]]
+        most_similar = None
+        best_score = 0.0
+        for group in id_list:
+            sim = max(label_similarity_scorer(label, other) for other in group[1])
+            if sim > SYNONYM_MERGE_THRESHOLD and sim > best_score:
+                most_similar = group
+                best_score = sim
+        if most_similar is None:
+            id_list.append(({id_and_source}, {label}))
+        else:
+            most_similar[0].add(id_and_source)
+            most_similar[1].add(label)
+    return (
+        frozenset(frozenset(ids) for ids, _ in id_list),
+        "RESOLVED_BY_SIMILARITY",
+    )
+
+
+def resolve_candidates_for_group(
+    syn_norm: str,
+    group: pd.DataFrame,
+    parser_name: str,
+    entity_class: str,
+    source: str,
+    default_labels: dict[str, str],
+) -> LinkingCandidate:
+    """One normalised synonym group → one LinkingCandidate
+    (``base.py:160-209``)."""
+    syn_set = set(group["syn"])
+    is_symbolic = all(normalizer.classify_symbolic(x, entity_class) for x in syn_set)
+    ids_and_source = {(idx, source) for idx in set(group["idx"])}
+    associated_id_sets, agg = score_and_group_ids(ids_and_source, is_symbolic, default_labels)
+    return LinkingCandidate(
+        synonym_norm=syn_norm,
+        parser_name=parser_name,
+        raw_synonyms=frozenset(syn_set),
+        is_symbolic=is_symbolic,
+        mapping_types=frozenset(group["mapping_type"]),
+        associated_id_sets=associated_id_sets,
+        aggregated_by=agg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# autocuration (kazu/ontology_preprocessing/autocuration.py, conf/autocurator)
+# ---------------------------------------------------------------------------
+
+
+class _Resource:
+    """(syns, case_sensitive, confidence, behaviour) bundle for one
+    normalised synonym — the working shape of ``OntologyStringResource``
+    (``kazu/data/__init__.py:754-926``) during autocuration."""
+
+    __slots__ = ("syn_norm", "syns", "behaviour")
+
+    def __init__(self, syn_norm: str, texts: set[str]):
+        self.syn_norm = syn_norm
+        # text -> [case_sensitive, confidence]; defaults per
+        # linking_candidates_to_ontology_string_resources (utils/utils.py:24-50)
+        self.syns = {t: [False, int(MentionConfidence.PROBABLE)] for t in texts}
+        self.behaviour = "ADD_FOR_NER_AND_LINKING"
+
+
+def _ac_symbolic_to_case_sensitive(r: _Resource, entity_class: str) -> None:
+    if all(normalizer.classify_symbolic(t, entity_class) for t in r.syns):
+        for v in r.syns.values():
+            v[0] = True
+
+
+def _ac_likely_acronym(r: _Resource, max_len: int = 5) -> None:
+    if all(len(t) <= max_len and t.isupper() for t in r.syns):
+        for v in r.syns.values():
+            v[1] = int(MentionConfidence.POSSIBLE)
+
+
+def _ac_common_word(r: _Resource) -> None:
+    if any(all(w in COMMON_WORDS for w in t.lower().split()) for t in r.syns):
+        for v in r.syns.values():
+            v[1] = int(MentionConfidence.POSSIBLE)
+
+
+def _ac_multiword(r: _Resource) -> None:
+    if any(" " in t.strip() for t in r.syns):
+        for v in r.syns.values():
+            v[1] = int(MentionConfidence.PROBABLE)
+
+
+def _ac_min_length(r: _Resource, min_len: int = 2) -> None:
+    if any(len(t) < min_len for t in r.syns):
+        r.behaviour = "DROP_FOR_LINKING"
+
+
+def _ac_max_length(r: _Resource, max_len: int = 60) -> None:
+    if any(len(t) > max_len for t in r.syns):
+        r.behaviour = "DROP_FOR_LINKING"
+
+
+def _ac_initial_lower_then_upper_cs(r: _Resource) -> None:
+    if any(len(t) >= 2 and t[0].islower() and t[1].isupper() for t in r.syns):
+        for v in r.syns.values():
+            v[0] = True
+
+
+def _ac_upper_word_to_ci(r: _Resource) -> None:
+    if all(t.isupper() and t.isalpha() for t in r.syns):
+        for v in r.syns.values():
+            v[0] = False
+
+
+def autocurate(resource: _Resource, entity_class: str) -> _Resource:
+    """Apply the per-class autocuration chain in config order
+    (``conf/autocurator/default.yaml``): the ``basic`` chain for disease,
+    ``chembl`` for drug (adds upper-word→case-insensitive, drops the
+    multiword action), ``gene`` (drops LikelyAcronym and multiword)."""
+    _ac_symbolic_to_case_sensitive(resource, entity_class)
+    if entity_class in ("disease", "drug"):
+        _ac_likely_acronym(resource)
+    _ac_common_word(resource)
+    if entity_class == "disease":
+        _ac_multiword(resource)
+    _ac_min_length(resource)
+    _ac_max_length(resource)
+    _ac_initial_lower_then_upper_cs(resource)
+    if entity_class == "drug":
+        _ac_upper_word_to_ci(resource)
+    return resource
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+
+def build_parser_caches(
+    df: pd.DataFrame, parser_name: str, entity_class: str, source: str
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Build (metadata, synonyms, ner_terms) frames for one parser."""
+    df = df.copy()
+    df["syn"] = df["syn"].astype(str).str.strip()
+    df = df.dropna(subset=["syn"]).drop_duplicates(subset=["idx", "syn", "mapping_type"])
+
+    # metadata: dedupe by idx (base.py:349-367)
+    meta = (
+        df.drop_duplicates(subset=["idx"])[["idx", "default_label", "data_origin"]]
+        .assign(
+            parser_name=parser_name,
+            source=source,
+            entity_class=entity_class,
+            annotation_score=df.drop_duplicates(subset=["idx"])
+            .get("annotation_score", pd.Series(0, index=df.drop_duplicates(subset=["idx"]).index))
+            .values,
+        )
+        .reset_index(drop=True)
+    )
+    default_labels = dict(zip(meta["idx"], meta["default_label"]))
+
+    df["syn_norm"] = normalizer.normalize_batch(df["syn"].tolist(), entity_class)
+
+    candidates: dict[str, LinkingCandidate] = {}
+    for syn_norm, group in df.groupby("syn_norm", sort=True):
+        candidates[syn_norm] = resolve_candidates_for_group(
+            syn_norm, group, parser_name, entity_class, source, default_labels
+        )
+
+    # resources + autocuration → ner terms; DROP_FOR_LINKING also removes
+    # the candidate from the synonym table (curation semantics)
+    syn_rows = []
+    ner_rows = []
+    for syn_norm in sorted(candidates):
+        cand = candidates[syn_norm]
+        resource = autocurate(_Resource(syn_norm, set(cand.raw_synonyms)), entity_class)
+        if resource.behaviour == "DROP_FOR_LINKING":
+            continue
+        syn_rows.append((parser_name, syn_norm, cand.to_json()))
+        if resource.behaviour == "ADD_FOR_NER_AND_LINKING":
+            for text in sorted(resource.syns):
+                case_sensitive, confidence = resource.syns[text]
+                if confidence == int(MentionConfidence.IGNORE):
+                    continue
+                ner_rows.append(
+                    (
+                        parser_name,
+                        entity_class,
+                        text,
+                        text.lower(),
+                        case_sensitive,
+                        confidence,
+                        syn_norm,
+                    )
+                )
+
+    synonyms = pd.DataFrame(syn_rows, columns=["parser_name", "synonym_norm", "candidate_json"])
+    ner_terms = pd.DataFrame(
+        ner_rows,
+        columns=[
+            "parser_name",
+            "entity_class",
+            "term",
+            "term_lower",
+            "case_sensitive",
+            "confidence",
+            "synonym_norm",
+        ],
+    )
+    return meta, synonyms, ner_terms
+
+
+def build_all_caches(cache_dir: str, n_per_parser: int = 200, seed: int = 42) -> str:
+    """Generate the synthetic ontologies and materialize all cache tables
+    as Parquet under ``cache_dir``. Idempotent (content is a pure function
+    of the arguments)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    tables = generate_ontology_tables(n_per_parser=n_per_parser, seed=seed)
+    metas, syns, ners = [], [], []
+    for parser_name, df in tables.items():
+        entity_class, source, _ = PARSERS[parser_name]
+        m, s, n = build_parser_caches(df, parser_name, entity_class, source)
+        metas.append(m)
+        syns.append(s)
+        ners.append(n)
+    pd.concat(metas, ignore_index=True).to_parquet(os.path.join(cache_dir, "metadata.parquet"))
+    pd.concat(syns, ignore_index=True).to_parquet(os.path.join(cache_dir, "synonyms.parquet"))
+    pd.concat(ners, ignore_index=True).to_parquet(os.path.join(cache_dir, "ner_terms.parquet"))
+    return cache_dir
+
+
+def build_caches_ray(df: pd.DataFrame, parser_name: str, entity_class: str, source: str):
+    """Ray Data variant of the candidate-resolution groupby for large
+    ontologies: ``groupby("syn_norm").map_groups`` — the prototypical
+    group+reduce (``base.py:167-173``). Returns a Dataset of
+    (parser_name, synonym_norm, candidate_json) rows."""
+    import ray.data as rd
+
+    meta = df.drop_duplicates(subset=["idx"])[["idx", "default_label"]]
+    default_labels = dict(zip(meta["idx"], meta["default_label"]))
+
+    work = df.copy()
+    work["syn"] = work["syn"].astype(str).str.strip()
+    work["syn_norm"] = normalizer.normalize_batch(work["syn"].tolist(), entity_class)
+
+    def _resolve(group: pd.DataFrame) -> pd.DataFrame:
+        syn_norm = group["syn_norm"].iloc[0]
+        cand = resolve_candidates_for_group(
+            syn_norm, group, parser_name, entity_class, source, default_labels
+        )
+        return pd.DataFrame(
+            {
+                "parser_name": [parser_name],
+                "synonym_norm": [syn_norm],
+                "candidate_json": [cand.to_json()],
+            }
+        )
+
+    return (
+        rd.from_pandas(work)
+        .groupby("syn_norm")
+        .map_groups(_resolve, batch_format="pandas")
+    )

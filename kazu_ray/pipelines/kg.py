@@ -1,0 +1,97 @@
+"""The flagship KG-construction pipeline.
+
+End-to-end composition (the engine's restatement of the reference's
+default pipeline, ``conf/Pipeline/default.yaml:3-12``, plus the
+triple-emission / graph-materialize stages required by the north rule):
+
+  pages (Parquet / synthesized)
+    → extract_docs            stateless map_batches (html→text, sha256, lang)
+    → DictionaryNerStage      actor pool (aho-corasick over broadcast synonyms)
+    → RegexNerStub            stateless stand-in for TransformerNER
+    → LinkingStage            actor pool (TF-IDF candidate search)
+    → DocPostProcessStage     actor pool (rules filter → mapping → abbrev
+                              → cleanup → merge → triples; all doc-scoped,
+                              zero shuffles)
+    → explode entities / triples
+    → node_degrees (partial-agg groupby) / materialize (sorted, manifested)
+
+Every stage streams; nothing materializes the corpus. The only
+all-to-all exchanges are the final degree aggregate (over pre-combined
+partials) and the partitioned triple-store write.
+"""
+
+from __future__ import annotations
+
+import ray
+
+from kazu_ray.sources.corpus import pages_dataset
+from kazu_ray.stages.docproc import DocPostProcessStage
+from kazu_ray.stages.extract import extract_docs
+from kazu_ray.stages.linking import LinkingStage
+from kazu_ray.stages.materialize import explode_entities, explode_triples
+from kazu_ray.stages.ner import DictionaryNerStage, RegexNerStub
+from kazu_ray.state.store import ensure_default_caches, load_store
+
+
+def broadcast_store(cache_dir: str | None = None):
+    """Build/load the ontology caches and put the store in the object
+    store ONCE; actors receive the ObjectRef, not a per-task copy."""
+    cache_dir = ensure_default_caches(cache_dir)
+    store = load_store(cache_dir)
+    if ray.is_initialized():
+        return ray.put(store)
+    return store
+
+
+def annotated_docs(
+    sf_dir: str,
+    store_ref=None,
+    ner_concurrency: int = 4,
+    batch_size: int = 64,
+    with_regex_ner: bool = True,
+):
+    """pages → fully processed docs (ents_json + triples_json columns)."""
+    if store_ref is None:
+        store_ref = broadcast_store()
+    pages = pages_dataset(sf_dir)
+    docs = extract_docs(pages)
+    docs = docs.map_batches(
+        DictionaryNerStage,
+        fn_constructor_args=(store_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, ner_concurrency),
+        num_cpus=1,
+    )
+    if with_regex_ner:
+        docs = docs.map_batches(
+            RegexNerStub,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, ner_concurrency),
+        )
+        docs = docs.map_batches(
+            LinkingStage,
+            fn_constructor_args=(store_ref,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, ner_concurrency),
+            num_cpus=1,
+        )
+    docs = docs.map_batches(
+        DocPostProcessStage,
+        fn_constructor_args=(store_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, ner_concurrency),
+        num_cpus=1,
+    )
+    return docs
+
+
+def entities_dataset(sf_dir: str, **kw):
+    return explode_entities(annotated_docs(sf_dir, **kw))
+
+
+def triples_dataset(sf_dir: str, **kw):
+    return explode_triples(annotated_docs(sf_dir, **kw))

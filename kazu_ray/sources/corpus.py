@@ -1,0 +1,175 @@
+"""Deterministic Common-Crawl-style ``pages`` corpus.
+
+BASELINE.json's ``input_hint`` fixes the input table shape:
+``(url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string)``. No external data is permitted, so the corpus is
+synthesised as a pure function of ``doc_id``: the driver's testdata
+``documents`` table supplies the row skeleton (ids + scale), and each
+page's text is generated from seeded sentence templates that plant known
+ontology mentions (mirroring the reference's own test docs,
+``/root/reference/conftest.py:57-71`` — "EGFR mutations are often
+implicated in lung cancer").
+
+Generation runs inside ``map_batches`` (an actor pool holding the
+mention bank), so corpus synthesis itself streams and scales with input
+partitioning — at bench scale this is the "read" stage of the pipeline.
+
+Planted phenomena: Zipf-weighted entity choice (hub entities → skew),
+abbreviation definitions ("acute lymphoblastic leukemia (ALL)"),
+non-contiguous mentions ("BRCA1/2"), ~5%% null ``text`` rows forcing the
+html extraction path, 2%% non-English rows for the lang filter.
+"""
+
+from __future__ import annotations
+
+import random
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kazu_ray.ontology.generate import generate_ontology_tables
+
+EPOCH_US = 1_600_000_000_000_000  # fixed base timestamp (µs)
+
+HTML_PREFIX = b"<html><body><p>"
+HTML_SUFFIX = b"</p></body></html>"
+
+TEMPLATES = [
+    "{GENE} mutations are often implicated in {DISEASE}.",
+    "Treatment with {DRUG} improved {DISEASE} outcomes.",
+    "Patients with {DISEASE} received {DRUG} daily.",
+    "Expression of {GENE} was elevated in {DISEASE} samples.",
+    "{GENE} interacts with {GENE2} in tumor cells.",
+    "The trial compared {DRUG} with {DRUG2} in {DISEASE}.",
+    "{DISEASE_LONG} ({DISEASE_ABBREV}) was observed in the cohort.",
+    "BRCA1/2 are oncogenes.",
+    "No significant adverse events were reported during follow up.",
+    "The study was conducted across twelve research centers.",
+    "Participants completed questionnaires at baseline and week eight.",
+    "Further validation in larger cohorts is warranted.",
+]
+
+
+@lru_cache(maxsize=1)
+def mention_bank() -> dict[str, list[str]]:
+    """Surface forms per slot, deterministic order (hub-first for Zipf)."""
+    tables = generate_ontology_tables()
+    genes = sorted(
+        {
+            s
+            for s in tables["hgnc_like"]["syn"]
+            if s.isupper() and s not in {"ABC1"}
+        }
+    )
+    diseases = sorted(
+        {
+            s
+            for s, m in zip(tables["mondo_like"]["syn"], tables["mondo_like"]["mapping_type"])
+            if m == "lbl" and s.islower()
+        }
+    )
+    drugs = sorted({s for s in tables["chembl_like"]["syn"] if s.islower() and " " not in s})
+    # long-form/abbrev pairs for the abbreviation-finder case
+    abbrev_pairs = [
+        ("acute lymphoblastic leukemia", "ALL"),
+        ("type 2 diabetes mellitus", "T2DM"),
+        ("breast cancer", "BC"),
+    ]
+    return {
+        "GENE": genes,
+        "DISEASE": diseases,
+        "DRUG": drugs,
+        "ABBREV": [f"{long}|{short}" for long, short in abbrev_pairs],
+    }
+
+
+def _zipf_choice(rng: random.Random, options: list[str]) -> str:
+    """Rank-weighted (1/rank) choice → hub-entity skew."""
+    n = len(options)
+    weights = [1.0 / (i + 1) for i in range(n)]
+    return rng.choices(options, weights=weights, k=1)[0]
+
+
+def page_text_for_doc(doc_id: int) -> str:
+    """The corpus contract: text is a pure function of doc_id."""
+    rng = random.Random(f"pages:{doc_id}")
+    bank = mention_bank()
+    n_sent = rng.randint(1, 8)
+    sents = []
+    for _ in range(n_sent):
+        template = rng.choice(TEMPLATES)
+        s = template
+        if "{GENE}" in s:
+            s = s.replace("{GENE}", _zipf_choice(rng, bank["GENE"]))
+        if "{GENE2}" in s:
+            s = s.replace("{GENE2}", _zipf_choice(rng, bank["GENE"]))
+        if "{DISEASE}" in s:
+            s = s.replace("{DISEASE}", _zipf_choice(rng, bank["DISEASE"]))
+        if "{DRUG}" in s:
+            s = s.replace("{DRUG}", _zipf_choice(rng, bank["DRUG"]))
+        if "{DRUG2}" in s:
+            s = s.replace("{DRUG2}", _zipf_choice(rng, bank["DRUG"]))
+        if "{DISEASE_LONG}" in s:
+            long, short = rng.choice(bank["ABBREV"]).split("|")
+            s = s.replace("{DISEASE_LONG}", long).replace("{DISEASE_ABBREV}", short)
+        sents.append(s)
+    return " ".join(sents)
+
+
+class PageSynthesizer:
+    """``map_batches`` callable: documents-row skeleton → pages rows.
+
+    Actor-pool class so the mention bank is built once per actor
+    (mirrors model-load-once semantics).
+    """
+
+    def __init__(self) -> None:
+        mention_bank()  # warm the cache
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        urls, tss, htmls, texts, langs = [], [], [], [], []
+        for doc_id in doc_ids:
+            rng = random.Random(f"pagemeta:{doc_id}")
+            text = page_text_for_doc(doc_id)
+            urls.append(f"https://example.org/doc/{doc_id:08d}")
+            tss.append(EPOCH_US + int(doc_id) * 1_000_000)
+            htmls.append(HTML_PREFIX + text.encode("utf-8") + HTML_SUFFIX)
+            # ~5% rows publish no pre-extracted text → html path
+            texts.append(None if rng.random() < 0.05 else text)
+            langs.append("de" if rng.random() < 0.02 else "en")
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+                "html": pa.array(htmls, type=pa.binary()),
+                "text": pa.array(texts, type=pa.large_string()),
+                "lang": pa.array(langs, type=pa.string()),
+            }
+        )
+
+
+def pages_dataset(sf_dir: str):
+    """Pages corpus as a streaming Dataset, scaled by the testdata
+    ``documents`` table at ``sf_dir`` (column-pruned read: only doc_id
+    leaves storage)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(
+        PageSynthesizer, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )
+
+
+def pages_pandas(sf_dir: str, limit: int | None = None) -> pd.DataFrame:
+    """Driver-side corpus for the single-process oracle in tests."""
+    import pyarrow.parquet as pq
+
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    if limit is not None:
+        doc_ids = doc_ids[:limit]
+    synth = PageSynthesizer()
+    table = synth(pa.table({"doc_id": pa.array(np.asarray(doc_ids))}))
+    return table.to_pandas()

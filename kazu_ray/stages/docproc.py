@@ -1,0 +1,396 @@
+"""Document-scoped post-processing + triple emission.
+
+One actor-pool ``map_batches`` stage running the tail of the reference's
+default pipeline per document (``conf/Pipeline/default.yaml:3-12``):
+
+  RulesBasedEntityClassDisambiguationFilter → Mapping(StrategyRunner) →
+  AbbreviationFinder → Cleanup → MergeOverlappingEnts → triples
+
+Documents never leave their row, so none of these document-scoped
+reductions shuffles — this is the Ray-Data-first restatement of the
+reference's in-place ``list[Document]`` fold
+(``kazu/pipeline/__init__.py:278-288``). Entities live in the
+``ents_json`` column; the stage finally emits a ``triples_json`` column
+consumed by the explode + materialize stages.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+from kazu_ray.lang import normalizer
+from kazu_ray.lang.tokens import sentence_index_for_span
+from kazu_ray.stages.mapping import MappingRunner
+from kazu_ray.stages.ner import _resolve_store
+
+_TOKEN = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+# ---------------------------------------------------------------------------
+# RulesBasedEntityClassDisambiguationFilterStep
+# (kazu/steps/linking/rules_based_disambiguation.py:37-288) — the reference
+# evaluates spaCy token-pattern TP/FP rules on the sentence containing each
+# mention; this engine's rules are keyword sets per entity class (a config
+# simplification; the decision logic at :248-260 is preserved: a
+# (match, entity_class) key survives only if some TP rule hits somewhere in
+# the doc (when TP rules exist) and no FP rule hits).
+# ---------------------------------------------------------------------------
+
+DEFAULT_CLASS_RULES: dict[str, dict[str, list[str]]] = {
+    # planted for the cross-parser ambiguous surface "ABC1" (gene vs drug)
+    "drug": {"tp": [], "fp": []},
+}
+
+
+def rules_based_filter(
+    text: str, sents: list[tuple[int, int]], ents: list[dict], rules: dict
+) -> list[dict]:
+    if not rules:
+        return ents
+    keep: list[dict] = []
+    doc_lower = text.lower()
+    for ent in ents:
+        rule = rules.get(ent["entity_class"])
+        if rule is None:
+            keep.append(ent)
+            continue
+        tp, fp = rule.get("tp") or [], rule.get("fp") or []
+        tp_ok = (not tp) or any(kw.lower() in doc_lower for kw in tp)
+        fp_hit = any(kw.lower() in doc_lower for kw in fp)
+        if tp_ok and not fp_hit:
+            keep.append(ent)
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# AbbreviationFinder (Schwartz & Hearst 2003)
+# port of kazu/utils/abbreviation_detector.py:102-460 (itself a modified
+# scispacy implementation) onto the engine's regex tokenizer.
+# ---------------------------------------------------------------------------
+
+
+def _tokens(text: str) -> list[tuple[str, int, int]]:
+    return [(m.group(), m.start(), m.end()) for m in _TOKEN.finditer(text)]
+
+
+def _find_abbreviation(long_tokens: list[str], short_tokens: list[str]):
+    """Char-matching core (``abbreviation_detector.py:102-151``). Returns
+    the index into long_tokens where the long form starts, or None."""
+    long_form = " ".join(long_tokens)
+    short_form = " ".join(short_tokens)
+    long_index = len(long_form) - 1
+    short_index = len(short_form) - 1
+    while short_index >= 0:
+        current_char = short_form[short_index].lower()
+        if not current_char.isalnum():
+            short_index -= 1
+            continue
+        while (long_index >= 0 and long_form[long_index].lower() != current_char) or (
+            short_index == 0 and long_index > 0 and long_form[long_index - 1].isalnum()
+        ):
+            long_index -= 1
+        if long_index < 0:
+            return None
+        long_index -= 1
+        short_index -= 1
+    long_index += 1
+    word_lengths = 0
+    for i, word in enumerate(long_tokens):
+        word_lengths += len(word) + 1  # text_with_ws approximation
+        if word_lengths > long_index:
+            return i
+    return None
+
+
+def _short_form_ok(tokens: list[str], joined: str) -> bool:
+    """``short_form_filter`` (``abbreviation_detector.py:197-216``)."""
+    if not all(2 <= len(t) < 10 for t in tokens):
+        return False
+    if not joined or (sum(c.isalpha() for c in joined) / len(joined)) < 0.5:
+        return False
+    return joined[0].isalpha()
+
+
+def apply_abbreviations(
+    text: str,
+    ents: list[dict],
+    sents: list[tuple[int, int]] | None = None,
+    namespace: str = "AbbreviationFinder",
+):
+    """Detect "long (short)" definitions; apply the short form doc-wide:
+    at each short-form occurrence, drop existing entities at exactly that
+    span and copy the long-form source entities onto it (HIGHLY_LIKELY
+    confidence) — ``abbreviation_detector.py:262-460``."""
+    toks = _tokens(text)
+    # minimal paren pairs
+    pairs = []
+    open_idx = None
+    for i, (t, _s, _e) in enumerate(toks):
+        if t == "(":
+            open_idx = i
+        elif t == ")" and open_idx is not None:
+            pairs.append((open_idx, i))
+            open_idx = None
+    # ents indexed by exact char span (contiguous only)
+    ents_by_span: dict[tuple[int, int], list[dict]] = {}
+    for ent in ents:
+        ents_by_span.setdefault((ent["start"], ent["end"]), []).append(ent)
+
+    short_to_sources: dict[tuple[str, ...], list[dict]] = {}
+    seen_long: set[str] = set()
+    seen_short: set[str] = set()
+    for open_i, close_i in pairs:
+        start, end = open_i + 1, close_i  # brackets stripped (detector :441)
+        if end - start > 8 or end - start < 1 or start == 1:
+            continue
+        if end - start > 3:
+            if start < 2:
+                continue
+            short_tok_range = (start - 2, start - 1)
+            long_tok_range = (start, end)
+        else:
+            short_tok_range = (start, end)
+            abbrev_len = sum(len(toks[k][0]) for k in range(start, end))
+            max_words = min(abbrev_len + 5, abbrev_len * 2)
+            long_tok_range = (max(start - max_words - 1, 0), start - 1)
+        short_tokens = [toks[k][0] for k in range(*short_tok_range)]
+        if not short_tokens or long_tok_range[1] <= long_tok_range[0]:
+            continue
+        joined_short = text[toks[short_tok_range[0]][1] : toks[short_tok_range[1] - 1][2]]
+        if not _short_form_ok(short_tokens, joined_short):
+            continue
+        long_tokens = [toks[k][0] for k in range(*long_tok_range)]
+        rel_start = _find_abbreviation(long_tokens, short_tokens)
+        if rel_start is None:
+            continue
+        long_first_tok = long_tok_range[0] + rel_start
+        long_span = (toks[long_first_tok][1], toks[long_tok_range[1] - 1][2])
+        long_text = text[long_span[0] : long_span[1]]
+        short_key = tuple(short_tokens)
+        if long_text in seen_long or " ".join(short_tokens) in seen_short:
+            continue
+        seen_long.add(long_text)
+        seen_short.add(" ".join(short_tokens))
+        short_to_sources[short_key] = ents_by_span.get(long_span, [])
+
+    if not short_to_sources:
+        return ents
+
+    # global matcher: find every occurrence of each short-form token seq
+    tok_texts = [t[0] for t in toks]
+    remove_spans: set[tuple[int, int]] = set()
+    new_ents: list[dict] = []
+    for short_key, sources in short_to_sources.items():
+        L = len(short_key)
+        for i in range(len(tok_texts) - L + 1):
+            if tuple(tok_texts[i : i + L]) != short_key:
+                continue
+            span = (toks[i][1], toks[i + L - 1][2])
+            remove_spans.add(span)
+            match_text = text[span[0] : span[1]]
+            sent_idx = sentence_index_for_span(sents, span[0]) if sents else 0
+            for src in sources:
+                new_ents.append(
+                    {
+                        "start": span[0],
+                        "end": span[1],
+                        "match": match_text,
+                        "match_norm": normalizer.normalize(match_text, src["entity_class"]),
+                        "entity_class": src["entity_class"],
+                        "namespace": namespace,
+                        "confidence": 100,
+                        "cands": [list(c) for c in src["cands"]],
+                        "mappings": [dict(m) for m in src["mappings"]],
+                        "sent_idx": sent_idx,
+                    }
+                )
+    kept = [e for e in ents if (e["start"], e["end"]) not in remove_spans]
+    kept.extend(new_ents)
+    return kept
+
+
+# ---------------------------------------------------------------------------
+# CleanupStep (kazu/steps/other/cleanup.py, conf/CleanupActions/default.yaml)
+# ---------------------------------------------------------------------------
+
+
+def cleanup(ents: list[dict]) -> list[dict]:
+    """Default cleanup: drop AMBIGUOUS-disambiguation mappings
+    (``cleanup.py:55-69``), then drop unmapped entities below PROBABLE
+    mention confidence (``cleanup.py:72-93``)."""
+    out = []
+    for ent in ents:
+        ent["mappings"] = [
+            m for m in ent["mappings"] if m["disambiguation_confidence"] != 0
+        ]
+        if not ent["mappings"] and ent["confidence"] < 50:
+            continue
+        out.append(ent)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MergeOverlappingEntsStep (kazu/steps/other/merge_overlapping_ents.py)
+# ---------------------------------------------------------------------------
+
+ENT_CLASS_PREFERRED_ORDER = [
+    "disease", "drug", "gene", "anatomy", "cell_line", "cell_type",
+    "biological_process", "molecular_function", "cellular_component",
+]
+_CLASS_RANK = {c: i for i, c in enumerate(reversed(ENT_CLASS_PREFERRED_ORDER))}
+
+
+def merge_overlapping(ents: list[dict]) -> list[dict]:
+    """Sweep-line overlap grouping (``merge_overlapping_ents.py:106-140``)
+    + preference-ladder winner selection (``:54-70``)."""
+    if not ents:
+        return ents
+    by_start = sorted(ents, key=lambda e: (e["start"], e["end"]))
+    groups: list[list[dict]] = []
+    cur: list[dict] = [by_start[0]]
+    start, end = by_start[0]["start"], by_start[0]["end"]
+    for ent in by_start[1:]:
+        if start <= ent["start"] < end:
+            end = max(end, ent["end"])
+            cur.append(ent)
+        else:
+            groups.append(cur)
+            cur = [ent]
+            start, end = ent["start"], ent["end"]
+    groups.append(cur)
+    out = []
+    for group in groups:
+        if len(group) == 1:
+            out.append(group[0])
+            continue
+        best = sorted(
+            group,
+            key=lambda e: (
+                len(e["mappings"]) > 0,
+                e["end"] - e["start"],
+                _CLASS_RANK.get(e["entity_class"], 0),
+                e["confidence"],
+                e["entity_class"],
+            ),
+            reverse=True,
+        )[0]
+        out.append(best)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# triple emission (new operator, SURVEY §2.7 / north_rule)
+# ---------------------------------------------------------------------------
+
+
+def _pred_for(c1: str, c2: str) -> str:
+    pair = frozenset((c1, c2))
+    if pair == frozenset(("gene", "disease")):
+        return "associated_with"
+    if pair == frozenset(("drug", "disease")):
+        return "treats_candidate"
+    return "co_occurs_with"
+
+
+def canonical_id(ent: dict) -> str | None:
+    """One canonical node id per mapped entity: best mapping by
+    (string-match confidence, disambiguation confidence, lexicographic
+    source:idx) — deterministic so the P/R comparison is well-defined."""
+    if not ent["mappings"]:
+        return None
+    best = sorted(
+        ent["mappings"],
+        key=lambda m: (
+            -m["string_match_confidence"],
+            -(m["disambiguation_confidence"] or -1),
+            m["source"],
+            m["idx"],
+        ),
+    )[0]
+    return f"{best['source']}:{best['idx']}"
+
+
+def emit_triples(doc_id: str, ents: list[dict]) -> list[dict]:
+    """Sentence-level co-occurrence triples over canonicalized entities;
+    subj < obj lexicographic; deduped per (sent, subj, pred, obj)."""
+    by_sent: dict[int, list[dict]] = {}
+    for ent in ents:
+        cid = canonical_id(ent)
+        if cid is None:
+            continue
+        by_sent.setdefault(ent.get("sent_idx", 0), []).append((ent, cid))
+    triples = {}
+    for sent_idx, items in by_sent.items():
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                (e1, c1), (e2, c2) = items[i], items[j]
+                if c1 == c2:
+                    continue
+                if c2 < c1:
+                    e1, c1, e2, c2 = e2, c2, e1, c1
+                pred = _pred_for(e1["entity_class"], e2["entity_class"])
+                key = (sent_idx, c1, pred, c2)
+                if key not in triples:
+                    triples[key] = {
+                        "subj": c1,
+                        "pred": pred,
+                        "obj": c2,
+                        "doc_id": doc_id,
+                        "sent_idx": sent_idx,
+                        "subj_class": e1["entity_class"],
+                        "obj_class": e2["entity_class"],
+                        "confidence": min(e1["confidence"], e2["confidence"]),
+                    }
+    return [triples[k] for k in sorted(triples)]
+
+
+# ---------------------------------------------------------------------------
+# the composite stage
+# ---------------------------------------------------------------------------
+
+
+def process_doc(
+    runner: MappingRunner,
+    text: str,
+    doc_id: str,
+    ents: list[dict],
+    sents: list[tuple[int, int]],
+    class_rules: dict | None = None,
+) -> tuple[list[dict], list[dict]]:
+    """Run the full doc-scoped tail for one document. Shared verbatim by
+    the Ray stage and the single-process oracle (tests)."""
+    ents = rules_based_filter(text, sents, ents, class_rules or {})
+    runner.run_doc(ents)
+    ents = apply_abbreviations(text, ents, sents)
+    ents = cleanup(ents)
+    ents = merge_overlapping(ents)
+    triples = emit_triples(doc_id, ents)
+    return ents, triples
+
+
+class DocPostProcessStage:
+    """Actor-pool ``map_batches``: docs+ents → docs+ents+triples columns."""
+
+    def __init__(self, store, class_rules: dict | None = None):
+        self.store = _resolve_store(store)
+        self.runner = MappingRunner(self.store)
+        self.class_rules = class_rules or DEFAULT_CLASS_RULES
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+        ents_lists = [json.loads(x) for x in batch["ents_json"].to_pylist()]
+        sents_lists = [json.loads(x) for x in batch["sents_json"].to_pylist()]
+        ents_out, triples_out = [], []
+        for text, doc_id, ents, sents in zip(texts, doc_ids, ents_lists, sents_lists):
+            final_ents, triples = process_doc(
+                self.runner, text, doc_id, ents, [tuple(s) for s in sents], self.class_rules
+            )
+            ents_out.append(json.dumps(final_ents))
+            triples_out.append(json.dumps(triples))
+        out = batch.drop_columns(["ents_json"])
+        out = out.append_column("ents_json", pa.array(ents_out, type=pa.large_string()))
+        out = out.append_column("triples_json", pa.array(triples_out, type=pa.large_string()))
+        return out

@@ -1,0 +1,85 @@
+"""HTML→text extraction + per-row hash invariant + language gate.
+
+Stateless ``map_batches`` stage (north_rule: "stateless map_batches for
+HTML-to-text extraction (byte-identical text per url vs reference,
+enforced by per-row hash checks)").
+
+Contract: when the ``text`` column is non-null it is used verbatim;
+otherwise text is recovered from ``html`` by a single pinned pure-Python
+routine (strip tags, collapse entity-free markup) with no
+version-floating dependencies. ``text_sha256`` is emitted per row so any
+two runs/engines can be diffed cheaply.
+
+Doc-length guard reproduces the reference pipeline's ``skip_doc_len``
+prefilter (``kazu/pipeline/__init__.py:138,195-209``): overlong docs are
+routed to the failure side-channel, not dropped silently.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SKIP_DOC_LEN = 200_000  # chars, kazu/pipeline/__init__.py:138
+
+_TAG = re.compile(rb"<[^>]+>")
+_WS = re.compile(rb"[ \t\r\n]+")
+
+
+def html_to_text(html: bytes) -> str:
+    """Pinned, deterministic extractor: drop tags, collapse whitespace."""
+    no_tags = _TAG.sub(b" ", html)
+    collapsed = _WS.sub(b" ", no_tags).strip()
+    return collapsed.decode("utf-8", errors="replace")
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """pages → docs rows.
+
+    Output: url, doc_id (=url), warc_ts, lang, text, text_sha256, status.
+    status: "" ok / reason string (poison-pill semantics: failed rows stay
+    in the stream and are filtered by the caller, matching
+    ``kazu/pipeline/__init__.py:278-288``).
+    """
+    texts_col = batch["text"]
+    htmls = batch["html"]
+    out_texts: list[str] = []
+    shas: list[bytes] = []
+    statuses: list[str] = []
+    for i in range(batch.num_rows):
+        t = texts_col[i].as_py()
+        if t is None:
+            t = html_to_text(htmls[i].as_py())
+        if len(t) >= SKIP_DOC_LEN:
+            statuses.append("doc_too_long")
+        else:
+            statuses.append("")
+        out_texts.append(t)
+        shas.append(hashlib.sha256(t.encode("utf-8")).digest())
+    return pa.table(
+        {
+            "doc_id": batch["url"],
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "lang": batch["lang"],
+            "text": pa.array(out_texts, type=pa.large_string()),
+            "text_sha256": pa.array(shas, type=pa.binary()),
+            "status": pa.array(statuses, type=pa.string()),
+        }
+    )
+
+
+def extract_docs(pages, lang: str | None = "en"):
+    """pages Dataset → docs Dataset (streaming; no materialization)."""
+    ds = pages.map_batches(extract_batch, batch_format="pyarrow")
+    if lang is not None:
+        ds = ds.map_batches(
+            lambda t, _lang=lang: t.filter(pc.equal(t["lang"], _lang)),
+            batch_format="pyarrow",
+        )
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "")), batch_format="pyarrow"
+    )

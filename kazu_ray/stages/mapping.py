@@ -1,0 +1,583 @@
+"""Mapping (canonicalization) core: StrategyRunner + strategies.
+
+Port of the reference's grounding machinery, executed per document
+inside a ``map_batches`` actor (documents never leave their row, so no
+shuffle is needed):
+
+* ``StrategyRunner`` / ``ConfidenceLevelStrategyExecution``
+  (``kazu/steps/linking/post_processing/strategy_runner.py:40-342``):
+  sort all doc entities by (−mention_confidence, EntityKey), group by
+  confidence → symbolic split → group by EntityKey; run the strategy
+  ladder per group until each parser is resolved; copy resulting
+  mappings to every group member. Deterministic total order preserved.
+* mapping strategies
+  (``.../mapping_strategies/strategies.py:282-553``): ExactMatch,
+  SymbolMatch, SynNormIsSubString, StrongMatch, StrongMatch+embedding
+  confirmation (continuous scorer substituted per
+  ``kazu_ray/lang/similarity.py``).
+* disambiguation strategies
+  (``.../disambiguation/strategies.py:100-446``): DefinedElsewhereInDocument,
+  TfIdf context, AnnotationLevel, PreferDefaultLabelMatch. The gene
+  class's GildaTfIdf strategy needs a pretrained model pack and is
+  substituted by the plain TfIdf context strategy (documented deviation).
+* the strategy ladder configuration mirrors
+  ``conf/MappingStep/default.yaml`` / ``conf/DisambiguationStrategies/default.yaml``.
+
+Entity dicts carry ``cands`` ([parser, syn_norm, exact, score]) and
+accumulate ``mappings`` dicts.
+"""
+
+from __future__ import annotations
+
+from kazu_ray.functions.tfidf import TfidfVectorizer, word_and_char_ngrams
+from kazu_ray.lang import normalizer
+from kazu_ray.lang.similarity import label_similarity_scorer
+from kazu_ray.model import LinkingCandidate
+from kazu_ray.state.store import OntologyStore
+
+HL, PROB, POSS, AMBIG = 100, 50, 10, 0
+DISAMBIGUATION_NOT_REQUIRED = "disambiguation_not_required"
+
+
+def entity_key(ent: dict) -> tuple:
+    """Hashable doc-level identity for mapping purposes
+    (``strategy_runner.py:26-37``)."""
+    return (
+        ent["match"],
+        ent["match_norm"],
+        ent["entity_class"],
+        tuple(sorted((c[0], c[1]) for c in ent["cands"])),
+    )
+
+
+def make_mapping(
+    store: OntologyStore,
+    parser_name: str,
+    idx: str,
+    source: str,
+    strategy: str,
+    confidence: int,
+    disambiguation_strategy: str | None,
+    disambiguation_confidence: int | None,
+) -> dict:
+    return {
+        "parser_name": parser_name,
+        "source": source,
+        "idx": idx,
+        "default_label": store.default_label(parser_name, idx),
+        "string_match_strategy": strategy,
+        "string_match_confidence": confidence,
+        "disambiguation_strategy": disambiguation_strategy,
+        "disambiguation_confidence": disambiguation_confidence,
+    }
+
+
+# ---------------------------------------------------------------------------
+# document context shared by strategies
+# ---------------------------------------------------------------------------
+
+
+class DocContext:
+    """Per-document state consulted by disambiguation strategies."""
+
+    def __init__(self, ents: list[dict], runner: "MappingRunner"):
+        self.ents = ents
+        self.runner = runner
+        self._doc_repr: dict[str, object] = {}
+
+    def mapped_ids(self) -> set[tuple[str, str, str]]:
+        """(parser, source, idx) already grounded anywhere in the doc
+        (``disambiguation/strategies.py:110-127``) — recomputed on each
+        call because mapping mutates doc state."""
+        out = set()
+        for ent in self.ents:
+            for m in ent["mappings"]:
+                out.add((m["parser_name"], m["source"], m["idx"]))
+        return out
+
+    def doc_representation(self, parser_name: str):
+        """TF-IDF vector of all entity match_norms in the doc, per parser
+        vectorizer (``disambiguation/strategies.py:206-225``)."""
+        vec = self._doc_repr.get(parser_name)
+        if vec is None:
+            strings = " ".join(e["match_norm"] for e in self.ents)
+            vec = self.runner.context_vectorizers[parser_name].transform([strings])[0]
+            self._doc_repr[parser_name] = vec
+        return vec
+
+
+# ---------------------------------------------------------------------------
+# disambiguation strategies
+# ---------------------------------------------------------------------------
+
+
+class DefinedElsewhereStrategy:
+    name = "DefinedElsewhereInDocumentDisambiguationStrategy"
+    confidence = HL
+
+    def __call__(self, id_sets, doc: DocContext, parser_name, ent_match, ent_match_norm):
+        mapped = doc.mapped_ids()
+        found = set()
+        for id_set in id_sets:
+            kept = frozenset(
+                (idx, source)
+                for idx, source in id_set
+                if (parser_name, source, idx) in mapped
+            )
+            if kept:
+                found.add(kept)
+        return found
+
+
+class TfIdfContextStrategy:
+    """Doc-context vs unambiguous-synonym TF-IDF, threshold 0.7
+    (``disambiguation/strategies.py:152-269``)."""
+
+    name = "TfIdfDisambiguationStrategy"
+    confidence = PROB
+    context_threshold = 0.7
+    relevant_agg = {"UNAMBIGUOUS", "RESOLVED_BY_SIMILARITY", "MERGED_AS_NON_SYMBOLIC"}
+
+    def __call__(self, id_sets, doc: DocContext, parser_name, ent_match, ent_match_norm):
+        store = doc.runner.store
+        if parser_name not in doc.runner.context_vectorizers:
+            return set()
+        doc_vec = doc.doc_representation(parser_name)
+        syn_to_sets: dict[str, set] = {}
+        for id_set in id_sets:
+            for idx, _source in id_set:
+                for syn in store.syns_for_id(parser_name, idx, self.relevant_agg):
+                    syn_to_sets.setdefault(syn, set()).add(id_set)
+        if not syn_to_sets:
+            return set()
+        strings = list(syn_to_sets.keys())
+        if len(strings) == 1:
+            scored = [(strings[0], 100.0)]
+        else:
+            mat = doc.runner.context_vectorizers[parser_name].transform(strings)
+            scores = mat @ doc_vec
+            order = sorted(range(len(strings)), key=lambda i: -scores[i])
+            scored = [(strings[i], float(scores[i])) for i in order]
+        for best_syn, score in scored:
+            if score >= self.context_threshold and len(syn_to_sets[best_syn]) == 1:
+                return set(syn_to_sets[best_syn])
+        return set()
+
+
+class AnnotationLevelStrategy:
+    """Max annotation_score proxy (``disambiguation/strategies.py:361-397``)."""
+
+    name = "AnnotationLevelDisambiguationStrategy"
+    confidence = POSS
+
+    def __call__(self, id_sets, doc: DocContext, parser_name, ent_match, ent_match_norm):
+        store = doc.runner.store
+        best_score = 0
+        best: set = set()
+        for id_set in sorted(id_sets, key=sorted):
+            for idx, _source in id_set:
+                score = store.annotation_score(parser_name, idx)
+                if score > best_score:
+                    best_score = score
+                    best = {id_set}
+                elif score == best_score:
+                    best.add(id_set)
+        return best
+
+
+class PreferDefaultLabelStrategy:
+    """Keep ids whose normalised default label equals the match norm
+    (``disambiguation/strategies.py:400-446``)."""
+
+    name = "PreferDefaultLabelMatchDisambiguationStrategy"
+    confidence = HL
+
+    def __call__(self, id_sets, doc: DocContext, parser_name, ent_match, ent_match_norm):
+        store = doc.runner.store
+        entity_class = store.parser_entity_class[parser_name]
+        kept = set()
+        for id_set in id_sets:
+            for idx, source in id_set:
+                label_norm = normalizer.normalize(
+                    store.default_label(parser_name, idx), entity_class
+                )
+                if label_norm == ent_match_norm:
+                    kept.add((idx, source))
+        if not kept:
+            return set()
+        return {frozenset(kept)}
+
+
+# ---------------------------------------------------------------------------
+# mapping strategies
+# ---------------------------------------------------------------------------
+
+
+class MappingStrategy:
+    """Filter candidates then disambiguate-if-required then emit mappings
+    (``mapping_strategies/strategies.py:108-279``)."""
+
+    def __init__(self, confidence, disamb_strategies=None, disamb_essential=False):
+        self.confidence = confidence
+        self.disamb_strategies = disamb_strategies or []
+        self.disamb_essential = disamb_essential
+
+    def filter_candidates(self, ent_match, ent_match_norm, doc, candidates, parser_name):
+        raise NotImplementedError
+
+    def disambiguate_if_required(self, filtered, doc, parser_name, ent_match, ent_match_norm):
+        all_id_sets = set(
+            id_set for cand in filtered for id_set in cand.associated_id_sets
+        )
+        if not self.disamb_essential and len(all_id_sets) == 1:
+            return all_id_sets, DISAMBIGUATION_NOT_REQUIRED, None
+        if not self.disamb_essential and not self.disamb_strategies:
+            return all_id_sets, None, AMBIG
+        for strategy in self.disamb_strategies:
+            filtered_sets = strategy(all_id_sets, doc, parser_name, ent_match, ent_match_norm)
+            if len(filtered_sets) == 1:
+                return filtered_sets, strategy.name, strategy.confidence
+        if self.disamb_essential:
+            return set(), None, AMBIG
+        return all_id_sets, None, AMBIG
+
+    def __call__(self, ent_match, ent_match_norm, doc, candidates):
+        parser_name = next(iter(candidates)).parser_name
+        filtered = self.filter_candidates(
+            ent_match, ent_match_norm, doc, candidates, parser_name
+        )
+        if not filtered:
+            return
+        id_sets, disamb_strategy, disamb_conf = self.disambiguate_if_required(
+            filtered, doc, parser_name, ent_match, ent_match_norm
+        )
+        store = doc.runner.store
+        for id_set in sorted(id_sets, key=sorted):
+            for idx, source in sorted(id_set):
+                yield make_mapping(
+                    store,
+                    parser_name,
+                    idx,
+                    source,
+                    self.__class__.__name__,
+                    self.confidence,
+                    disamb_strategy,
+                    disamb_conf,
+                )
+
+
+class ExactMatchMappingStrategy(MappingStrategy):
+    def filter_candidates(self, ent_match, ent_match_norm, doc, candidates, parser_name):
+        return {c: m for c, m in candidates.items() if m[0]}  # metrics[0] = exact
+
+
+class SymbolMatchMappingStrategy(MappingStrategy):
+    """Token-multiset containment ("MAP K8" vs "MAPK8",
+    ``strategies.py:296-335``)."""
+
+    @staticmethod
+    def match_symbols(s1: str, s2: str) -> bool:
+        ref_tokens = s1.split(" ")
+        query_tokens = s2.split(" ")
+        if len(ref_tokens) > len(query_tokens):
+            longest, shortest = ref_tokens, s2
+        else:
+            longest, shortest = query_tokens, s1
+        for tok in longest:
+            if tok not in shortest:
+                return False
+            shortest = shortest.replace(tok, "", 1)
+        return shortest.strip() == ""
+
+    def filter_candidates(self, ent_match, ent_match_norm, doc, candidates, parser_name):
+        return {
+            c: m
+            for c, m in candidates.items()
+            if self.match_symbols(ent_match_norm, c.synonym_norm)
+        }
+
+
+class SynNormIsSubStringMappingStrategy(MappingStrategy):
+    """Longest unique whitespace-token hit ("TESTIN gene" → "TESTIN",
+    ``strategies.py:338-399``)."""
+
+    min_syn_norm_len_to_consider = 3
+
+    def filter_candidates(self, ent_match, ent_match_norm, doc, candidates, parser_name):
+        norm_tokens = set(ent_match_norm.split(" "))
+        hits = [
+            ((c, m), len(c.synonym_norm))
+            for c, m in candidates.items()
+            if c.synonym_norm in norm_tokens
+            and len(c.synonym_norm) >= self.min_syn_norm_len_to_consider
+        ]
+        hits.sort(key=lambda x: x[1], reverse=True)
+        from itertools import groupby
+
+        for _, group in groupby(hits, key=lambda x: x[1]):
+            group_list = list(group)
+            if len(group_list) == 1:
+                c, m = group_list[0][0]
+                return {c: m}
+        return {}
+
+
+class StrongMatchMappingStrategy(MappingStrategy):
+    """Search-score threshold + differential (``strategies.py:402-477``)."""
+
+    def __init__(
+        self,
+        confidence,
+        disamb_strategies=None,
+        disamb_essential=False,
+        search_threshold=80.0,
+        symbolic_only=False,
+        differential=2.0,
+    ):
+        super().__init__(confidence, disamb_strategies, disamb_essential)
+        self.search_threshold = search_threshold
+        self.symbolic_only = symbolic_only
+        self.differential = differential
+
+    def filter_candidates(self, ent_match, ent_match_norm, doc, candidates, parser_name):
+        scored = [
+            ((c, m), m[1])
+            for c, m in candidates.items()
+            if m[1] is not None and (not self.symbolic_only or c.is_symbolic)
+        ]
+        if not scored:
+            return {}
+        best = max(s for _, s in scored)
+        return {
+            cm[0]: cm[1]
+            for cm, s in scored
+            if s >= self.search_threshold and best - s <= self.differential
+        }
+
+
+class StrongMatchWithEmbeddingConfirmationStrategy(StrongMatchMappingStrategy):
+    """Parent filter + continuous-scorer confirmation ≥ 0.60 against raw
+    synonyms (``strategies.py:480-553``; SapBERT substituted by the
+    deterministic char-ngram scorer)."""
+
+    embedding_threshold = 0.60
+
+    def filter_candidates(self, ent_match, ent_match_norm, doc, candidates, parser_name):
+        filtered = super().filter_candidates(
+            ent_match, ent_match_norm, doc, candidates, parser_name
+        )
+        by_score = sorted(filtered.items(), key=lambda x: x[1][1], reverse=True)
+        selected_id_sets = set()
+        out = {}
+        for cand, metrics in by_score:
+            if cand.associated_id_sets not in selected_id_sets:
+                selected_id_sets.add(cand.associated_id_sets)
+                if any(
+                    label_similarity_scorer(ent_match, syn) >= self.embedding_threshold
+                    for syn in sorted(cand.raw_synonyms)
+                ):
+                    out[cand] = metrics
+        return out
+
+
+# ---------------------------------------------------------------------------
+# strategy ladder configuration (conf/MappingStep/default.yaml)
+# ---------------------------------------------------------------------------
+
+
+def _disamb_default():
+    return [DefinedElsewhereStrategy(), TfIdfContextStrategy()]
+
+
+def _disamb_gene():
+    # GildaTfIdf (pretrained model pack) substituted by plain TfIdf context
+    return [DefinedElsewhereStrategy(), TfIdfContextStrategy(), AnnotationLevelStrategy()]
+
+
+def _disamb_prefer_default_label():
+    return [PreferDefaultLabelStrategy()]
+
+
+def build_strategy_table() -> dict:
+    """{(symbolic: bool, mention_confidence) →
+    (default_strategies, {entity_class: strategies})}."""
+    sym_hl_default = [
+        ExactMatchMappingStrategy(HL, _disamb_default()),
+        SymbolMatchMappingStrategy(PROB, _disamb_default()),
+        SynNormIsSubStringMappingStrategy(PROB, _disamb_default()),
+        StrongMatchMappingStrategy(POSS, _disamb_default(), symbolic_only=True),
+    ]
+    sym_hl_classes = {
+        "gene": [
+            ExactMatchMappingStrategy(HL, _disamb_prefer_default_label(), disamb_essential=True),
+            ExactMatchMappingStrategy(HL, _disamb_gene()),
+            SymbolMatchMappingStrategy(PROB, _disamb_gene()),
+            SynNormIsSubStringMappingStrategy(PROB, _disamb_gene()),
+            StrongMatchMappingStrategy(
+                POSS, _disamb_gene(), symbolic_only=True, search_threshold=90.0
+            ),
+        ],
+        "disease": [
+            ExactMatchMappingStrategy(HL, _disamb_default()),
+            SymbolMatchMappingStrategy(PROB, _disamb_default()),
+            SynNormIsSubStringMappingStrategy(PROB, _disamb_default()),
+            StrongMatchMappingStrategy(POSS, _disamb_default(), symbolic_only=True),
+        ],
+        "drug": [ExactMatchMappingStrategy(HL, _disamb_default())],
+    }
+    sym_prob_default = [ExactMatchMappingStrategy(HL, _disamb_default())]
+    sym_prob_classes = {
+        "gene": [
+            ExactMatchMappingStrategy(HL, _disamb_prefer_default_label(), disamb_essential=True),
+            ExactMatchMappingStrategy(HL, _disamb_gene()),
+        ],
+    }
+    poss_default = [
+        ExactMatchMappingStrategy(HL, [DefinedElsewhereStrategy()], disamb_essential=True)
+    ]
+
+    nonsym_hl_default = [
+        ExactMatchMappingStrategy(HL, _disamb_prefer_default_label(), disamb_essential=True),
+        ExactMatchMappingStrategy(HL, _disamb_default()),
+        StrongMatchMappingStrategy(POSS, _disamb_default(), symbolic_only=False),
+    ]
+    nonsym_hl_classes = {
+        "drug": [
+            ExactMatchMappingStrategy(HL, _disamb_prefer_default_label(), disamb_essential=True),
+            ExactMatchMappingStrategy(HL, _disamb_default()),
+        ],
+        "gene": [
+            ExactMatchMappingStrategy(HL, _disamb_prefer_default_label(), disamb_essential=True),
+            ExactMatchMappingStrategy(HL, _disamb_gene()),
+            SynNormIsSubStringMappingStrategy(PROB, _disamb_gene()),
+            StrongMatchMappingStrategy(PROB, _disamb_gene(), symbolic_only=False),
+        ],
+        "disease": [
+            ExactMatchMappingStrategy(HL, _disamb_prefer_default_label(), disamb_essential=True),
+            ExactMatchMappingStrategy(HL, _disamb_default()),
+            StrongMatchWithEmbeddingConfirmationStrategy(
+                POSS, _disamb_default(), symbolic_only=False
+            ),
+        ],
+    }
+    nonsym_prob_default = [
+        ExactMatchMappingStrategy(HL, _disamb_prefer_default_label(), disamb_essential=True),
+        ExactMatchMappingStrategy(HL, _disamb_default()),
+    ]
+    nonsym_prob_classes = {
+        "gene": [
+            ExactMatchMappingStrategy(HL, _disamb_prefer_default_label(), disamb_essential=True),
+            ExactMatchMappingStrategy(HL, _disamb_gene()),
+        ],
+    }
+
+    return {
+        (True, HL): (sym_hl_default, sym_hl_classes),
+        (True, PROB): (sym_prob_default, sym_prob_classes),
+        (True, POSS): (poss_default, {}),
+        (False, HL): (nonsym_hl_default, nonsym_hl_classes),
+        (False, PROB): (nonsym_prob_default, nonsym_prob_classes),
+        (False, POSS): (poss_default, {}),
+    }
+
+
+# ---------------------------------------------------------------------------
+# runner
+# ---------------------------------------------------------------------------
+
+
+class MappingRunner:
+    """Built once per actor; ``run_doc`` mutates an entity list in place."""
+
+    def __init__(self, store: OntologyStore):
+        self.store = store
+        self.strategy_table = build_strategy_table()
+        # per-parser context vectorizers fit over that parser's synonym
+        # norms (context_scoring.py:61-69)
+        self.context_vectorizers: dict[str, TfidfVectorizer] = {}
+        for parser_name in store.parser_names:
+            syns = sorted(store.candidates_for_parser(parser_name))
+            v = TfidfVectorizer(analyzer=word_and_char_ngrams)
+            v.fit(syns)
+            self.context_vectorizers[parser_name] = v
+
+    def _candidates_of(self, ent: dict) -> dict[LinkingCandidate, tuple]:
+        out = {}
+        for parser, syn_norm, exact, score in ent["cands"]:
+            cand = self.store.synonyms.get((parser, syn_norm))
+            if cand is not None:
+                out[cand] = (bool(exact), score)
+        return out
+
+    def run_doc(self, ents: list[dict]) -> None:
+        """StrategyRunner.__call__ (``strategy_runner.py:239-342``)."""
+        from itertools import groupby
+
+        doc = DocContext(ents, self)
+        linkable = [e for e in ents if e["cands"]]
+        sorted_ents = sorted(
+            linkable, key=lambda e: (-e["confidence"], entity_key(e))
+        )
+        for conf, conf_group_iter in groupby(sorted_ents, key=lambda e: e["confidence"]):
+            conf_group = list(conf_group_iter)
+            symbolic: list[dict] = []
+            non_symbolic: list[dict] = []
+            for (match, eclass), ent_iter in groupby(
+                sorted(conf_group, key=lambda e: (e["match"], e["entity_class"])),
+                key=lambda e: (e["match"], e["entity_class"]),
+            ):
+                bucket = (
+                    symbolic
+                    if normalizer.classify_symbolic(match, eclass)
+                    else non_symbolic
+                )
+                bucket.extend(ent_iter)
+            for is_symbolic, bucket in ((False, non_symbolic), (True, symbolic)):
+                table = self.strategy_table.get((is_symbolic, conf))
+                if table is None or not bucket:
+                    continue
+                self._execute(bucket, doc, table)
+
+    def _execute(self, ents: list[dict], doc: DocContext, table) -> None:
+        """execute_hit_post_processing_strategies + per-group bookkeeping
+        (``strategy_runner.py:294-342``, ``:40-159``). stop_on_success is
+        True for every ladder in the default config."""
+        from itertools import groupby
+
+        default_strategies, class_strategies = table
+        max_index = max(
+            (len(default_strategies), *(len(s) for s in class_strategies.values()))
+        )
+        groups = [
+            list(group) for _, group in groupby(ents, key=entity_key)
+        ]
+        unresolved: dict[tuple, set[str]] = {}
+        mapped_flag: dict[tuple, bool] = {}
+        for i in range(max_index):
+            for group in groups:
+                ref = group[0]
+                strategies = class_strategies.get(ref["entity_class"], default_strategies)
+                if i >= len(strategies):
+                    continue
+                key = entity_key(ref)
+                if key not in unresolved:
+                    unresolved[key] = {c[0] for c in ref["cands"]}
+                if not unresolved[key]:
+                    continue
+                if mapped_flag.get(key, False):
+                    continue  # stop_on_success
+                strategy = strategies[i]
+                candidates = self._candidates_of(ref)
+                by_parser: dict[str, dict] = {}
+                for cand, metrics in candidates.items():
+                    if cand.parser_name in unresolved[key]:
+                        by_parser.setdefault(cand.parser_name, {})[cand] = metrics
+                for parser_name in sorted(by_parser):
+                    for mapping in strategy(
+                        ref["match"], ref["match_norm"], doc, by_parser[parser_name]
+                    ):
+                        unresolved[key].discard(mapping["parser_name"])
+                        mapped_flag[key] = True
+                        for ent in group:
+                            if mapping not in ent["mappings"]:
+                                ent["mappings"].append(dict(mapping))

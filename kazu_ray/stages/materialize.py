@@ -1,0 +1,233 @@
+"""Explode, aggregate, and materialize stages (the wide / shuffle end).
+
+Everything upstream keeps entities and triples nested inside their
+document row (no shuffle). This module is where rows finally leave their
+document:
+
+* :func:`explode_entities` / :func:`explode_triples` — nested JSON
+  columns → flat Arrow tables (stateless ``map_batches``).
+* :func:`node_degrees` — cross-partition canonicalization stats as a
+  two-phase aggregate: per-batch partial counts (combiner) then a
+  ``groupby().sum`` over the much smaller partials. The partial pass is
+  the explicit skew treatment for Zipfian hub entities (north_rule:
+  "groupby-aggregate shuffles keyed by canonical entity id ... and
+  skew-aware salting of hub entities"): each batch contributes at most
+  one row per key, so a hub key's shuffle fan-in is bounded by the
+  number of blocks, not the number of mentions.
+* :func:`materialize_triples` — final sorted triple store with
+  per-partition lineage manifests and checkpoint-resume (north_rule).
+  Output layout: ``out_dir/part=K/*.parquet`` + ``out_dir/_manifests/K.json``;
+  a rerun skips partitions whose manifest exists.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+
+ENTITY_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("match", pa.string()),
+        ("match_norm", pa.string()),
+        ("entity_class", pa.string()),
+        ("namespace", pa.string()),
+        ("confidence", pa.int32()),
+        ("sent_idx", pa.int32()),
+        ("mapping_source", pa.string()),
+        ("mapping_idx", pa.string()),
+        ("mapping_label", pa.string()),
+        ("n_mappings", pa.int32()),
+    ]
+)
+
+TRIPLE_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("doc_id", pa.string()),
+        ("sent_idx", pa.int32()),
+        ("subj_class", pa.string()),
+        ("obj_class", pa.string()),
+        ("confidence", pa.int32()),
+    ]
+)
+
+
+def _explode_entities_batch(batch: pa.Table) -> pa.Table:
+    from kazu_ray.stages.docproc import canonical_id
+
+    rows = {name: [] for name in ENTITY_SCHEMA.names}
+    for doc_id, ents_json in zip(
+        batch["doc_id"].to_pylist(), batch["ents_json"].to_pylist()
+    ):
+        for ent in json.loads(ents_json):
+            cid = canonical_id(ent)
+            src, idx, label = None, None, None
+            if cid is not None:
+                best = sorted(
+                    ent["mappings"],
+                    key=lambda m: (
+                        -m["string_match_confidence"],
+                        -(m["disambiguation_confidence"] or -1),
+                        m["source"],
+                        m["idx"],
+                    ),
+                )[0]
+                src, idx, label = best["source"], best["idx"], best["default_label"]
+            rows["doc_id"].append(doc_id)
+            rows["start"].append(ent["start"])
+            rows["end"].append(ent["end"])
+            rows["match"].append(ent["match"])
+            rows["match_norm"].append(ent["match_norm"])
+            rows["entity_class"].append(ent["entity_class"])
+            rows["namespace"].append(ent["namespace"])
+            rows["confidence"].append(ent["confidence"])
+            rows["sent_idx"].append(ent.get("sent_idx", 0))
+            rows["mapping_source"].append(src)
+            rows["mapping_idx"].append(idx)
+            rows["mapping_label"].append(label)
+            rows["n_mappings"].append(len(ent["mappings"]))
+    return pa.table(rows, schema=ENTITY_SCHEMA)
+
+
+def explode_entities(docs_ds):
+    return docs_ds.map_batches(_explode_entities_batch, batch_format="pyarrow")
+
+
+def _explode_triples_batch(batch: pa.Table) -> pa.Table:
+    rows = {name: [] for name in TRIPLE_SCHEMA.names}
+    for triples_json in batch["triples_json"].to_pylist():
+        for t in json.loads(triples_json):
+            for name in TRIPLE_SCHEMA.names:
+                rows[name].append(t[name])
+    return pa.table(rows, schema=TRIPLE_SCHEMA)
+
+
+def explode_triples(docs_ds):
+    return docs_ds.map_batches(_explode_triples_batch, batch_format="pyarrow")
+
+
+def _partial_degree_batch(batch: pa.Table) -> pa.Table:
+    counts: dict[tuple[str, str], int] = {}
+    for col, role in (("subj", "subj"), ("obj", "obj")):
+        for node in batch[col].to_pylist():
+            counts[(node, role)] = counts.get((node, role), 0) + 1
+    nodes, roles, ns = [], [], []
+    for (node, role), n in counts.items():
+        nodes.append(node)
+        roles.append(role)
+        ns.append(n)
+    return pa.table(
+        {
+            "node": pa.array(nodes, type=pa.string()),
+            "role": pa.array(roles, type=pa.string()),
+            "partial_count": pa.array(ns, type=pa.int64()),
+        }
+    )
+
+
+def node_degrees(triples_ds):
+    """Per-canonical-node degree via partial-aggregate → small groupby."""
+    from ray.data.aggregate import Sum
+
+    partials = triples_ds.map_batches(_partial_degree_batch, batch_format="pyarrow")
+    return partials.groupby("node").aggregate(Sum("partial_count", alias_name="degree"))
+
+
+def materialize_triples(triples_ds, out_dir: str, num_parts: int = 16) -> list[dict]:
+    """Sorted, partitioned, manifest-tracked triple store.
+
+    Partition key = hash(subj) % num_parts (stable across runs). Each
+    partition is sorted by (subj, pred, obj) and written atomically
+    (tmp file + rename); its manifest records row count, key range and a
+    content hash. Already-manifested partitions are skipped on re-run —
+    the engine's checkpoint-resume contract.
+    """
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_dir = os.path.join(out_dir, "_manifests")
+    os.makedirs(manifest_dir, exist_ok=True)
+
+    done_parts = {
+        int(f.split(".")[0])
+        for f in os.listdir(manifest_dir)
+        if f.endswith(".json")
+    }
+    pending = [p for p in range(num_parts) if p not in done_parts]
+    if not pending:
+        return load_manifests(out_dir)
+
+    def _assign_part(batch: pa.Table) -> pa.Table:
+        parts = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % num_parts
+            for s in batch["subj"].to_pylist()
+        ]
+        return batch.append_column("part", pa.array(parts, type=pa.int32()))
+
+    with_part = triples_ds.map_batches(_assign_part, batch_format="pyarrow")
+    if done_parts:
+        import pyarrow.compute as pc
+
+        pending_set = set(pending)
+        with_part = with_part.map_batches(
+            lambda t: t.filter(pc.is_in(t["part"], pa.array(sorted(pending_set), type=pa.int32()))),
+            batch_format="pyarrow",
+        )
+
+    def _write_partition(group):
+        # one partition at a time: sort locally, write atomically
+        part = int(group["part"].iloc[0])
+        table = pa.Table.from_pandas(
+            group.sort_values(["subj", "pred", "obj"]).drop(columns=["part"]),
+            preserve_index=False,
+        )
+        part_dir = os.path.join(out_dir, f"part={part}")
+        os.makedirs(part_dir, exist_ok=True)
+        tmp = os.path.join(part_dir, ".tmp.parquet")
+        pq.write_table(table, tmp)
+        final = os.path.join(part_dir, "triples.parquet")
+        os.replace(tmp, final)
+        content_hash = hashlib.sha256()
+        for s, p, o in zip(
+            table["subj"].to_pylist(), table["pred"].to_pylist(), table["obj"].to_pylist()
+        ):
+            content_hash.update(f"{s}\t{p}\t{o}\n".encode())
+        manifest = {
+            "partition_id": part,
+            "row_count": table.num_rows,
+            "min_subj": table["subj"][0].as_py() if table.num_rows else None,
+            "max_subj": table["subj"][-1].as_py() if table.num_rows else None,
+            "sha256": content_hash.hexdigest(),
+        }
+        tmp_manifest = os.path.join(manifest_dir, f".{part}.json.tmp")
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_manifest, os.path.join(manifest_dir, f"{part}.json"))
+        import pandas as pd
+
+        return pd.DataFrame({"partition_id": [part], "row_count": [table.num_rows]})
+
+    # groupby(part) is the single all-to-all exchange of the pipeline;
+    # num_parts bounds its fan-out and the partition dirs are the resume unit
+    with_part.groupby("part").map_groups(_write_partition, batch_format="pandas").materialize()
+    return load_manifests(out_dir)
+
+
+def load_manifests(out_dir: str) -> list[dict]:
+    manifest_dir = os.path.join(out_dir, "_manifests")
+    out = []
+    if not os.path.isdir(manifest_dir):
+        return out
+    for f in sorted(os.listdir(manifest_dir)):
+        if f.endswith(".json"):
+            with open(os.path.join(manifest_dir, f)) as fh:
+                out.append(json.load(fh))
+    return out

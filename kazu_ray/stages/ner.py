@@ -1,0 +1,220 @@
+"""NER stages.
+
+``DictionaryNerStage`` reproduces the reference's joint dictionary NER +
+linking step (``MemoryEfficientStringMatchingStep``,
+``kazu/steps/joint_ner_and_linking/memory_efficient_string_matching.py:24-184``):
+an Aho-Corasick automaton over the lowercased active NER synonyms of all
+parsers scans each document's lowercased text; hits are validated
+against token boundaries, case-sensitivity-filtered, grouped by entity
+class, and emitted with exact-match linking candidates at the max
+mention confidence.
+
+``RegexNerStub`` stands in for the transformer token-classification NER
+(``kazu/steps/ner/hf_token_classification.py:64-352``) — no model
+weights are available in this environment, so a deterministic
+pattern-based mention detector produces the same *kind* of output
+(entities with a namespace, no linking candidates) so the downstream
+linking → mapping → cleanup path is exercised end to end. The actor
+signature, batch flow and output schema are the real thing; only the
+scoring model is fake.
+
+Both are actor-pool ``map_batches`` stages: state (automaton / compiled
+patterns) builds once per actor in ``__init__`` from the broadcast
+ontology store; per-batch work is a per-document loop (documents are the
+parallel unit — within-doc processing is order-dependent, per
+``SURVEY.md §4`` ordering note).
+
+Entities travel *inside* their document row (``ents_json`` column) —
+no shuffle is needed for any document-scoped stage; entities are only
+exploded to a flat table after doc-scoped processing completes.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+from kazu_ray.functions.ahocorasick import Automaton
+from kazu_ray.lang import normalizer
+from kazu_ray.lang.tokens import sentence_index_for_span, sentence_spans, token_boundaries, word_is_valid
+from kazu_ray.state.store import OntologyStore, cached_store
+
+DICT_NAMESPACE = "DictionaryNerStage"
+REGEX_NAMESPACE = "RegexNerStub"
+
+
+def _resolve_store(store) -> OntologyStore:
+    """Accept an OntologyStore, a ray ObjectRef (broadcast), or a cache
+    dir path (tests / oracle)."""
+    if isinstance(store, OntologyStore):
+        return store
+    if isinstance(store, str):
+        return cached_store(store)
+    import ray
+
+    return ray.get(store)
+
+
+def build_automaton(store: OntologyStore) -> Automaton:
+    """Automaton keyed by lowercased surface; value = dict of
+    (entity_class, confidence, case_sensitive, syn_norm, original_text)
+    → set of parser names (``memory_efficient_string_matching.py:47-94``)."""
+    key_to_info: dict[str, dict[tuple, set]] = {}
+    for row in store.ner_terms.itertuples(index=False):
+        entity_key = (
+            row.entity_class,
+            int(row.confidence),
+            bool(row.case_sensitive),
+            row.synonym_norm,
+            row.term,
+        )
+        key_to_info.setdefault(row.term_lower, {}).setdefault(entity_key, set()).add(
+            row.parser_name
+        )
+    automaton = Automaton()
+    for key in sorted(key_to_info):
+        automaton.add_word(key, key_to_info[key])
+    automaton.make_automaton()
+    return automaton
+
+
+def match_entities(text: str, automaton: Automaton) -> list[dict]:
+    """Scan one document; returns entity dicts (no sent_idx yet).
+
+    Port of ``_process_automaton`` (``memory_efficient_string_matching.py:102-168``).
+    """
+    starts, ends = token_boundaries(text)
+    lower = text.lower()
+    entities: list[dict] = []
+    for end_index, ontology_dict in automaton.iter(lower):
+        first_key = next(iter(ontology_dict.keys()))
+        start_index = end_index - len(first_key[-1]) + 1
+        matched_text = text[start_index : end_index + 1]
+        if not word_is_valid(start_index, end_index, starts, ends):
+            continue
+        by_class: dict[str, list[tuple]] = {}
+        for entity_key in sorted(ontology_dict.keys()):
+            by_class.setdefault(entity_key[0], []).append(entity_key)
+        for entity_class in sorted(by_class):
+            cands: set[tuple[str, str]] = set()
+            confidences: dict[str, set[int]] = {}
+            for (_, confidence, case_sensitive, syn_norm, original_case) in by_class[
+                entity_class
+            ]:
+                if case_sensitive and matched_text != original_case:
+                    continue
+                for parser_name in ontology_dict[
+                    (entity_class, confidence, case_sensitive, syn_norm, original_case)
+                ]:
+                    confidences.setdefault(parser_name, set()).add(confidence)
+                    cands.add((parser_name, syn_norm))
+            if cands:
+                chosen_conf = max(max(c) for c in confidences.values())
+                entities.append(
+                    {
+                        "start": start_index,
+                        "end": end_index + 1,
+                        "match": matched_text,
+                        "match_norm": normalizer.normalize(matched_text, entity_class),
+                        "entity_class": entity_class,
+                        "namespace": DICT_NAMESPACE,
+                        "confidence": chosen_conf,
+                        # candidates: [parser, syn_norm, exact, score]
+                        "cands": sorted([p, s, True, None] for p, s in cands),
+                        "mappings": [],
+                    }
+                )
+    return entities
+
+
+class DictionaryNerStage:
+    """Actor-pool ``map_batches`` stage: docs → docs + ents_json + sents_json."""
+
+    def __init__(self, store):
+        store = _resolve_store(store)
+        self.automaton = build_automaton(store)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ents_col = []
+        sents_col = []
+        for text in texts:
+            spans = sentence_spans(text)
+            ents = match_entities(text, self.automaton)
+            for ent in ents:
+                ent["sent_idx"] = sentence_index_for_span(spans, ent["start"])
+            ents_col.append(json.dumps(ents))
+            sents_col.append(json.dumps(spans))
+        out = batch
+        if "ents_json" in batch.column_names:
+            # merge with pre-existing entities from an earlier NER stage
+            prev = [json.loads(x) for x in batch["ents_json"].to_pylist()]
+            merged = []
+            for p, e in zip(prev, ents_col):
+                p.extend(json.loads(e))
+                merged.append(json.dumps(p))
+            out = out.drop_columns(["ents_json"]).append_column(
+                "ents_json", pa.array(merged, type=pa.large_string())
+            )
+        else:
+            out = out.append_column("ents_json", pa.array(ents_col, type=pa.large_string()))
+        if "sents_json" not in out.column_names:
+            out = out.append_column("sents_json", pa.array(sents_col, type=pa.large_string()))
+        return out
+
+
+class RegexNerStub:
+    """Deterministic stand-in for TransformerNER: tags gene-symbol-shaped
+    tokens (≥2 uppercase letters + optional digits) as ``gene`` mentions
+    with PROBABLE confidence and no candidates. Downstream linking must
+    ground or cleanup must drop them — the same contract a real model
+    NER output has."""
+
+    PATTERN = re.compile(r"\b[A-Z]{2,6}[0-9]{0,3}\b")
+
+    def __init__(self, store=None):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        prev = (
+            [json.loads(x) for x in batch["ents_json"].to_pylist()]
+            if "ents_json" in batch.column_names
+            else [[] for _ in texts]
+        )
+        sents_prev = (
+            batch["sents_json"].to_pylist() if "sents_json" in batch.column_names else None
+        )
+        ents_out, sents_out = [], []
+        for i, text in enumerate(texts):
+            spans = json.loads(sents_prev[i]) if sents_prev else sentence_spans(text)
+            ents = prev[i]
+            for m in self.PATTERN.finditer(text):
+                ents.append(
+                    {
+                        "start": m.start(),
+                        "end": m.end(),
+                        "match": m.group(),
+                        "match_norm": normalizer.normalize(m.group(), "gene"),
+                        "entity_class": "gene",
+                        "namespace": REGEX_NAMESPACE,
+                        "confidence": 50,
+                        "cands": [],
+                        "mappings": [],
+                        "sent_idx": sentence_index_for_span(
+                            [tuple(s) for s in spans], m.start()
+                        ),
+                    }
+                )
+            ents_out.append(json.dumps(ents))
+            sents_out.append(json.dumps(spans))
+        out = batch
+        if "ents_json" in out.column_names:
+            out = out.drop_columns(["ents_json"])
+        if "sents_json" in out.column_names:
+            out = out.drop_columns(["sents_json"])
+        out = out.append_column("ents_json", pa.array(ents_out, type=pa.large_string()))
+        out = out.append_column("sents_json", pa.array(sents_out, type=pa.large_string()))
+        return out
