@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the kazu_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline at sf0.001. ``queries()``
+exposes one callable per implemented operator/pipeline (SURVEY.md §2 +
+the training-data ops); ``oracle_sql()`` gives DuckDB equivalents where
+SQL can express the semantics (column names match exactly). KG-pipeline
+and sketch-based entries are rows-only checked here and gated against
+the single-process oracle in ``tests/test_pipeline_e2e.py`` instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,387 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_STORE_REF = None
+
+
+def _store_ref():
+    global _STORE_REF
+    if _STORE_REF is None:
+        from kazu_ray.pipelines.kg import broadcast_store
+
+        _STORE_REF = broadcast_store()
+    return _STORE_REF
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages → ... → triples at sf0.001."""
+    from kazu_ray.pipelines.kg import annotated_docs
+    from kazu_ray.stages.materialize import explode_triples
+
+    docs = annotated_docs("/root/testdata/sf0.001", store_ref=_store_ref())
+    return explode_triples(docs)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _kg_triples(sf_dir: str):
+    from kazu_ray.pipelines.kg import annotated_docs
+    from kazu_ray.stages.materialize import explode_triples
+
+    return explode_triples(annotated_docs(sf_dir, store_ref=_store_ref()))
+
+
+def _kg_entities(sf_dir: str):
+    from kazu_ray.pipelines.kg import annotated_docs
+    from kazu_ray.stages.materialize import explode_entities
+
+    return explode_entities(annotated_docs(sf_dir, store_ref=_store_ref()))
+
+
+def _kg_node_degrees(sf_dir: str):
+    from kazu_ray.pipelines.kg import annotated_docs
+    from kazu_ray.stages.materialize import explode_triples, node_degrees
+
+    return node_degrees(explode_triples(annotated_docs(sf_dir, store_ref=_store_ref())))
+
+
+def _text_hashes(sf_dir: str):
+    """Per-row extraction invariant: url → hex sha256 of extracted text."""
+    import pyarrow as pa
+
+    from kazu_ray.sources.corpus import pages_dataset
+    from kazu_ray.stages.extract import extract_docs
+
+    docs = extract_docs(pages_dataset(sf_dir), lang=None)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "text_sha256": pa.array(
+                    [b.hex() for b in batch["text_sha256"].to_pylist()], type=pa.string()
+                ),
+            }
+        )
+
+    return docs.map_batches(fmt, batch_format="pyarrow")
+
+
+def _doc_token_stats(sf_dir: str):
+    import ray.data as rd
+
+    from kazu_ray.ops.text import token_stats_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def _doc_quality(sf_dir: str):
+    import ray.data as rd
+
+    from kazu_ray.ops.text import quality_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def _lang_distribution(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _doc_fingerprints(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.text import fingerprint_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def md5_only(batch: pa.Table) -> pa.Table:
+        out = fingerprint_batch(batch)
+        return out.select(["doc_id", "md5"])
+
+    return ds.map_batches(md5_only, batch_format="pyarrow")
+
+
+def _exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import exact_dedup_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_groups(ds)
+
+
+def _minhash_pairs(sf_dir: str):
+    """Near-dup pairs via MinHash-LSH, verified with exact Jaccard ≥ 0.6."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import minhash_candidate_pairs, verify_pairs_jaccard
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds).to_pandas()
+    texts = dict(
+        zip(
+            *[
+                pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])[c].to_pylist()
+                for c in ("doc_id", "text")
+            ]
+        )
+    )
+    out = verify_pairs_jaccard(pairs, texts, threshold=0.6)
+    return out[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _simhash_dups(sf_dir: str):
+    """SimHash near-dup pairs: bucket by 16-bit chunks, hamming ≤ 3 verify."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import hamming64, simhash_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        recs = sorted(zip(g["doc_id"], g["simhash"]))
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                if hamming64(int(recs[i][1]), int(recs[j][1])) <= 3:
+                    rows.append((recs[i][0], recs[j][0]))
+        return pd.DataFrame(rows, columns=["id_a", "id_b"]) if rows else pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+        )
+
+    out_frames = []
+    for chunk in range(4):
+        out_frames.append(
+            sh.groupby(f"chunk{chunk}").map_groups(_pairs, batch_format="pandas").to_pandas()
+        )
+    import pandas as pd
+
+    allp = pd.concat(out_frames, ignore_index=True).drop_duplicates()
+    return allp.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _topk_cosine(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kazu_ray.ops.simsearch import topk_cosine
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = qtbl["embedding"][0].as_py()  # query = vec_id 0's embedding
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = topk_cosine(ds, qvec, k=10)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t["vec_id"], "cosine": pc.round(t["cosine"], 3)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _ivf_topk_cosine(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kazu_ray.ops.simsearch import ivf_topk_cosine
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    qvec = qtbl["embedding"][0].as_py()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ivf_topk_cosine(ds, qvec, k=10)
+    return out.map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"], "cosine": pc.round(t["cosine"], 3)}),
+        batch_format="pyarrow",
+    )
+
+
+def _embedding_label_centroids(sf_dir: str):
+    """Per-label mean embedding norm — vector aggregate with combiner."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        labels = batch["label"].to_pylist()
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        df = pd.DataFrame({"label": labels, "s": norms})
+        out = df.groupby("label", as_index=False).agg(sum_norm=("s", "sum"), n=("s", "size"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("label")
+        .aggregate(Sum("sum_norm", alias_name="sum_norm"), Sum("n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mean = pc.round(pc.divide(batch["sum_norm"], pc.cast(batch["n"], pa.float64())), 3)
+        return pa.table({"label": batch["label"], "mean_norm": mean, "n": batch["n"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _media_features(sf_dir: str):
+    """Multimodal plumbing: synth binary media → (stubbed) decode features."""
+    from kazu_ray.ops.multimodal import ImageDecodeStage, synth_media_dataset
+
+    ds = synth_media_dataset(sf_dir)
+    return ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 2),
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from kazu_ray.ops import relational
+    from kazu_ray.ops.text import LangIdStage
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _langid(sf_dir: str):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 2))
+
+    return {
+        # KG pipeline (oracle: pytest P/R gate vs single-process oracle)
+        "kg_triples": _kg_triples,
+        "kg_entities": _kg_entities,
+        "kg_node_degrees": _kg_node_degrees,
+        "kg_text_hashes": _text_hashes,
+        # text analysis (SQL-oracled)
+        "doc_token_stats": _doc_token_stats,
+        "doc_quality": _doc_quality,
+        "lang_distribution": _lang_distribution,
+        "doc_fingerprints": _doc_fingerprints,
+        "doc_langid": _langid,
+        # dedup
+        "exact_dedup": _exact_dedup,
+        "minhash_near_dups": _minhash_pairs,
+        "simhash_near_dups": _simhash_dups,
+        # similarity search
+        "topk_cosine": _topk_cosine,
+        "ivf_topk_cosine": _ivf_topk_cosine,
+        "embedding_label_stats": _embedding_label_centroids,
+        # multimodal plumbing
+        "media_features": _media_features,
+        # relational / streaming-shaped
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "revenue_by_segment": relational.revenue_by_segment,
+        "events_by_type": relational.events_by_type,
+        "hourly_event_counts": relational.hourly_event_counts,
+        "sessionize_events": relational.sessionize,
+        "top_parts_by_retail": relational.top_parts_by_retail,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"))
+    return {
+        "doc_token_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]')) AS n_subwords
+            FROM documents
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '), x -> x IN ({stop_list})))
+                       AS n_stopwords,
+                   list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+                       AS sum_word_len
+            FROM documents
+        """,
+        "lang_distribution": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "exact_dedup": """
+            SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+            FROM documents GROUP BY md5(text)
+        """,
+        "topk_cosine": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)), 3) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+            LIMIT 10
+        """,
+        "embedding_label_stats": """
+            SELECT label,
+                   round(sum(sqrt(list_sum(list_transform(embedding, x -> x*x))))
+                         / count(*), 3) AS mean_norm,
+                   count(*) AS n
+            FROM embeddings GROUP BY label
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "events_by_type": """
+            SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "hourly_event_counts": """
+            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+            FROM gaps GROUP BY user_id
+        """,
+        "top_parts_by_retail": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part
+            ORDER BY p_retailprice DESC, p_partkey
+            LIMIT 20
+        """,
+    }

@@ -1,0 +1,156 @@
+"""Benchmark harness.
+
+Runs the headline KG-construction pipeline plus representative
+operators over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32)
+and prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "docs": N, "docs_per_sec": N}
+
+``--scaling`` runs the headline twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports throughput at
+both plus the scaling efficiency (the sandbox proxy for the
+north-rule's N vs 4N cluster sizes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# fan the fixed-size documents skeleton out to a bench-scale corpus
+PAGES_MULT = int(os.environ.get("KAZU_BENCH_PAGES_MULT", "4"))
+
+
+def run_headline() -> tuple[float, int]:
+    """Full KG pipeline → triple count (consumes the stream; no driver
+    materialization of the corpus)."""
+    from kazu_ray.pipelines.kg import annotated_docs, broadcast_store
+    from kazu_ray.stages.materialize import explode_triples
+
+    store_ref = broadcast_store()
+    t0 = time.time()
+    docs = annotated_docs(
+        SF_DIR,
+        store_ref=store_ref,
+        ner_concurrency=max(2, NUM_CPUS // 4),
+        multiplier=PAGES_MULT,
+    )
+    n_triples = explode_triples(docs).count()
+    return time.time() - t0, n_triples
+
+
+def run_secondary() -> dict[str, float]:
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    names = [
+        "exact_dedup",
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "topk_cosine",
+        "q1_pricing_summary",
+        "revenue_by_segment",
+        "sessionize_events",
+        "doc_token_stats",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        # consume
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # warm page cache: one untimed pruned read
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * PAGES_MULT
+
+    headline_sec, n_triples = run_headline()
+    queries = {"kg_triples": round(headline_sec, 3)}
+    if os.environ.get("KAZU_BENCH_ONLY") != "kg":
+        queries.update(run_secondary())
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg-construction triple emission (read→NER→link→canonicalize→triples)",
+                "value": round(headline_sec, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "num_cpus": NUM_CPUS,
+                "docs": n_docs,
+                "n_triples": n_triples,
+                "docs_per_sec": round(n_docs / headline_sec, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            KAZU_BENCH_ONLY="kg",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,226 @@
+"""Deduplication operators.
+
+The scale-out shapes (ray_guide.md "Aggregation at scale"):
+
+* exact      — content-hash + per-batch partial aggregate (combiner)
+               then a small groupby; never ships full texts through the
+               shuffle, only (hash, min_id, count) partials.
+* minhash-LSH— shingle → minhash → band rows → groupby(band, bucket)
+               → candidate pairs → Jaccard verify. The shuffle moves
+               fixed-width band rows, not documents.
+* simhash    — 64-bit simhash + bucket by 16-bit chunks (hamming ≤ k
+               candidates must share a chunk by pigeonhole).
+* ngram-jaccard / embedding-cosine — verification kernels used by the
+  above / over the ``embeddings`` table.
+
+All deterministic (seeded hash mixing, no wall clock).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _exact_partial_batch(batch: pa.Table) -> pa.Table:
+    agg: dict[str, tuple[int, int]] = {}
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        h = hashlib.md5(text.encode()).hexdigest()
+        cur = agg.get(h)
+        if cur is None:
+            agg[h] = (doc_id, 1)
+        else:
+            agg[h] = (min(cur[0], doc_id), cur[1] + 1)
+    hs = sorted(agg)
+    return pa.table(
+        {
+            "h": pa.array(hs, type=pa.string()),
+            "keep_id": pa.array([agg[h][0] for h in hs], type=pa.int64()),
+            "n": pa.array([agg[h][1] for h in hs], type=pa.int64()),
+        }
+    )
+
+
+def exact_dedup_groups(docs_ds):
+    """One row per distinct text: (h, keep_id=min doc_id, n=count).
+    Partial-aggregate inside map_batches, tiny groupby after."""
+    from ray.data.aggregate import Min, Sum
+
+    partials = docs_ds.map_batches(_exact_partial_batch, batch_format="pyarrow")
+    return partials.groupby("h").aggregate(
+        Min("keep_id", alias_name="keep_id"), Sum("n", alias_name="n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles / jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: str, k: int = 3) -> set[str]:
+    words = text.split(" ")
+    if len(words) < k:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if not shingles:
+        return np.zeros(len(a), dtype=np.uint64)
+    base = np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in shingles],
+        dtype=np.uint64,
+    ).astype(np.int64)
+    # (a*x + b) mod p per permutation, min over shingles — vectorized
+    vals = (base[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1).astype(np.uint64)
+
+
+class MinHashStage:
+    """docs → (doc_id, band, bucket) rows; hash params built per actor."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
+        assert num_perm % bands == 0
+        self.a, self.b = _hash_params(num_perm)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, bands, buckets = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = minhash_signature(word_shingles(text, self.shingle_k), self.a, self.b)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                bucket = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                doc_ids.append(doc_id)
+                bands.append(band)
+                buckets.append(bucket)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band": pa.array(bands, type=pa.int32()),
+                "bucket": pa.array(buckets, type=pa.string()),
+            }
+        )
+
+
+def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
+    """Candidate near-dup pairs via LSH banding: groupby(band, bucket) →
+    pairs within bucket (deduped by the later verify step)."""
+    band_rows = docs_ds.map_batches(
+        MinHashStage, fn_constructor_args=(num_perm, bands), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"]))
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
+
+    pairs = band_rows.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
+    # dedupe pairs found in multiple bands (small output; unique via groupby)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts: dict[int, str], threshold: float, k: int = 3):
+    """Driver-side verify over the (provably small) candidate set."""
+    rows = []
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        j = jaccard(word_shingles(texts[a], k), word_shingles(texts[b], k))
+        if j >= threshold:
+            rows.append((a, b, j))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    v = np.zeros(64, dtype=np.int64)
+    for w in set(text.split(" ")):
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+        for bit in range(64):
+            v[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if v[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    hashes = [simhash64(t) for t in batch["text"].to_pylist()]
+    chunks = {f"chunk{j}": [(h >> (16 * j)) & 0xFFFF for h in hashes] for j in range(4)}
+    cols = {"doc_id": batch["doc_id"], "simhash": pa.array(hashes, type=pa.uint64())}
+    for name, vals in chunks.items():
+        cols[name] = pa.array(vals, type=pa.int32())
+    return pa.table(cols)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup / similarity search
+# ---------------------------------------------------------------------------
+
+
+class TopKCosineStage:
+    """Brute-force cosine top-k against a broadcast query matrix: per-batch
+    numpy matmul emits per-batch top-k partials; the driver (or a final
+    sort+limit) merges. The scale path for true ANN is the LSH-bucketed
+    variant in ``ops/simsearch.py``."""
+
+    def __init__(self, query_vec: np.ndarray, k: int = 10):
+        q = np.asarray(query_vec, dtype=np.float64)
+        self.q = q / (np.linalg.norm(q) or 1.0)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ self.q) / norms
+        top = np.argsort(-sims)[: self.k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top]),
+                "cosine": pa.array(sims[top], type=pa.float64()),
+            }
+        )

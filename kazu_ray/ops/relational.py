@@ -1,0 +1,203 @@
+"""Relational / streaming-shaped operators over the testdata tables.
+
+These demonstrate the engine's wide-operation discipline on tables that
+actually scale with sf (lineitem/orders/events):
+
+* pruned-read aggregates — ``columns=[...]`` at the read, per-batch
+  partial aggregation (combiner), then a small ``groupby`` over partials.
+* broadcast hash join — small side (customer/nation) ``ray.put`` once,
+  probed per batch; no shuffle.
+* sessionization / tumbling windows over the ``events`` log —
+  ``groupby(user).map_groups`` over ts-sorted groups (Ray Data has no
+  event-time windows; the ordering assumption is per-group sort, see
+  ray_guide.md "Streaming-shaped workloads").
+
+Every function returns a Dataset/DataFrame whose column names match the
+DuckDB oracle in ``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: pruned read → partial agg per batch → small groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        revenue = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        batch = batch.append_column("revenue", revenue)
+        df = batch.to_pandas()
+        out = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_revenue=("revenue", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_revenue", alias_name="sum_revenue"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+    def _round(batch: pa.Table) -> pa.Table:
+        for col in ("sum_qty", "sum_base_price", "sum_revenue"):
+            batch = batch.set_column(
+                batch.column_names.index(col), col, pc.round(batch[col], 2)
+            )
+        return batch
+
+    return agg.map_batches(_round, batch_format="pyarrow")
+
+
+def revenue_by_segment(sf_dir: str):
+    """orders ⋈ customer as a broadcast map-side hash join."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    lookup_ref = ray.put(lookup) if ray.is_initialized() else lookup
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    class JoinProbe:
+        def __init__(self, ref):
+            import ray as _ray
+
+            self.lookup = _ray.get(ref) if not isinstance(ref, dict) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.lookup.get(k) for k in batch["o_custkey"].to_pylist()]
+            out = batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+            df = out.to_pandas()
+            partial = df.groupby("c_mktsegment", as_index=False).agg(
+                revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+            )
+            return pa.Table.from_pandas(partial, preserve_index=False)
+
+    agg = (
+        orders.map_batches(
+            JoinProbe,
+            fn_constructor_args=(lookup_ref,),
+            batch_format="pyarrow",
+            batch_size=65536,
+            concurrency=(1, 4),
+        )
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("revenue"), "revenue", pc.round(t["revenue"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_by_type(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby("event_type", as_index=False).agg(
+            total_value=("value", "sum"), n=("value", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Sum("total_value", alias_name="total_value"), Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("total_value"), "total_value", pc.round(t["total_value"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def hourly_event_counts(sf_dir: str):
+    """Tumbling 1h window = truncate + partial agg + groupby (no
+    watermark semantics needed for a batch log)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table({"hour": hours, "event_type": batch["event_type"]})
+        df = t.to_pandas()
+        out = df.groupby(["hour", "event_type"], as_index=False).agg(n=("event_type", "size"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Per-user session count: groupby(user).map_groups over ts-sorted
+    events; a new session starts when the gap exceeds ``gap_minutes``."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        if len(ts) == 0:
+            return pd.DataFrame({"user_id": [], "n_sessions": [], "n_events": []})
+        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        n_sessions = 1 + int((gaps > gap_minutes * 60 * 1_000_000).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [n_sessions],
+                "n_events": [len(ts)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def top_parts_by_retail(sf_dir: str, k: int = 20):
+    """Global top-k via sort + limit (small k ⇒ cheap)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(k)

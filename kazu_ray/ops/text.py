@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Each operator is a vectorized ``map_batches`` over the ``documents``
+table (or any table with a ``text`` column) and has a DuckDB-SQL oracle
+in ``__ray_entry__.oracle_sql`` with matching column names.
+
+* token counting   — whitespace tokens + a BPE-ish subword regex count
+* quality scoring  — length / punctuation / stopword ratios
+* language ID      — character-n-gram heuristic over stopword hits
+* fingerprinting   — md5 content fingerprint + 64-bit rolling hash
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+# BPE-ish token pattern: runs of letters, digits, or single punctuation
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_chars, n_tokens (whitespace), n_subwords (regex)."""
+    texts = batch["text"]
+    n_chars = pc.utf8_length(texts)
+    # whitespace token count = space count + 1 (documents have single spaces)
+    n_spaces = pc.count_substring(texts, " ")
+    n_tokens = pc.add(n_spaces, 1)
+    n_subwords = pa.array(
+        [len(_BPE_RE.findall(t)) for t in texts.to_pylist()], type=pa.int64()
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_subwords": n_subwords,
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_words, n_stopwords, sum_word_len — the standard cheap
+    quality signals (C4/Gopher-style length & stopword heuristics).
+    Ratios are left to the consumer: integer counts compare exactly
+    against the SQL oracle with no float-rounding hazards."""
+    texts = batch["text"].to_pylist()
+    n_words, n_stop, sum_len = [], [], []
+    stopset = set(STOPWORDS)
+    for t in texts:
+        words = t.split(" ")
+        n_words.append(len(words))
+        n_stop.append(sum(1 for w in words if w in stopset))
+        sum_len.append(sum(len(w) for w in words))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_stopwords": pa.array(n_stop, type=pa.int64()),
+            "sum_word_len": pa.array(sum_len, type=pa.int64()),
+        }
+    )
+
+
+class LangIdStage:
+    """Heuristic language ID: score = fraction of words in per-language
+    stopword lists. Deterministic, model-free; the actor compiles word
+    sets once (``__init__``)."""
+
+    LANG_WORDS = {
+        "en": {"the", "and", "of", "is", "was", "in", "a", "to"},
+        "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit"},
+        "es": {"el", "la", "los", "es", "un", "una", "que", "y"},
+        "fr": {"le", "la", "les", "est", "une", "et", "que", "dans"},
+    }
+
+    def __init__(self):
+        self.tables = {k: frozenset(v) for k, v in self.LANG_WORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch["text"].to_pylist():
+            words = t.lower().split(" ")
+            best_lang, best = "unknown", 0
+            for lang, table in sorted(self.tables.items()):
+                hits = sum(1 for w in words if w in table)
+                if hits > best:
+                    best, best_lang = hits, lang
+            preds.append(best_lang)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, type=pa.string())}
+        )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """md5 content fingerprint (SQL-checkable) + 64-bit polynomial
+    rolling hash (engine-only)."""
+    md5s, rolls = [], []
+    for t in batch["text"].to_pylist():
+        md5s.append(hashlib.md5(t.encode()).hexdigest())
+        h = 0
+        for ch in t:
+            h = (h * 1000003 + ord(ch)) & 0xFFFFFFFFFFFFFFFF
+        rolls.append(h)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "md5": pa.array(md5s, type=pa.string()),
+            "rolling_hash": pa.array(rolls, type=pa.uint64()),
+        }
+    )

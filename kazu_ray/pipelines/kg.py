@@ -29,7 +29,7 @@ from kazu_ray.stages.docproc import DocPostProcessStage
 from kazu_ray.stages.extract import extract_docs
 from kazu_ray.stages.linking import LinkingStage
 from kazu_ray.stages.materialize import explode_entities, explode_triples
-from kazu_ray.stages.ner import DictionaryNerStage, RegexNerStub
+from kazu_ray.stages.ner import DictionaryNerStage, regex_ner_batch
 from kazu_ray.state.store import ensure_default_caches, load_store
 
 
@@ -49,11 +49,12 @@ def annotated_docs(
     ner_concurrency: int = 4,
     batch_size: int = 64,
     with_regex_ner: bool = True,
+    multiplier: int = 1,
 ):
     """pages → fully processed docs (ents_json + triples_json columns)."""
     if store_ref is None:
         store_ref = broadcast_store()
-    pages = pages_dataset(sf_dir)
+    pages = pages_dataset(sf_dir, multiplier=multiplier)
     docs = extract_docs(pages)
     docs = docs.map_batches(
         DictionaryNerStage,
@@ -65,10 +66,7 @@ def annotated_docs(
     )
     if with_regex_ner:
         docs = docs.map_batches(
-            RegexNerStub,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=(1, ner_concurrency),
+            regex_ner_batch, batch_format="pyarrow", batch_size=batch_size
         )
         docs = docs.map_batches(
             LinkingStage,

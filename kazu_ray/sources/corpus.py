@@ -118,49 +118,52 @@ def page_text_for_doc(doc_id: int) -> str:
     return " ".join(sents)
 
 
-class PageSynthesizer:
-    """``map_batches`` callable: documents-row skeleton → pages rows.
+def synthesize_pages_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` function: documents-row skeleton → pages rows.
 
-    Actor-pool class so the mention bank is built once per actor
-    (mirrors model-load-once semantics).
-    """
-
-    def __init__(self) -> None:
-        mention_bank()  # warm the cache
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        urls, tss, htmls, texts, langs = [], [], [], [], []
-        for doc_id in doc_ids:
-            rng = random.Random(f"pagemeta:{doc_id}")
-            text = page_text_for_doc(doc_id)
-            urls.append(f"https://example.org/doc/{doc_id:08d}")
-            tss.append(EPOCH_US + int(doc_id) * 1_000_000)
-            htmls.append(HTML_PREFIX + text.encode("utf-8") + HTML_SUFFIX)
-            # ~5% rows publish no pre-extracted text → html path
-            texts.append(None if rng.random() < 0.05 else text)
-            langs.append("de" if rng.random() < 0.02 else "en")
-        return pa.table(
-            {
-                "url": pa.array(urls, type=pa.string()),
-                "warc_ts": pa.array(tss, type=pa.timestamp("us")),
-                "html": pa.array(htmls, type=pa.binary()),
-                "text": pa.array(texts, type=pa.large_string()),
-                "lang": pa.array(langs, type=pa.string()),
-            }
-        )
+    Stateless task op (the mention bank is a module-level lru_cache, so
+    it builds once per worker process — no actor pool needed, which
+    keeps the minimum CPU footprint of the pipeline small)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for doc_id in doc_ids:
+        rng = random.Random(f"pagemeta:{doc_id}")
+        text = page_text_for_doc(doc_id)
+        urls.append(f"https://example.org/doc/{doc_id:08d}")
+        tss.append(EPOCH_US + int(doc_id) * 1_000_000)
+        htmls.append(HTML_PREFIX + text.encode("utf-8") + HTML_SUFFIX)
+        # ~5% rows publish no pre-extracted text → html path
+        texts.append(None if rng.random() < 0.05 else text)
+        langs.append("de" if rng.random() < 0.02 else "en")
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.large_string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
 
 
-def pages_dataset(sf_dir: str):
+def pages_dataset(sf_dir: str, multiplier: int = 1):
     """Pages corpus as a streaming Dataset, scaled by the testdata
     ``documents`` table at ``sf_dir`` (column-pruned read: only doc_id
-    leaves storage)."""
+    leaves storage). ``multiplier`` fans each skeleton row out to K
+    deterministic page ids — used by the bench to reach corpus sizes the
+    fixed-size documents table can't provide."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return ds.map_batches(
-        PageSynthesizer, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
-    )
+    if multiplier > 1:
+        def expand(batch: pa.Table, _k: int = multiplier) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            return pa.table(
+                {"doc_id": pa.array([i * _k + j for i in ids for j in range(_k)])}
+            )
+
+        ds = ds.map_batches(expand, batch_format="pyarrow")
+    return ds.map_batches(synthesize_pages_batch, batch_format="pyarrow", batch_size=512)
 
 
 def pages_pandas(sf_dir: str, limit: int | None = None) -> pd.DataFrame:
@@ -170,6 +173,5 @@ def pages_pandas(sf_dir: str, limit: int | None = None) -> pd.DataFrame:
     doc_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
     if limit is not None:
         doc_ids = doc_ids[:limit]
-    synth = PageSynthesizer()
-    table = synth(pa.table({"doc_id": pa.array(np.asarray(doc_ids))}))
+    table = synthesize_pages_batch(pa.table({"doc_id": pa.array(np.asarray(doc_ids))}))
     return table.to_pandas()

@@ -165,56 +165,55 @@ class DictionaryNerStage:
         return out
 
 
-class RegexNerStub:
-    """Deterministic stand-in for TransformerNER: tags gene-symbol-shaped
-    tokens (≥2 uppercase letters + optional digits) as ``gene`` mentions
-    with PROBABLE confidence and no candidates. Downstream linking must
-    ground or cleanup must drop them — the same contract a real model
-    NER output has."""
+REGEX_NER_PATTERN = re.compile(r"\b[A-Z]{2,6}[0-9]{0,3}\b")
 
-    PATTERN = re.compile(r"\b[A-Z]{2,6}[0-9]{0,3}\b")
 
-    def __init__(self, store=None):
-        pass
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        prev = (
-            [json.loads(x) for x in batch["ents_json"].to_pylist()]
-            if "ents_json" in batch.column_names
-            else [[] for _ in texts]
-        )
-        sents_prev = (
-            batch["sents_json"].to_pylist() if "sents_json" in batch.column_names else None
-        )
-        ents_out, sents_out = [], []
-        for i, text in enumerate(texts):
-            spans = json.loads(sents_prev[i]) if sents_prev else sentence_spans(text)
-            ents = prev[i]
-            for m in self.PATTERN.finditer(text):
-                ents.append(
-                    {
-                        "start": m.start(),
-                        "end": m.end(),
-                        "match": m.group(),
-                        "match_norm": normalizer.normalize(m.group(), "gene"),
-                        "entity_class": "gene",
-                        "namespace": REGEX_NAMESPACE,
-                        "confidence": 50,
-                        "cands": [],
-                        "mappings": [],
-                        "sent_idx": sentence_index_for_span(
-                            [tuple(s) for s in spans], m.start()
-                        ),
-                    }
-                )
-            ents_out.append(json.dumps(ents))
-            sents_out.append(json.dumps(spans))
-        out = batch
-        if "ents_json" in out.column_names:
-            out = out.drop_columns(["ents_json"])
-        if "sents_json" in out.column_names:
-            out = out.drop_columns(["sents_json"])
-        out = out.append_column("ents_json", pa.array(ents_out, type=pa.large_string()))
-        out = out.append_column("sents_json", pa.array(sents_out, type=pa.large_string()))
-        return out
+def regex_ner_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic stand-in for TransformerNER
+    (``kazu/steps/ner/hf_token_classification.py:64-352``): tags
+    gene-symbol-shaped tokens (≥2 uppercase letters + optional digits) as
+    ``gene`` mentions with PROBABLE confidence and no candidates.
+    Downstream linking must ground or cleanup must drop them — the same
+    contract a real model NER output has. Stateless task op (the pattern
+    compiles at import); a real transformer would be an actor pool with
+    ``num_gpus`` set."""
+    texts = batch["text"].to_pylist()
+    prev = (
+        [json.loads(x) for x in batch["ents_json"].to_pylist()]
+        if "ents_json" in batch.column_names
+        else [[] for _ in texts]
+    )
+    sents_prev = (
+        batch["sents_json"].to_pylist() if "sents_json" in batch.column_names else None
+    )
+    ents_out, sents_out = [], []
+    for i, text in enumerate(texts):
+        spans = json.loads(sents_prev[i]) if sents_prev else sentence_spans(text)
+        ents = prev[i]
+        for m in REGEX_NER_PATTERN.finditer(text):
+            ents.append(
+                {
+                    "start": m.start(),
+                    "end": m.end(),
+                    "match": m.group(),
+                    "match_norm": normalizer.normalize(m.group(), "gene"),
+                    "entity_class": "gene",
+                    "namespace": REGEX_NAMESPACE,
+                    "confidence": 50,
+                    "cands": [],
+                    "mappings": [],
+                    "sent_idx": sentence_index_for_span(
+                        [tuple(s) for s in spans], m.start()
+                    ),
+                }
+            )
+        ents_out.append(json.dumps(ents))
+        sents_out.append(json.dumps(spans))
+    out = batch
+    if "ents_json" in out.column_names:
+        out = out.drop_columns(["ents_json"])
+    if "sents_json" in out.column_names:
+        out = out.drop_columns(["sents_json"])
+    out = out.append_column("ents_json", pa.array(ents_out, type=pa.large_string()))
+    out = out.append_column("sents_json", pa.array(sents_out, type=pa.large_string()))
+    return out

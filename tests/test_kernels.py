@@ -1,0 +1,85 @@
+"""Aho-corasick, tokenizer, TF-IDF, similarity kernel tests."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kazu_ray.functions.ahocorasick import Automaton
+from kazu_ray.functions.tfidf import TfidfVectorizer, char_ngrams
+from kazu_ray.lang.similarity import entity_subtype_scorer, number_match_scorer
+from kazu_ray.lang.tokens import sentence_spans, token_boundaries, word_is_valid
+
+
+def test_automaton_overlapping_and_nested():
+    a = Automaton()
+    a.add_word("breast cancer", "BC")
+    a.add_word("cancer", "C")
+    a.add_word("east", "E")
+    a.make_automaton()
+    hits = sorted((end, val) for end, val in a.iter("breast cancer"))
+    # nested: 'east' inside 'breast', 'cancer' inside 'breast cancer'
+    assert (5, "E") in hits
+    assert (12, "BC") in hits
+    assert (12, "C") in hits
+
+
+def test_automaton_multiple_occurrences():
+    a = Automaton()
+    a.add_word("ab", 1)
+    a.make_automaton()
+    assert len(list(a.iter("ababab"))) == 3
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=4), min_size=1, max_size=6),
+       st.text(alphabet="abc", max_size=30))
+def test_automaton_matches_bruteforce(keys, haystack):
+    a = Automaton()
+    keyset = set(keys)
+    for k in keyset:
+        a.add_word(k, k)
+    a.make_automaton()
+    got = sorted((end, val) for end, val in a.iter(haystack))
+    expected = sorted(
+        (i + len(k) - 1, k)
+        for k in keyset
+        for i in range(len(haystack))
+        if haystack.startswith(k, i)
+    )
+    assert got == expected
+
+
+def test_token_boundaries():
+    text = "BRCA1/2 are oncogenes."
+    starts, ends = token_boundaries(text)
+    assert 0 in starts  # BRCA1
+    assert word_is_valid(0, 4, starts, ends)  # 'BRCA1'
+    assert not word_is_valid(1, 4, starts, ends)  # 'RCA1' mid-word
+    assert word_is_valid(8, 10, starts, ends)  # 'are'
+
+
+def test_sentence_spans_tile_text():
+    text = "First sentence. Second one! Third? trailing bit"
+    spans = sentence_spans(text)
+    assert spans[0][0] == 0
+    assert spans[-1][1] == len(text)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 == s2
+    assert len(spans) == 4
+
+
+def test_tfidf_exact_match_scores_highest():
+    docs = ["BREAST CANCER", "LUNG CANCER", "HEART DISEASE"]
+    v = TfidfVectorizer(analyzer=char_ngrams)
+    m = v.fit_transform(docs)
+    q = v.transform(["BREAST CANCER"])[0]
+    scores = m @ q
+    assert np.argmax(scores) == 0
+    assert abs(scores[0] - 1.0) < 1e-9  # self-cosine = 1
+
+
+def test_boolean_scorers():
+    assert number_match_scorer("TYPE 2 DIABETE", "DIABETE TYPE 2")
+    assert not number_match_scorer("TYPE 2 DIABETE", "TYPE 1 DIABETE")
+    assert entity_subtype_scorer("DIABETE", "DIABETE TYPE I")  # query may add types
+    assert not entity_subtype_scorer("DIABETE TYPE I", "DIABETE")

@@ -1,0 +1,174 @@
+"""Mapping strategies, disambiguation, abbreviation, cleanup, merge, triples."""
+
+from kazu_ray.lang.tokens import sentence_index_for_span, sentence_spans
+from kazu_ray.stages.docproc import (
+    apply_abbreviations,
+    canonical_id,
+    cleanup,
+    emit_triples,
+    merge_overlapping,
+    process_doc,
+)
+from kazu_ray.stages.mapping import MappingRunner, SymbolMatchMappingStrategy
+from kazu_ray.stages.ner import build_automaton, match_entities
+
+
+def _annotate(store, text):
+    automaton = build_automaton(store)
+    spans = sentence_spans(text)
+    ents = match_entities(text, automaton)
+    for e in ents:
+        e["sent_idx"] = sentence_index_for_span(spans, e["start"])
+    return ents, spans
+
+
+def test_exact_match_prefers_default_label(store):
+    runner = MappingRunner(store)
+    ents, spans = _annotate(store, "Treatment with paracetamol helped.")
+    runner.run_doc(ents)
+    (ent,) = [e for e in ents if e["match"] == "paracetamol"]
+    # "paracetamol" is the default label of CHEMBL9000002 → the essential
+    # prefer-default-label exact strategy grounds it to that id alone
+    assert {m["idx"] for m in ent["mappings"]} == {"CHEMBL9000002"}
+    assert all(
+        m["string_match_strategy"] == "ExactMatchMappingStrategy" for m in ent["mappings"]
+    )
+
+
+def test_exact_match_merged_ids_prefer_default_label(store):
+    # "acetaminophen" is a synonym of two merged CHEMBL ids, but it is also
+    # the default label of CHEMBL9000003 — the essential prefer-default-label
+    # strategy (first in the drug ladder) narrows to that id
+    runner = MappingRunner(store)
+    ents, spans = _annotate(store, "Treatment with acetaminophen helped.")
+    runner.run_doc(ents)
+    (ent,) = [e for e in ents if e["match"] == "acetaminophen"]
+    assert {m["idx"] for m in ent["mappings"]} == {"CHEMBL9000003"}
+    (m,) = ent["mappings"]
+    assert m["disambiguation_strategy"] == "PreferDefaultLabelMatchDisambiguationStrategy"
+
+
+def test_p27_disambiguates_to_annotation_winner(store):
+    runner = MappingRunner(store)
+    ents, spans = _annotate(store, "p27 was elevated in these samples.")
+    runner.run_doc(ents)
+    (ent,) = [e for e in ents if e["match"] == "p27"]
+    assert {m["idx"] for m in ent["mappings"]} == {"ENSG90000000001"}  # CDKN1B, score 100
+
+
+def test_defined_elsewhere_beats_annotation(store):
+    # ZNRD2 mentioned explicitly → the POSSIBLE-confidence p27 should
+    # resolve to the already-grounded id via DefinedElsewhereInDocument
+    runner = MappingRunner(store)
+    ents, spans = _annotate(store, "ZNRD2 binds p27 in vitro.")
+    runner.run_doc(ents)
+    (p27,) = [e for e in ents if e["match"] == "p27"]
+    idxs = {m["idx"] for m in p27["mappings"]}
+    assert "ENSG90000000003" in idxs
+
+
+def test_symbol_match_strategy():
+    assert SymbolMatchMappingStrategy.match_symbols("MAP K 8", "MAPK8")
+    assert SymbolMatchMappingStrategy.match_symbols("MAPK8", "MAP K 8")
+    assert not SymbolMatchMappingStrategy.match_symbols("MAPK9", "MAP K 8")
+
+
+def test_abbreviation_expansion(store):
+    runner = MappingRunner(store)
+    text = (
+        "Patients had acute lymphoblastic leukemia (ALL) at baseline. "
+        "ALL relapse occurred in twelve cases."
+    )
+    ents, spans = _annotate(store, text)
+    runner.run_doc(ents)
+    out = apply_abbreviations(text, ents, spans)
+    alls = [e for e in out if e["match"] == "ALL"]
+    assert len(alls) == 2
+    assert all(e["namespace"] == "AbbreviationFinder" for e in alls)
+    assert all(
+        {m["idx"] for m in e["mappings"]} == {"MONDO_2000001"} for e in alls
+    )
+    # second occurrence is in the second sentence
+    assert sorted(e["sent_idx"] for e in alls) == [0, 1]
+
+
+def test_cleanup_drops_unmapped_possible():
+    ents = [
+        {"match": "X", "confidence": 10, "mappings": []},
+        {"match": "Y", "confidence": 50, "mappings": []},
+        {
+            "match": "Z",
+            "confidence": 10,
+            "mappings": [
+                {"disambiguation_confidence": 0},
+                {"disambiguation_confidence": 50},
+            ],
+        },
+    ]
+    out = cleanup(ents)
+    assert [e["match"] for e in out] == ["Y", "Z"]
+    assert len(out[1]["mappings"]) == 1  # AMBIGUOUS mapping dropped
+
+
+def test_merge_overlapping_prefers_mapped_then_longer():
+    base = {"confidence": 50, "mappings": [], "entity_class": "gene"}
+    short_mapped = dict(base, start=0, end=4, match="ABCD", mappings=[{"m": 1}])
+    long_unmapped = dict(base, start=0, end=8, match="ABCDEFGH")
+    out = merge_overlapping([short_mapped, long_unmapped])
+    assert out == [short_mapped]
+    # both unmapped → longer wins
+    out2 = merge_overlapping([dict(base, start=0, end=4), dict(base, start=0, end=8)])
+    assert out2[0]["end"] == 8
+    # non-overlapping stay
+    out3 = merge_overlapping([dict(base, start=0, end=4), dict(base, start=10, end=14)])
+    assert len(out3) == 2
+
+
+def test_triples_deterministic_ordering(store):
+    runner = MappingRunner(store)
+    text = "EGFR12 mutations are often implicated in breast cancer."
+    ents, spans = _annotate(store, text)
+    final, triples = process_doc(runner, text, "docX", ents, spans)
+    gd = [t for t in triples if t["pred"] == "associated_with"]
+    if gd:  # EGFR12 may not exist in the generated gene table
+        assert all(t["subj"] < t["obj"] for t in gd)
+    assert all(t["subj"] < t["obj"] for t in triples)
+
+
+def test_triple_emission_pairs():
+    ents = [
+        {
+            "entity_class": "gene",
+            "sent_idx": 0,
+            "confidence": 100,
+            "mappings": [
+                {
+                    "source": "ENSEMBL",
+                    "idx": "G1",
+                    "string_match_confidence": 100,
+                    "disambiguation_confidence": None,
+                }
+            ],
+        },
+        {
+            "entity_class": "disease",
+            "sent_idx": 0,
+            "confidence": 50,
+            "mappings": [
+                {
+                    "source": "MONDO",
+                    "idx": "D1",
+                    "string_match_confidence": 100,
+                    "disambiguation_confidence": None,
+                }
+            ],
+        },
+        {"entity_class": "drug", "sent_idx": 1, "confidence": 50, "mappings": []},
+    ]
+    triples = emit_triples("d", ents)
+    assert len(triples) == 1
+    t = triples[0]
+    assert t["pred"] == "associated_with"
+    assert t["subj"] == "ENSEMBL:G1" and t["obj"] == "MONDO:D1"
+    assert t["confidence"] == 50
+    assert canonical_id(ents[2]) is None

@@ -1,0 +1,92 @@
+"""Training-data ops: dedup (planted near-dups), simsearch, multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    """The testdata documents table plants near-duplicates (text + ' dup').
+    MinHash-LSH must recover them."""
+    import duckdb
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import minhash_candidate_pairs, verify_pairs_jaccard
+
+    planted = duckdb.sql(
+        f"""
+        WITH d AS (SELECT doc_id, text FROM '{SF_DIR}/documents.parquet')
+        SELECT least(a.doc_id, b.doc_id) x, greatest(a.doc_id, b.doc_id) y
+        FROM d a JOIN d b ON a.text = b.text || ' dup'
+        """
+    ).df()
+    planted_pairs = set(zip(planted["x"], planted["y"]))
+    assert len(planted_pairs) >= 10
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds).to_pandas()
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    verified = verify_pairs_jaccard(cand, texts, threshold=0.6)
+    found = set(zip(verified["id_a"], verified["id_b"]))
+    # all planted near-dup pairs must be recovered (they share almost all shingles)
+    missing = planted_pairs - found
+    assert not missing, f"missing planted pairs: {missing}"
+
+
+def test_simhash_on_planted_dups(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["simhash_near_dups"](SF_DIR)
+    assert len(out) >= 10  # planted near-dups have tiny hamming distance
+
+
+def test_exact_dedup_counts(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["exact_dedup"](SF_DIR).to_pandas()
+    assert out["n"].sum() == 500
+    assert len(out) == 500  # all distinct at this sf
+
+
+def test_brute_force_vs_ivf_recall(ray_session):
+    """IVF with nprobe=4/16 clusters should recover most of the exact top-10."""
+    import __ray_entry__ as e
+
+    exact = e.queries()["topk_cosine"](SF_DIR).to_pandas()
+    ivf = e.queries()["ivf_topk_cosine"](SF_DIR).to_pandas()
+    recall = len(set(exact.vec_id) & set(ivf.vec_id)) / len(exact)
+    assert recall >= 0.5
+    # the query vector itself must always top the exact list
+    assert exact.iloc[0]["vec_id"] == 0
+
+
+def test_media_plumbing_stub(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["media_features"](SF_DIR).to_pandas()
+    assert len(out) == 500
+    assert set(out["media_type"]) == {"image", "audio", "video"}
+    assert all(len(f) == 16 for f in out["features"])
+
+
+def test_media_decode_raises_without_fake():
+    from kazu_ray.ops.multimodal import ImageDecodeStage, synth_media_batch
+
+    batch = synth_media_batch(pa.table({"doc_id": pa.array([1, 2, 3])}))
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(fake=False)(batch)
+
+
+def test_kmeans_deterministic():
+    from kazu_ray.ops.simsearch import kmeans_centroids
+
+    rng = np.random.RandomState(0)
+    data = rng.randn(200, 8)
+    c1 = kmeans_centroids(data, 4)
+    c2 = kmeans_centroids(data, 4)
+    assert np.array_equal(c1, c2)
