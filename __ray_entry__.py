@@ -158,34 +158,13 @@ def _minhash_pairs(sf_dir: str):
 
 def _simhash_dups(sf_dir: str):
     """SimHash near-dup pairs: bucket by 16-bit chunks, hamming ≤ 3 verify."""
-    import pandas as pd
     import ray.data as rd
 
-    from kazu_ray.ops.dedup import hamming64, simhash_batch
+    from kazu_ray.ops.dedup import simhash_near_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
-
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        recs = sorted(zip(g["doc_id"], g["simhash"]))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                if hamming64(int(recs[i][1]), int(recs[j][1])) <= 3:
-                    rows.append((recs[i][0], recs[j][0]))
-        return pd.DataFrame(rows, columns=["id_a", "id_b"]) if rows else pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
-        )
-
-    out_frames = []
-    for chunk in range(4):
-        out_frames.append(
-            sh.groupby(f"chunk{chunk}").map_groups(_pairs, batch_format="pandas").to_pandas()
-        )
-    import pandas as pd
-
-    allp = pd.concat(out_frames, ignore_index=True).drop_duplicates()
-    return allp.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out = simhash_near_dup_pairs(ds).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def _topk_cosine(sf_dir: str):

@@ -47,15 +47,50 @@ def annotated_docs(
     sf_dir: str,
     store_ref=None,
     ner_concurrency: int = 4,
-    batch_size: int = 64,
+    batch_size: int = 512,
     with_regex_ner: bool = True,
     multiplier: int = 1,
+    fused: bool = True,
+    pages_dir: str | None = None,
+    compute: str = "tasks",
 ):
-    """pages → fully processed docs (ents_json + triples_json columns)."""
+    """pages → fully processed docs (ents_json + triples_json columns).
+
+    ``fused=True`` (default) runs the whole per-doc chain in one actor
+    pool (``stages/fused.py``) — same kernels, one serialization
+    boundary. ``fused=False`` keeps the four separate pools, which is
+    the layout to use when one stage needs independent scaling (e.g. a
+    GPU NER pool).
+    """
     if store_ref is None:
         store_ref = broadcast_store()
-    pages = pages_dataset(sf_dir, multiplier=multiplier)
+    if pages_dir is not None:
+        from kazu_ray.sources.corpus import pages_from_parquet
+
+        pages = pages_from_parquet(pages_dir)
+    else:
+        pages = pages_dataset(sf_dir, multiplier=multiplier)
     docs = extract_docs(pages)
+    if fused:
+        from kazu_ray.stages.fused import AnnotateStage, make_annotate_task
+
+        if compute == "tasks":
+            # elastic task pool with per-worker cached state (see
+            # stages/fused.py): scales to every free CPU with no pool
+            # sizing; the right default for a CPU-only stage
+            return docs.map_batches(
+                make_annotate_task(store_ref, with_regex_ner),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        return docs.map_batches(
+            AnnotateStage,
+            fn_constructor_args=(store_ref, with_regex_ner),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, ner_concurrency),
+            num_cpus=1,
+        )
     docs = docs.map_batches(
         DictionaryNerStage,
         fn_constructor_args=(store_ref,),

@@ -22,6 +22,7 @@ html extraction path, 2%% non-English rows for the lang filter.
 
 from __future__ import annotations
 
+import os
 import random
 from functools import lru_cache
 
@@ -154,7 +155,12 @@ def pages_dataset(sf_dir: str, multiplier: int = 1):
     fixed-size documents table can't provide."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    # override_num_blocks splits the single skeleton file into many blocks
+    # at the read (no all-to-all), so synthesis and every downstream stage
+    # parallelize across the node
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"], override_num_blocks=64
+    )
     if multiplier > 1:
         def expand(batch: pa.Table, _k: int = multiplier) -> pa.Table:
             ids = batch["doc_id"].to_pylist()
@@ -164,6 +170,49 @@ def pages_dataset(sf_dir: str, multiplier: int = 1):
 
         ds = ds.map_batches(expand, batch_format="pyarrow")
     return ds.map_batches(synthesize_pages_batch, batch_format="pyarrow", batch_size=512)
+
+
+def ensure_pages_parquet(
+    sf_dir: str, multiplier: int = 1, out_root: str = "/tmp/kazu_ray_pages"
+) -> str:
+    """Materialize the synthetic pages corpus as a real Parquet dataset
+    (the exact input shape BASELINE.json's input_hint names) and return
+    its directory. Idempotent: content is a pure function of
+    (sf_dir, multiplier), so an existing directory is reused.
+
+    Reading pages from Parquet rather than synthesizing inline matters
+    for physics, not just realism: block/bundle sizing in the read path
+    is derived from actual bytes, so downstream operators parallelize
+    correctly — with inline synthesis the planner sees only the tiny
+    doc_id skeleton and under-splits the expensive stages.
+    """
+    import ray.data as rd
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    out_dir = os.path.join(out_root, f"{tag}_x{multiplier}")
+    done_marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done_marker):
+        return out_dir
+    ds = pages_dataset(sf_dir, multiplier=multiplier)
+    ds.write_parquet(out_dir, min_rows_per_file=2000)
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def pages_from_parquet(pages_dir: str, num_cpus_hint: int | None = None):
+    """Read a materialized pages corpus with block sizing matched to the
+    cluster (≈2 blocks per CPU: big enough tasks that scheduler/dispatch
+    overhead amortizes, small enough to balance across the node)."""
+    import ray
+    import ray.data as rd
+
+    if num_cpus_hint is None:
+        try:
+            num_cpus_hint = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            num_cpus_hint = 8
+    return rd.read_parquet(pages_dir, override_num_blocks=max(16, 2 * num_cpus_hint))
 
 
 def pages_pandas(sf_dir: str, limit: int | None = None) -> pd.DataFrame:

@@ -1,0 +1,121 @@
+"""Fused per-document annotation stage.
+
+One actor pool running the entire per-doc chain —
+dictionary NER → regex NER stub → TF-IDF linking → doc post-processing
+(rules filter, mapping, abbreviations, cleanup, merge, triples) —
+in a single ``__call__``. Composes the exact same kernels as the
+individual stages in ``ner.py`` / ``linking.py`` / ``docproc.py``; the
+only difference is physical: entities stay as Python dicts between
+steps instead of round-tripping through JSON columns and the object
+store at every stage boundary.
+
+Profiling (see BASELINE.md) showed per-doc semantic compute is ~1 ms
+while the 4-stage pipeline paid ~4× that in serialization + scheduling;
+fusing is the standard Ray Data answer when adjacent stages share the
+same resource shape (all CPU-1 actor pools). The unfused stages remain
+available for pipelines that need to scale the NER pool independently
+of the linking pool (e.g. when a GPU transformer NER replaces the
+stub).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from kazu_ray.lang.tokens import sentence_index_for_span, sentence_spans
+from kazu_ray.stages.docproc import DEFAULT_CLASS_RULES, process_doc
+from kazu_ray.stages.linking import LinkingStage
+from kazu_ray.stages.mapping import MappingRunner
+from kazu_ray.stages.ner import (
+    REGEX_NAMESPACE,
+    REGEX_NER_PATTERN,
+    _resolve_store,
+    build_automaton,
+    match_entities,
+)
+
+
+# worker-process cache for the task-based variant: one AnnotateStage per
+# (store key) per worker process. Ray reuses worker processes across
+# tasks, so this gives actor-pool-style state amortization with task-pool
+# elasticity (no pool sizing; scheduler uses every free CPU). Measured
+# (BASELINE.md): same semantics, better scaling than a static actor pool
+# for this CPU-only stage; GPU/model stages should still use actor pools.
+_WORKER_STAGE_CACHE: dict = {}
+
+
+def make_annotate_task(store, with_regex_ner: bool = True, class_rules: dict | None = None):
+    """Returns a plain map_batches function with per-worker cached state.
+
+    ``store`` may be a ray ObjectRef (broadcast once) or a cache-dir
+    path; either is a stable cache key.
+    """
+    key = store if isinstance(store, str) else store.hex()
+
+    def annotate_task(batch: pa.Table) -> pa.Table:
+        stage = _WORKER_STAGE_CACHE.get(key)
+        if stage is None:
+            stage = AnnotateStage(store, with_regex_ner, class_rules)
+            _WORKER_STAGE_CACHE[key] = stage
+        return stage(batch)
+
+    return annotate_task
+
+
+class AnnotateStage:
+    """docs(text) → docs + ents_json + sents_json + triples_json."""
+
+    def __init__(self, store, with_regex_ner: bool = True, class_rules: dict | None = None):
+        resolved = _resolve_store(store)
+        self.automaton = build_automaton(resolved)
+        self.with_regex_ner = with_regex_ner
+        self.linker = LinkingStage(resolved) if with_regex_ner else None
+        self.runner = MappingRunner(resolved)
+        self.class_rules = class_rules or DEFAULT_CLASS_RULES
+
+    def annotate_doc(self, text: str, doc_id: str):
+        from kazu_ray.lang import normalizer
+
+        spans = sentence_spans(text)
+        ents = match_entities(text, self.automaton)
+        for e in ents:
+            e["sent_idx"] = sentence_index_for_span(spans, e["start"])
+        if self.with_regex_ner:
+            for m in REGEX_NER_PATTERN.finditer(text):
+                ents.append(
+                    {
+                        "start": m.start(),
+                        "end": m.end(),
+                        "match": m.group(),
+                        "match_norm": normalizer.normalize(m.group(), "gene"),
+                        "entity_class": "gene",
+                        "namespace": REGEX_NAMESPACE,
+                        "confidence": 50,
+                        "cands": [],
+                        "mappings": [],
+                        "sent_idx": sentence_index_for_span(spans, m.start()),
+                    }
+                )
+            for ent in ents:
+                if ent["namespace"] == REGEX_NAMESPACE:
+                    cands = self.linker._search(ent["match"], ent["entity_class"])
+                    existing = {(c[0], c[1]) for c in ent["cands"]}
+                    for c in cands:
+                        if (c[0], c[1]) not in existing:
+                            ent["cands"].append(list(c))
+        return process_doc(self.runner, text, doc_id, ents, spans, self.class_rules), spans
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ents_out, sents_out, triples_out = [], [], []
+        for text, doc_id in zip(batch["text"].to_pylist(), batch["doc_id"].to_pylist()):
+            (final_ents, triples), spans = self.annotate_doc(text, doc_id)
+            ents_out.append(json.dumps(final_ents))
+            sents_out.append(json.dumps(spans))
+            triples_out.append(json.dumps(triples))
+        out = batch
+        out = out.append_column("ents_json", pa.array(ents_out, type=pa.large_string()))
+        out = out.append_column("sents_json", pa.array(sents_out, type=pa.large_string()))
+        out = out.append_column("triples_json", pa.array(triples_out, type=pa.large_string()))
+        return out

@@ -138,7 +138,11 @@ def node_degrees(triples_ds):
     from ray.data.aggregate import Sum
 
     partials = triples_ds.map_batches(_partial_degree_batch, batch_format="pyarrow")
-    return partials.groupby("node").aggregate(Sum("partial_count", alias_name="degree"))
+    # partials are one row per (node, role) per block — small; bound the
+    # shuffle fan-out explicitly
+    return partials.repartition(16).groupby("node").aggregate(
+        Sum("partial_count", alias_name="degree")
+    )
 
 
 def materialize_triples(triples_ds, out_dir: str, num_parts: int = 16) -> list[dict]:
