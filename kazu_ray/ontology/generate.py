@@ -26,6 +26,9 @@ import random
 
 import pandas as pd
 
+# bump when generated content changes — keys the derived cache directories
+ONTOLOGY_VERSION = "v2"
+
 DISEASE_ADJ = [
     "chronic", "acute", "congenital", "idiopathic", "familial", "juvenile",
     "systemic", "focal", "diffuse", "recurrent", "primary", "secondary",
@@ -136,6 +139,9 @@ def _gene_table(n: int, rng: random.Random) -> pd.DataFrame:
         if rng.random() < 0.2:
             rows.append((idx, label, f"{sym} gene", "name"))
     rows += [
+        # explicit BRCA1/BRCA2 for the non-contiguous "BRCA1/2" split case
+        ("ENSG90000000011", "BRCA1", "BRCA1", "lbl"),
+        ("ENSG90000000012", "BRCA2", "BRCA2", "lbl"),
         # the deliberately ambiguous p27 (reference conftest.py:78-109)
         ("ENSG90000000001", "CDKN1B", "CDKN1B", "lbl"),
         ("ENSG90000000001", "CDKN1B", "p27", "alias_symbol"),

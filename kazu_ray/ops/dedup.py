@@ -221,7 +221,7 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3, coarse: int = 32):
+def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32):
     """SimHash near-dup pairs: by pigeonhole, two hashes within hamming
     ≤ 3 share at least one of the four 16-bit chunks, so candidates are
     generated per (chunk_idx, chunk_value) bucket and verified exactly.
@@ -254,18 +254,27 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3, coarse: int = 32):
             }
         )
 
+    # buckets larger than this are skipped: a chunk value shared by
+    # hundreds of docs carries no near-dup signal (standard LSH hot-bucket
+    # drop) and would cost O(n²) verification
+    MAX_BUCKET = 128
+
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         out: set[tuple[int, int]] = set()
         for _, sub in group.groupby(["chunk_idx", "chunk_val"]):
-            if len(sub) < 2:
+            if len(sub) < 2 or len(sub) > MAX_BUCKET:
                 continue
             recs = sorted(set(zip(sub["doc_id"], sub["simhash"])))
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    if recs[i][0] != recs[j][0] and hamming64(
-                        int(recs[i][1]), int(recs[j][1])
-                    ) <= max_hamming:
-                        out.add((recs[i][0], recs[j][0]))
+            ids = np.array([r[0] for r in recs], dtype=np.int64)
+            hashes = np.array([r[1] for r in recs], dtype=np.uint64)
+            # vectorized pairwise hamming: XOR matrix → per-byte popcount
+            xor = hashes[:, None] ^ hashes[None, :]
+            bits = np.unpackbits(xor.view(np.uint8)).reshape(len(recs), len(recs), 64)
+            ham = bits.sum(axis=2)
+            ii, jj = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            for i, j in zip(ii, jj):
+                if ids[i] != ids[j]:
+                    out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
         if not out:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}

@@ -53,6 +53,7 @@ def annotated_docs(
     fused: bool = True,
     pages_dir: str | None = None,
     compute: str = "tasks",
+    emit: tuple = ("entities", "triples"),
 ):
     """pages → fully processed docs (ents_json + triples_json columns).
 
@@ -74,18 +75,22 @@ def annotated_docs(
     if fused:
         from kazu_ray.stages.fused import AnnotateStage, make_annotate_task
 
+        if "entities" not in emit:
+            # triples-only flow: drop every column the annotate stage
+            # doesn't read — halves the bytes through the object store
+            docs = docs.select_columns(["doc_id", "text"])
         if compute == "tasks":
             # elastic task pool with per-worker cached state (see
             # stages/fused.py): scales to every free CPU with no pool
             # sizing; the right default for a CPU-only stage
             return docs.map_batches(
-                make_annotate_task(store_ref, with_regex_ner),
+                make_annotate_task(store_ref, with_regex_ner, emit=emit),
                 batch_format="pyarrow",
                 batch_size=batch_size,
             )
         return docs.map_batches(
             AnnotateStage,
-            fn_constructor_args=(store_ref, with_regex_ner),
+            fn_constructor_args=(store_ref, with_regex_ner, None, emit),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=(1, ner_concurrency),
@@ -127,4 +132,10 @@ def entities_dataset(sf_dir: str, **kw):
 
 
 def triples_dataset(sf_dir: str, **kw):
-    return explode_triples(annotated_docs(sf_dir, **kw))
+    """Flat triples Dataset. Defaults to the zero-JSON fast path where
+    the annotate stage emits triple rows directly."""
+    kw.setdefault("emit", ("triples_flat",))
+    ds = annotated_docs(sf_dir, **kw)
+    if kw["emit"] == ("triples_flat",):
+        return ds
+    return explode_triples(ds)

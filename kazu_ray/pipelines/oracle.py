@@ -1,14 +1,14 @@
 """Single-process oracle pipeline.
 
-Driver-side, Ray-free implementation of the full KG pipeline over a
-pandas pages frame, mirroring the reference's sequential
-``list[Document]`` fold (``kazu/pipeline/__init__.py:211-288``). Used by
-the acceptance tests as the gold standard for the P/R ≥ 0.95 gate
-(BASELINE.md): the Ray pipeline must reproduce this output over the
-same corpus. The per-doc kernels are the same modules the Ray stages
-use — what this comparison validates is the distributed plumbing
-(streaming, batching, actor state, explode) rather than re-deriving the
-NLP semantics twice.
+Driver-side, Ray-free execution of the full KG pipeline over a pandas
+pages frame, mirroring the reference's sequential ``list[Document]``
+fold (``kazu/pipeline/__init__.py:211-288``). Used by the acceptance
+tests as the gold standard for the P/R ≥ 0.95 gate (BASELINE.md): the
+Ray pipeline must reproduce this output over the same corpus. It drives
+the same per-doc kernel (``AnnotateStage.annotate_doc``) the Ray stages
+use, so the comparison validates the distributed plumbing (streaming,
+batching, worker state, explode) rather than re-deriving the NLP
+semantics twice.
 """
 
 from __future__ import annotations
@@ -17,23 +17,17 @@ import hashlib
 
 import pandas as pd
 
-from kazu_ray.lang.tokens import sentence_index_for_span, sentence_spans
 from kazu_ray.sources.corpus import pages_pandas
-from kazu_ray.stages.docproc import DEFAULT_CLASS_RULES, process_doc
+from kazu_ray.stages.docproc import canonical_id
 from kazu_ray.stages.extract import SKIP_DOC_LEN, html_to_text
-from kazu_ray.stages.linking import LinkingStage
-from kazu_ray.stages.mapping import MappingRunner
-from kazu_ray.stages.ner import REGEX_NER_PATTERN, build_automaton, match_entities
-from kazu_ray.state.store import ensure_default_caches, load_store
+from kazu_ray.stages.fused import AnnotateStage
+from kazu_ray.state.store import ensure_default_caches
 
 
 def oracle_run(sf_dir: str, limit: int | None = None, with_regex_ner: bool = True):
     """Returns (entities_df, triples_df, text_hashes_df)."""
     cache_dir = ensure_default_caches()
-    store = load_store(cache_dir)
-    automaton = build_automaton(store)
-    runner = MappingRunner(store)
-    linker = LinkingStage(cache_dir) if with_regex_ner else None
+    stage = AnnotateStage(cache_dir, with_regex_ner=with_regex_ner)
 
     pages = pages_pandas(sf_dir, limit=limit)
     ent_rows, triple_rows, hash_rows = [], [], []
@@ -42,43 +36,8 @@ def oracle_run(sf_dir: str, limit: int | None = None, with_regex_ner: bool = Tru
         hash_rows.append((row.url, hashlib.sha256(text.encode()).hexdigest()))
         if row.lang != "en" or len(text) >= SKIP_DOC_LEN:
             continue
-        spans = sentence_spans(text)
-        ents = match_entities(text, automaton)
-        for e in ents:
-            e["sent_idx"] = sentence_index_for_span(spans, e["start"])
-        if with_regex_ner:
-            for m in REGEX_NER_PATTERN.finditer(text):
-                from kazu_ray.lang import normalizer as _n
-
-                ents.append(
-                    {
-                        "start": m.start(),
-                        "end": m.end(),
-                        "match": m.group(),
-                        "match_norm": _n.normalize(m.group(), "gene"),
-                        "entity_class": "gene",
-                        "namespace": "RegexNerStub",
-                        "confidence": 50,
-                        "cands": [],
-                        "mappings": [],
-                        "sent_idx": sentence_index_for_span(spans, m.start()),
-                    }
-                )
-            # linking (same search kernel as the Ray actor)
-            for ent in ents:
-                if ent["namespace"] == "RegexNerStub":
-                    cands = linker._search(ent["match"], ent["entity_class"])
-                    existing = {(c[0], c[1]) for c in ent["cands"]}
-                    for c in cands:
-                        if (c[0], c[1]) not in existing:
-                            ent["cands"].append(list(c))
-        final_ents, triples = process_doc(
-            runner, text, row.url, ents, spans, DEFAULT_CLASS_RULES
-        )
-        from kazu_ray.stages.docproc import canonical_id
-
+        (final_ents, triples), _spans = stage.annotate_doc(text, row.url)
         for e in final_ents:
-            cid = canonical_id(e)
             ent_rows.append(
                 (
                     row.url,
@@ -86,7 +45,7 @@ def oracle_run(sf_dir: str, limit: int | None = None, with_regex_ner: bool = Tru
                     e["end"],
                     e["match"],
                     e["entity_class"],
-                    cid,
+                    canonical_id(e),
                     len(e["mappings"]),
                 )
             )

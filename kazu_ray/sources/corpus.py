@@ -202,8 +202,10 @@ def ensure_pages_parquet(
 
 def pages_from_parquet(pages_dir: str, num_cpus_hint: int | None = None):
     """Read a materialized pages corpus with block sizing matched to the
-    cluster (≈2 blocks per CPU: big enough tasks that scheduler/dispatch
-    overhead amortizes, small enough to balance across the node)."""
+    cluster (≈8 blocks per CPU: tasks big enough that dispatch overhead
+    amortizes, small enough that the last scheduling wave's straggler
+    costs ≤ 1/8 of a CPU-round — doc-length variance makes equal-row
+    tasks unequal-time)."""
     import ray
     import ray.data as rd
 
@@ -212,7 +214,7 @@ def pages_from_parquet(pages_dir: str, num_cpus_hint: int | None = None):
             num_cpus_hint = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             num_cpus_hint = 8
-    return rd.read_parquet(pages_dir, override_num_blocks=max(16, 2 * num_cpus_hint))
+    return rd.read_parquet(pages_dir, override_num_blocks=max(32, 8 * num_cpus_hint))
 
 
 def pages_pandas(sf_dir: str, limit: int | None = None) -> pd.DataFrame:

@@ -247,6 +247,12 @@ def merge_overlapping(ents: list[dict]) -> list[dict]:
     + preference-ladder winner selection (``:54-70``)."""
     if not ents:
         return ents
+    # non-contiguous entities are excluded from the merge
+    # (merge_overlapping_ents.py:92-99, ignore_non_contiguous=True default)
+    non_contig = [e for e in ents if len(e.get("spans") or []) > 1]
+    ents = [e for e in ents if len(e.get("spans") or []) <= 1]
+    if not ents:
+        return non_contig
     by_start = sorted(ents, key=lambda e: (e["start"], e["end"]))
     groups: list[list[dict]] = []
     cur: list[dict] = [by_start[0]]
@@ -277,6 +283,7 @@ def merge_overlapping(ents: list[dict]) -> list[dict]:
             reverse=True,
         )[0]
         out.append(best)
+    out.extend(non_contig)
     return out
 
 

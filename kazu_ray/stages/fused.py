@@ -26,6 +26,7 @@ import pyarrow as pa
 
 from kazu_ray.lang.tokens import sentence_index_for_span, sentence_spans
 from kazu_ray.stages.docproc import DEFAULT_CLASS_RULES, process_doc
+from kazu_ray.stages.postner import split_non_contiguous
 from kazu_ray.stages.linking import LinkingStage
 from kazu_ray.stages.mapping import MappingRunner
 from kazu_ray.stages.ner import (
@@ -46,18 +47,25 @@ from kazu_ray.stages.ner import (
 _WORKER_STAGE_CACHE: dict = {}
 
 
-def make_annotate_task(store, with_regex_ner: bool = True, class_rules: dict | None = None):
+def make_annotate_task(
+    store,
+    with_regex_ner: bool = True,
+    class_rules: dict | None = None,
+    emit: tuple = ("entities", "triples"),
+):
     """Returns a plain map_batches function with per-worker cached state.
 
     ``store`` may be a ray ObjectRef (broadcast once) or a cache-dir
-    path; either is a stable cache key.
+    path; either is a stable cache key. ``emit`` controls which output
+    columns are produced — a triples-only flow skips serializing entity
+    lists entirely (less allocation + object-store traffic).
     """
-    key = store if isinstance(store, str) else store.hex()
+    key = (store if isinstance(store, str) else store.hex(), with_regex_ner, emit)
 
     def annotate_task(batch: pa.Table) -> pa.Table:
         stage = _WORKER_STAGE_CACHE.get(key)
         if stage is None:
-            stage = AnnotateStage(store, with_regex_ner, class_rules)
+            stage = AnnotateStage(store, with_regex_ner, class_rules, emit)
             _WORKER_STAGE_CACHE[key] = stage
         return stage(batch)
 
@@ -67,7 +75,14 @@ def make_annotate_task(store, with_regex_ner: bool = True, class_rules: dict | N
 class AnnotateStage:
     """docs(text) → docs + ents_json + sents_json + triples_json."""
 
-    def __init__(self, store, with_regex_ner: bool = True, class_rules: dict | None = None):
+    def __init__(
+        self,
+        store,
+        with_regex_ner: bool = True,
+        class_rules: dict | None = None,
+        emit: tuple = ("entities", "triples"),
+    ):
+        self.emit = emit
         resolved = _resolve_store(store)
         self.automaton = build_automaton(resolved)
         self.with_regex_ner = with_regex_ner
@@ -98,6 +113,7 @@ class AnnotateStage:
                         "sent_idx": sentence_index_for_span(spans, m.start()),
                     }
                 )
+            ents = split_non_contiguous(ents, text)
             for ent in ents:
                 if ent["namespace"] == REGEX_NAMESPACE:
                     cands = self.linker._search(ent["match"], ent["entity_class"])
@@ -108,14 +124,32 @@ class AnnotateStage:
         return process_doc(self.runner, text, doc_id, ents, spans, self.class_rules), spans
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.emit == ("triples_flat",):
+            # emit the flat triples table directly — no JSON round-trip,
+            # no separate explode operator (the headline-throughput path)
+            from kazu_ray.stages.materialize import TRIPLE_SCHEMA
+
+            rows = {name: [] for name in TRIPLE_SCHEMA.names}
+            for text, doc_id in zip(
+                batch["text"].to_pylist(), batch["doc_id"].to_pylist()
+            ):
+                (_final_ents, triples), _spans = self.annotate_doc(text, doc_id)
+                for t in triples:
+                    for name in TRIPLE_SCHEMA.names:
+                        rows[name].append(t[name])
+            return pa.table(rows, schema=TRIPLE_SCHEMA)
+
+        emit_entities = "entities" in self.emit
         ents_out, sents_out, triples_out = [], [], []
         for text, doc_id in zip(batch["text"].to_pylist(), batch["doc_id"].to_pylist()):
             (final_ents, triples), spans = self.annotate_doc(text, doc_id)
-            ents_out.append(json.dumps(final_ents))
-            sents_out.append(json.dumps(spans))
+            if emit_entities:
+                ents_out.append(json.dumps(final_ents))
+                sents_out.append(json.dumps(spans))
             triples_out.append(json.dumps(triples))
         out = batch
-        out = out.append_column("ents_json", pa.array(ents_out, type=pa.large_string()))
-        out = out.append_column("sents_json", pa.array(sents_out, type=pa.large_string()))
+        if emit_entities:
+            out = out.append_column("ents_json", pa.array(ents_out, type=pa.large_string()))
+            out = out.append_column("sents_json", pa.array(sents_out, type=pa.large_string()))
         out = out.append_column("triples_json", pa.array(triples_out, type=pa.large_string()))
         return out

@@ -165,7 +165,7 @@ class DictionaryNerStage:
         return out
 
 
-REGEX_NER_PATTERN = re.compile(r"\b[A-Z]{2,6}[0-9]{0,3}\b")
+REGEX_NER_PATTERN = re.compile(r"\b[A-Z]{2,6}[0-9]{0,3}(?:/[0-9]{1,3})*\b")
 
 
 def regex_ner_batch(batch: pa.Table) -> pa.Table:

@@ -111,8 +111,10 @@ def ensure_default_caches(cache_dir: str | None = None) -> str:
     """
     from kazu_ray.ontology.build import build_all_caches
 
+    from kazu_ray.ontology.generate import ONTOLOGY_VERSION
+
     cache_dir = cache_dir or os.environ.get(
-        "KAZU_RAY_CACHE_DIR", "/tmp/kazu_ray_cache/default"
+        "KAZU_RAY_CACHE_DIR", f"/tmp/kazu_ray_cache/{ONTOLOGY_VERSION}"
     )
     marker = os.path.join(cache_dir, "ner_terms.parquet")
     if not os.path.exists(marker):
