@@ -117,39 +117,51 @@ def resolve_candidates_for_group(
 class _Resource:
     """(syns, case_sensitive, confidence, behaviour) bundle for one
     normalised synonym — the working shape of ``OntologyStringResource``
-    (``kazu/data/__init__.py:754-926``) during autocuration."""
+    (``kazu/data/__init__.py:754-926``) during autocuration.
 
-    __slots__ = ("syn_norm", "syns", "behaviour")
+    ``alt_syns`` are generator-produced alternative surfaces
+    (NER-only, ``kazu/data/__init__.py:856``); autocuration actions
+    apply the same flags to both sets, mirroring
+    ``dataclasses.replace`` over original+alternative synonyms in the
+    reference's autocuration actions."""
 
-    def __init__(self, syn_norm: str, texts: set[str]):
+    __slots__ = ("syn_norm", "syns", "alt_syns", "behaviour")
+
+    def __init__(self, syn_norm: str, texts: set[str], alt_texts: set[str] = frozenset()):
         self.syn_norm = syn_norm
         # text -> [case_sensitive, confidence]; defaults per
         # linking_candidates_to_ontology_string_resources (utils/utils.py:24-50)
         self.syns = {t: [False, int(MentionConfidence.PROBABLE)] for t in texts}
+        self.alt_syns = {t: [False, int(MentionConfidence.PROBABLE)] for t in alt_texts}
         self.behaviour = "ADD_FOR_NER_AND_LINKING"
+
+
+def _all_syn_values(r: _Resource):
+    yield from r.syns.values()
+    yield from r.alt_syns.values()
 
 
 def _ac_symbolic_to_case_sensitive(r: _Resource, entity_class: str) -> None:
     if all(normalizer.classify_symbolic(t, entity_class) for t in r.syns):
-        for v in r.syns.values():
+        for v in _all_syn_values(r):
             v[0] = True
 
 
 def _ac_likely_acronym(r: _Resource, max_len: int = 5) -> None:
     if all(len(t) <= max_len and t.isupper() for t in r.syns):
-        for v in r.syns.values():
+        for v in _all_syn_values(r):
             v[1] = int(MentionConfidence.POSSIBLE)
 
 
 def _ac_common_word(r: _Resource) -> None:
     if any(all(w in COMMON_WORDS for w in t.lower().split()) for t in r.syns):
-        for v in r.syns.values():
+        for v in _all_syn_values(r):
             v[1] = int(MentionConfidence.POSSIBLE)
 
 
 def _ac_multiword(r: _Resource) -> None:
     if any(" " in t.strip() for t in r.syns):
-        for v in r.syns.values():
+        for v in _all_syn_values(r):
             v[1] = int(MentionConfidence.PROBABLE)
 
 
@@ -165,13 +177,13 @@ def _ac_max_length(r: _Resource, max_len: int = 60) -> None:
 
 def _ac_initial_lower_then_upper_cs(r: _Resource) -> None:
     if any(len(t) >= 2 and t[0].islower() and t[1].isupper() for t in r.syns):
-        for v in r.syns.values():
+        for v in _all_syn_values(r):
             v[0] = True
 
 
 def _ac_upper_word_to_ci(r: _Resource) -> None:
     if all(t.isupper() and t.isalpha() for t in r.syns):
-        for v in r.syns.values():
+        for v in _all_syn_values(r):
             v[0] = False
 
 
@@ -232,30 +244,35 @@ def build_parser_caches(
 
     # resources + autocuration → ner terms; DROP_FOR_LINKING also removes
     # the candidate from the synonym table (curation semantics)
+    from kazu_ray.ontology.synonym_generation import generate_alternatives
+
     syn_rows = []
     ner_rows = []
     for syn_norm in sorted(candidates):
         cand = candidates[syn_norm]
-        resource = autocurate(_Resource(syn_norm, set(cand.raw_synonyms)), entity_class)
+        originals = set(cand.raw_synonyms)
+        alternatives = generate_alternatives(originals)
+        resource = autocurate(_Resource(syn_norm, originals, alternatives), entity_class)
         if resource.behaviour == "DROP_FOR_LINKING":
             continue
         syn_rows.append((parser_name, syn_norm, cand.to_json()))
         if resource.behaviour == "ADD_FOR_NER_AND_LINKING":
-            for text in sorted(resource.syns):
-                case_sensitive, confidence = resource.syns[text]
-                if confidence == int(MentionConfidence.IGNORE):
-                    continue
-                ner_rows.append(
-                    (
-                        parser_name,
-                        entity_class,
-                        text,
-                        text.lower(),
-                        case_sensitive,
-                        confidence,
-                        syn_norm,
+            for source in (resource.syns, resource.alt_syns):
+                for text in sorted(source):
+                    case_sensitive, confidence = source[text]
+                    if confidence == int(MentionConfidence.IGNORE):
+                        continue
+                    ner_rows.append(
+                        (
+                            parser_name,
+                            entity_class,
+                            text,
+                            text.lower(),
+                            case_sensitive,
+                            confidence,
+                            syn_norm,
+                        )
                     )
-                )
 
     synonyms = pd.DataFrame(syn_rows, columns=["parser_name", "synonym_norm", "candidate_json"])
     ner_terms = pd.DataFrame(

@@ -216,10 +216,13 @@ def apply_abbreviations(
 # ---------------------------------------------------------------------------
 
 
-def cleanup(ents: list[dict]) -> list[dict]:
+def cleanup(ents: list[dict], extra_actions: list | None = None) -> list[dict]:
     """Default cleanup: drop AMBIGUOUS-disambiguation mappings
     (``cleanup.py:55-69``), then drop unmapped entities below PROBABLE
-    mention confidence (``cleanup.py:72-93``)."""
+    mention confidence (``cleanup.py:72-93``). ``extra_actions`` appends
+    further actions (list[dict] → list[dict] callables) — the engine's
+    equivalent of the reference's configurable CleanupStep action list
+    (``cleanup.py:216-223``)."""
     out = []
     for ent in ents:
         ent["mappings"] = [
@@ -228,7 +231,88 @@ def cleanup(ents: list[dict]) -> list[dict]:
         if not ent["mappings"] and ent["confidence"] < 50:
             continue
         out.append(ent)
+    for action in extra_actions or ():
+        out = action(out)
     return out
+
+
+# --- additional cleanup actions (kazu/steps/other/cleanup.py:96-213) ---
+
+
+def drop_by_min_len(min_len: int):
+    """``DropByMinLenFilter`` (``cleanup.py:112-117``)."""
+
+    def action(ents: list[dict]) -> list[dict]:
+        return [e for e in ents if len(e["match"]) >= min_len]
+
+    return action
+
+
+def drop_if_match_in_set(drop_dict: dict[str, set[str]]):
+    """``DropEntityIfMatchInSetFilter`` (``cleanup.py:104-109``):
+    class → lowercased surface strings to drop."""
+
+    def action(ents: list[dict]) -> list[dict]:
+        return [
+            e
+            for e in ents
+            if e["match"].lower() not in drop_dict.get(e["entity_class"], set())
+        ]
+
+    return action
+
+
+def drop_entity_class_not_in(required: set[str]):
+    """``DropEntityIfClassNotMatchedFilter`` (``cleanup.py:96-101``)."""
+
+    def action(ents: list[dict]) -> list[dict]:
+        return [e for e in ents if e["entity_class"] in required]
+
+    return action
+
+
+def strip_mapping_uris():
+    """``StripMappingURIsAction`` (``cleanup.py:130-170``): URI idx →
+    final path segment."""
+    import urllib.parse
+
+    def _strip(idx: str) -> str:
+        url = urllib.parse.urlparse(idx)
+        return idx if url.scheme == "" else url.path.split("/")[-1]
+
+    def action(ents: list[dict]) -> list[dict]:
+        for e in ents:
+            for m in e["mappings"]:
+                m["idx"] = _strip(m["idx"])
+        return ents
+
+    return action
+
+
+def drop_mappings_by_parser_rank(class_to_rank: dict[str, list[str]]):
+    """``DropMappingsByParserNameRankAction`` (``cleanup.py:173-213``):
+    keep only the mappings from the highest-ranked parser present."""
+
+    def action(ents: list[dict]) -> list[dict]:
+        for e in ents:
+            ranks = class_to_rank.get(e["entity_class"])
+            if ranks is None or not e["mappings"]:
+                continue
+            present = [
+                m for m in e["mappings"] if m["parser_name"] in ranks
+            ]
+            if not present:
+                continue
+            best_rank = min(ranks.index(m["parser_name"]) for m in present)
+            e["mappings"] = [
+                m
+                for m in e["mappings"]
+                if m["parser_name"] in ranks
+                and ranks.index(m["parser_name"]) == best_rank
+            ]
+        return ents
+
+    return action
 
 
 # ---------------------------------------------------------------------------

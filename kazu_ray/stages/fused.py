@@ -124,6 +124,11 @@ class AnnotateStage:
         return process_doc(self.runner, text, doc_id, ents, spans, self.class_rules), spans
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # per-document exception capture (poison-pill semantics): one bad
+        # document must never kill a block/task. Mirrors the reference's
+        # ``document_iterating_step`` contract (``kazu/steps/step.py:60-103``
+        # + ``kazu/pipeline/__init__.py:278-288``): the failed doc stays in
+        # the stream with a PROCESSING_EXCEPTION marker and empty outputs.
         if self.emit == ("triples_flat",):
             # emit the flat triples table directly — no JSON round-trip,
             # no separate explode operator (the headline-throughput path)
@@ -133,23 +138,37 @@ class AnnotateStage:
             for text, doc_id in zip(
                 batch["text"].to_pylist(), batch["doc_id"].to_pylist()
             ):
-                (_final_ents, triples), _spans = self.annotate_doc(text, doc_id)
+                try:
+                    (_final_ents, triples), _spans = self.annotate_doc(text, doc_id)
+                except Exception:
+                    continue  # failed docs emit no triples on the fast path
                 for t in triples:
                     for name in TRIPLE_SCHEMA.names:
                         rows[name].append(t[name])
             return pa.table(rows, schema=TRIPLE_SCHEMA)
 
+        import traceback
+
         emit_entities = "entities" in self.emit
-        ents_out, sents_out, triples_out = [], [], []
+        ents_out, sents_out, triples_out, errors = [], [], [], []
         for text, doc_id in zip(batch["text"].to_pylist(), batch["doc_id"].to_pylist()):
-            (final_ents, triples), spans = self.annotate_doc(text, doc_id)
+            try:
+                (final_ents, triples), spans = self.annotate_doc(text, doc_id)
+                error = ""
+            except Exception:
+                final_ents, triples, spans = [], [], []
+                error = traceback.format_exc(limit=5)
             if emit_entities:
                 ents_out.append(json.dumps(final_ents))
                 sents_out.append(json.dumps(spans))
             triples_out.append(json.dumps(triples))
+            errors.append(error)
         out = batch
         if emit_entities:
             out = out.append_column("ents_json", pa.array(ents_out, type=pa.large_string()))
             out = out.append_column("sents_json", pa.array(sents_out, type=pa.large_string()))
         out = out.append_column("triples_json", pa.array(triples_out, type=pa.large_string()))
+        out = out.append_column(
+            "processing_exception", pa.array(errors, type=pa.large_string())
+        )
         return out

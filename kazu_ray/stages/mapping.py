@@ -487,10 +487,15 @@ def build_strategy_table() -> dict:
 
 
 class MappingRunner:
-    """Built once per actor; ``run_doc`` mutates an entity list in place."""
+    """Built once per actor; ``run_doc`` mutates an entity list in place.
 
-    def __init__(self, store: OntologyStore):
+    ``xref_manager`` (optional, default off as in the reference's default
+    config ``cross_ref_managers: ~``) augments each created mapping with
+    cross-knowledgebase mappings (``strategy_runner.py:324-333``)."""
+
+    def __init__(self, store: OntologyStore, xref_manager=None):
         self.store = store
+        self.xref_manager = xref_manager
         self.strategy_table = build_strategy_table()
         # per-parser context vectorizers fit over that parser's synonym
         # norms (context_scoring.py:61-69)
@@ -578,6 +583,14 @@ class MappingRunner:
                     ):
                         unresolved[key].discard(mapping["parser_name"])
                         mapped_flag[key] = True
+                        xrefs = (
+                            self.xref_manager.create_xref_mappings(mapping)
+                            if self.xref_manager is not None
+                            else []
+                        )
                         for ent in group:
                             if mapping not in ent["mappings"]:
                                 ent["mappings"].append(dict(mapping))
+                            for xref in xrefs:
+                                if xref not in ent["mappings"]:
+                                    ent["mappings"].append(dict(xref))

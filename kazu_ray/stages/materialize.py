@@ -235,3 +235,33 @@ def load_manifests(out_dir: str) -> list[dict]:
             with open(os.path.join(manifest_dir, f)) as fh:
                 out.append(json.load(fh))
     return out
+
+
+def write_annotated(docs_ds, out_dir: str) -> dict:
+    """Annotated-corpus sink with a failure side-channel.
+
+    Mirrors the reference's JSON doc sink + ``FailedDocsFileHandler``
+    (``kazu/pipeline/__init__.py:92-117``): successfully processed docs
+    land under ``out_dir/docs``; docs whose per-row processing raised
+    land under ``out_dir/failed`` with their traceback string, so a
+    human can triage without re-running. Both are partitioned Parquet
+    directories (resumable layout)."""
+    import pyarrow.compute as pc
+
+    ok = docs_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["processing_exception"], "")),
+        batch_format="pyarrow",
+    )
+    failed = docs_ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["processing_exception"], "")),
+        batch_format="pyarrow",
+    )
+    ok.write_parquet(os.path.join(out_dir, "docs"))
+    failed_count = 0
+    failed_path = os.path.join(out_dir, "failed")
+    failed_df = failed.to_pandas()
+    if len(failed_df):
+        os.makedirs(failed_path, exist_ok=True)
+        failed_df.to_parquet(os.path.join(failed_path, "failed.parquet"))
+        failed_count = len(failed_df)
+    return {"out_dir": out_dir, "failed": failed_count}

@@ -1,0 +1,138 @@
+"""Xref manager, synonym generation, cleanup actions, failure routing."""
+
+import json
+
+import pyarrow as pa
+
+from kazu_ray.stages.docproc import (
+    drop_by_min_len,
+    drop_entity_class_not_in,
+    drop_if_match_in_set,
+    drop_mappings_by_parser_rank,
+    strip_mapping_uris,
+)
+from kazu_ray.stages.fused import AnnotateStage
+from kazu_ray.stages.mapping import MappingRunner
+from kazu_ray.stages.ner import build_automaton, match_entities
+from kazu_ray.stages.xref import XRefManager, synth_xref_table
+
+
+def test_xref_manager_creates_target_mappings(store):
+    xt = synth_xref_table()
+    assert len(xt) > 30
+    runner = MappingRunner(store, xref_manager=XRefManager(xt))
+    automaton = build_automaton(store)
+    # pick a disease whose mondo id is xref'd
+    target_idx = xt.iloc[0]["idx"]
+    label = store.default_label("mondo_like", target_idx)
+    text = f"Patients with {label} were enrolled."
+    ents = match_entities(text, automaton)
+    for e in ents:
+        e["sent_idx"] = 0
+    runner.run_doc(ents)
+    ent = next(e for e in ents if e["match"] == label)
+    sources = {m["source"] for m in ent["mappings"]}
+    assert "MEDDRA" in sources
+    meddra = next(m for m in ent["mappings"] if m["source"] == "MEDDRA")
+    assert meddra["xref_source_parser_name"] == "mondo_like"
+
+
+def test_synonym_generation_hyphen_variant_matches(store):
+    automaton = build_automaton(store)
+    # "breast cancer" gains a generated "breast-cancer" NER surface
+    ents = match_entities("Diagnosed with breast-cancer last year.", automaton)
+    assert any(e["match"] == "breast-cancer" for e in ents)
+    (ent,) = [e for e in ents if e["match"] == "breast-cancer"]
+    assert ent["cands"][0][1] == "BREAST CANCER"  # links to the original candidate
+
+
+def test_cleanup_actions():
+    def ent(match, cls, mappings=None):
+        return {
+            "match": match,
+            "entity_class": cls,
+            "confidence": 100,
+            "mappings": mappings if mappings is not None else [{"x": 1}],
+        }
+
+    ents = [ent("ab", "gene"), ent("abcd", "gene")]
+    assert [e["match"] for e in drop_by_min_len(3)(ents)] == ["abcd"]
+
+    ents = [ent("all", "disease"), ent("flu", "disease")]
+    out = drop_if_match_in_set({"disease": {"all"}})(ents)
+    assert [e["match"] for e in out] == ["flu"]
+
+    ents = [ent("x", "gene"), ent("y", "disease")]
+    assert [e["match"] for e in drop_entity_class_not_in({"gene"})(ents)] == ["x"]
+
+    ents = [
+        ent("z", "disease", [{"idx": "http://purl.obolibrary.org/obo/MONDO_0004979",
+                              "parser_name": "p"}])
+    ]
+    out = strip_mapping_uris()(ents)
+    assert out[0]["mappings"][0]["idx"] == "MONDO_0004979"
+
+    ents = [
+        ent(
+            "w",
+            "disease",
+            [
+                {"idx": "1", "parser_name": "meddra_like"},
+                {"idx": "2", "parser_name": "mondo_like"},
+            ],
+        )
+    ]
+    out = drop_mappings_by_parser_rank({"disease": ["meddra_like", "mondo_like"]})(ents)
+    assert [m["parser_name"] for m in out[0]["mappings"]] == ["meddra_like"]
+
+
+def test_failure_routing_poison_pill(cache_dir, monkeypatch):
+    stage = AnnotateStage(cache_dir)
+    # sabotage one doc: annotate_doc raises on a trigger string
+    original = stage.annotate_doc
+
+    def flaky(text, doc_id):
+        if "POISON" in text:
+            raise RuntimeError("boom")
+        return original(text, doc_id)
+
+    stage.annotate_doc = flaky
+    batch = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "text": pa.array(
+                ["breast cancer here.", "POISON doc.", "flu season."],
+                type=pa.large_string(),
+            ),
+        }
+    )
+    out = stage(batch)
+    errs = out["processing_exception"].to_pylist()
+    assert errs[0] == "" and errs[2] == ""
+    assert "boom" in errs[1]
+    # good docs still annotated; failed doc has empty outputs
+    assert json.loads(out["ents_json"][0].as_py())
+    assert json.loads(out["ents_json"][1].as_py()) == []
+
+
+def test_write_annotated_side_channel(ray_session, cache_dir, tmp_path):
+    import ray.data as rd
+
+    from kazu_ray.stages.fused import make_annotate_task
+    from kazu_ray.stages.materialize import write_annotated
+
+    docs = rd.from_items(
+        [
+            {"doc_id": "a", "text": "breast cancer."},
+            {"doc_id": "b", "text": "flu."},
+        ]
+    ).map_batches(make_annotate_task(cache_dir), batch_format="pyarrow")
+    result = write_annotated(docs, str(tmp_path / "out"))
+    assert result["failed"] == 0
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(str(tmp_path / "out" / "docs" / "*.parquet"))
+    assert files
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == 2
