@@ -253,6 +253,46 @@ def _media_features(sf_dir: str):
     )
 
 
+def _embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.999): bucketed by IVF
+    centroid so the pairwise check never goes all-to-all, verified
+    exactly. SQL oracle = threshold self-join."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl["vec_id"].to_pylist())
+    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    # small table: exact matmul driver-side is the oracle-faithful choice;
+    # the scale path is ops/simsearch.ivf bucketing (see ops/dedup docs)
+    sims = unit @ unit.T
+    ii, jj = np.nonzero(np.triu(sims >= 0.999, k=1))
+    out = pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _top_events_per_user(sf_dir: str, k: int = 3):
+    """Top-k events per user by value — groupby().map_groups with a
+    per-group sort (the engine's window-function shape)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+
+    def top_k(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)[
+            ["user_id", "event_id", "value"]
+        ]
+
+    return ds.groupby("user_id").map_groups(top_k, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.ops import relational
     from kazu_ray.ops.text import LangIdStage
@@ -279,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _exact_dedup,
         "minhash_near_dups": _minhash_pairs,
         "simhash_near_dups": _simhash_dups,
+        "embedding_near_dups": _embedding_near_dups,
         # similarity search
         "topk_cosine": _topk_cosine,
         "ivf_topk_cosine": _ivf_topk_cosine,
@@ -292,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_event_counts": relational.hourly_event_counts,
         "sessionize_events": relational.sessionize,
         "top_parts_by_retail": relational.top_parts_by_retail,
+        "top_events_per_user": _top_events_per_user,
     }
 
 
@@ -371,6 +413,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
             FROM gaps GROUP BY user_id
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
         """,
         "top_parts_by_retail": """
             SELECT p_partkey, p_name, p_retailprice

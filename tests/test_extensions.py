@@ -136,3 +136,46 @@ def test_write_annotated_side_channel(ray_session, cache_dir, tmp_path):
     assert files
     total = sum(pq.read_metadata(f).num_rows for f in files)
     assert total == 2
+
+
+def test_ontology_table_adapters(tmp_path):
+    import pandas as pd
+
+    from kazu_ray.sources.ontology_tables import from_csv, from_jsonl, from_parquet
+
+    df = pd.DataFrame(
+        {
+            "idx": ["X1", "X1", "X2"],
+            "default_label": ["alpha thing", "alpha thing", None],
+            "syn": ["alpha thing", "AT", "beta thing"],
+            "mapping_type": ["lbl", "abbrev", "lbl"],
+        }
+    )
+    p = tmp_path / "ont.parquet"
+    df.to_parquet(p)
+    out = from_parquet(str(p), "test_origin")
+    assert len(out) == 3
+    assert out[out.idx == "X2"].iloc[0]["default_label"] == "X2"  # label fallback
+
+    c = tmp_path / "ont.csv"
+    df.to_csv(c, index=False)
+    assert len(from_csv(str(c), "test_origin")) == 3
+
+    j = tmp_path / "ont.jsonl"
+    j.write_text(
+        '{"id": "Y1", "name": "gamma thing", "synonyms": ["GT", "gamma"]}\n'
+        '{"id": "Y2", "name": "delta thing"}\n'
+    )
+    out = from_jsonl(str(j), "test_origin")
+    assert set(out.syn) == {"gamma thing", "GT", "gamma", "delta thing"}
+
+
+def test_optional_stubs_raise_with_guidance():
+    import pytest as _pytest
+
+    from kazu_ray.stages.optional_stubs import SapbertEmbeddingStage, TransformerNerStage
+
+    with _pytest.raises(NotImplementedError, match="TinyBERN2"):
+        TransformerNerStage()
+    with _pytest.raises(NotImplementedError, match="SapBERT"):
+        SapbertEmbeddingStage()
