@@ -520,8 +520,10 @@ class MappingRunner:
 
         doc = DocContext(ents, self)
         linkable = [e for e in ents if e["cands"]]
+        # entity_key is consulted by every sort/group below — compute once
+        key_memo: dict[int, tuple] = {id(e): entity_key(e) for e in linkable}
         sorted_ents = sorted(
-            linkable, key=lambda e: (-e["confidence"], entity_key(e))
+            linkable, key=lambda e: (-e["confidence"], key_memo[id(e)])
         )
         for conf, conf_group_iter in groupby(sorted_ents, key=lambda e: e["confidence"]):
             conf_group = list(conf_group_iter)
@@ -541,30 +543,33 @@ class MappingRunner:
                 table = self.strategy_table.get((is_symbolic, conf))
                 if table is None or not bucket:
                     continue
-                self._execute(bucket, doc, table)
+                self._execute(bucket, doc, table, key_memo)
 
-    def _execute(self, ents: list[dict], doc: DocContext, table) -> None:
+    def _execute(self, ents: list[dict], doc: DocContext, table, key_memo=None) -> None:
         """execute_hit_post_processing_strategies + per-group bookkeeping
         (``strategy_runner.py:294-342``, ``:40-159``). stop_on_success is
         True for every ladder in the default config."""
         from itertools import groupby
 
+        if key_memo is None:
+            key_memo = {id(e): entity_key(e) for e in ents}
         default_strategies, class_strategies = table
         max_index = max(
             (len(default_strategies), *(len(s) for s in class_strategies.values()))
         )
         groups = [
-            list(group) for _, group in groupby(ents, key=entity_key)
+            list(group) for _, group in groupby(ents, key=lambda e: key_memo[id(e)])
         ]
         unresolved: dict[tuple, set[str]] = {}
         mapped_flag: dict[tuple, bool] = {}
+        cand_memo: dict[tuple, dict] = {}
         for i in range(max_index):
             for group in groups:
                 ref = group[0]
                 strategies = class_strategies.get(ref["entity_class"], default_strategies)
                 if i >= len(strategies):
                     continue
-                key = entity_key(ref)
+                key = key_memo[id(ref)]
                 if key not in unresolved:
                     unresolved[key] = {c[0] for c in ref["cands"]}
                 if not unresolved[key]:
@@ -572,7 +577,10 @@ class MappingRunner:
                 if mapped_flag.get(key, False):
                     continue  # stop_on_success
                 strategy = strategies[i]
-                candidates = self._candidates_of(ref)
+                candidates = cand_memo.get(key)
+                if candidates is None:
+                    candidates = self._candidates_of(ref)
+                    cand_memo[key] = candidates
                 by_parser: dict[str, dict] = {}
                 for cand, metrics in candidates.items():
                     if cand.parser_name in unresolved[key]:

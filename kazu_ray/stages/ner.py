@@ -58,9 +58,15 @@ def _resolve_store(store) -> OntologyStore:
 
 
 def build_automaton(store: OntologyStore) -> Automaton:
-    """Automaton keyed by lowercased surface; value = dict of
-    (entity_class, confidence, case_sensitive, syn_norm, original_text)
-    → set of parser names (``memory_efficient_string_matching.py:47-94``)."""
+    """Automaton keyed by lowercased surface.
+
+    Per ``memory_efficient_string_matching.py:47-94`` the logical value
+    is {(entity_class, confidence, case_sensitive, syn_norm,
+    original_text) → parser names}; here it is pre-grouped ONCE at build
+    time into ``(match_len, [(entity_class, entries)])`` with entries
+    sorted, so the scan loop does no per-hit sorting or dict regrouping
+    (the automaton value is static — doing this per hit was ~40% of NER
+    time)."""
     key_to_info: dict[str, dict[tuple, set]] = {}
     for row in store.ner_terms.itertuples(index=False):
         entity_key = (
@@ -75,7 +81,15 @@ def build_automaton(store: OntologyStore) -> Automaton:
         )
     automaton = Automaton()
     for key in sorted(key_to_info):
-        automaton.add_word(key, key_to_info[key])
+        by_class: dict[str, list[tuple]] = {}
+        for entity_key in sorted(key_to_info[key]):
+            entity_class, confidence, case_sensitive, syn_norm, original = entity_key
+            parsers = tuple(sorted(key_to_info[key][entity_key]))
+            by_class.setdefault(entity_class, []).append(
+                (confidence, case_sensitive, syn_norm, original, parsers)
+            )
+        value = (len(key), sorted(by_class.items()))
+        automaton.add_word(key, value)
     automaton.make_automaton()
     return automaton
 
@@ -88,30 +102,22 @@ def match_entities(text: str, automaton: Automaton) -> list[dict]:
     starts, ends = token_boundaries(text)
     lower = text.lower()
     entities: list[dict] = []
-    for end_index, ontology_dict in automaton.iter(lower):
-        first_key = next(iter(ontology_dict.keys()))
-        start_index = end_index - len(first_key[-1]) + 1
-        matched_text = text[start_index : end_index + 1]
+    for end_index, (match_len, class_entries) in automaton.iter(lower):
+        start_index = end_index - match_len + 1
         if not word_is_valid(start_index, end_index, starts, ends):
             continue
-        by_class: dict[str, list[tuple]] = {}
-        for entity_key in sorted(ontology_dict.keys()):
-            by_class.setdefault(entity_key[0], []).append(entity_key)
-        for entity_class in sorted(by_class):
+        matched_text = text[start_index : end_index + 1]
+        for entity_class, entries in class_entries:
             cands: set[tuple[str, str]] = set()
-            confidences: dict[str, set[int]] = {}
-            for (_, confidence, case_sensitive, syn_norm, original_case) in by_class[
-                entity_class
-            ]:
+            chosen_conf = -1
+            for confidence, case_sensitive, syn_norm, original_case, parsers in entries:
                 if case_sensitive and matched_text != original_case:
                     continue
-                for parser_name in ontology_dict[
-                    (entity_class, confidence, case_sensitive, syn_norm, original_case)
-                ]:
-                    confidences.setdefault(parser_name, set()).add(confidence)
+                for parser_name in parsers:
                     cands.add((parser_name, syn_norm))
+                if confidence > chosen_conf:
+                    chosen_conf = confidence
             if cands:
-                chosen_conf = max(max(c) for c in confidences.values())
                 entities.append(
                     {
                         "start": start_index,
