@@ -222,6 +222,28 @@ def materialize_triples(triples_ds, out_dir: str, num_parts: int = 16) -> list[d
     # groupby(part) is the single all-to-all exchange of the pipeline;
     # num_parts bounds its fan-out and the partition dirs are the resume unit
     with_part.groupby("part").map_groups(_write_partition, batch_format="pandas").materialize()
+
+    # partitions with zero triples never appear in the groupby — write
+    # their (empty) manifests so resume converges instead of re-running
+    # the pipeline forever looking for them
+    written = {
+        int(f.split(".")[0]) for f in os.listdir(manifest_dir) if f.endswith(".json")
+    }
+    for part in pending:
+        if part not in written:
+            tmp_manifest = os.path.join(manifest_dir, f".{part}.json.tmp")
+            with open(tmp_manifest, "w") as f:
+                json.dump(
+                    {
+                        "partition_id": part,
+                        "row_count": 0,
+                        "min_subj": None,
+                        "max_subj": None,
+                        "sha256": hashlib.sha256(b"").hexdigest(),
+                    },
+                    f,
+                )
+            os.replace(tmp_manifest, os.path.join(manifest_dir, f"{part}.json"))
     return load_manifests(out_dir)
 
 
@@ -265,3 +287,25 @@ def write_annotated(docs_ds, out_dir: str) -> dict:
         failed_df.to_parquet(os.path.join(failed_path, "failed.parquet"))
         failed_count = len(failed_df)
     return {"out_dir": out_dir, "failed": failed_count}
+
+
+def lookup_triples(out_dir: str, subj: str, num_parts: int | None = None):
+    """Point lookup in the materialized triple store.
+
+    Reads ONLY the hash partition that can contain ``subj`` (same
+    partition function as the writer) and binary-searches the
+    partition's (subj, pred, obj)-sorted rows — the partitioned + sorted
+    layout exists precisely so graph queries touch 1/num_parts of the
+    store. Returns a pyarrow Table of matching triples.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if num_parts is None:
+        num_parts = len(load_manifests(out_dir))
+    part = int(hashlib.md5(subj.encode()).hexdigest()[:8], 16) % num_parts
+    path = os.path.join(out_dir, f"part={part}", "triples.parquet")
+    if not os.path.exists(path):
+        return pa.table({name: [] for name in TRIPLE_SCHEMA.names}, schema=TRIPLE_SCHEMA)
+    table = pq.read_table(path)
+    return table.filter(pc.equal(table["subj"], subj))

@@ -179,3 +179,25 @@ def test_optional_stubs_raise_with_guidance():
         TransformerNerStage()
     with _pytest.raises(NotImplementedError, match="SapBERT"):
         SapbertEmbeddingStage()
+
+
+def test_triple_store_point_lookup(ray_session, tmp_path):
+    from kazu_ray.pipelines.kg import broadcast_store, triples_dataset
+    from kazu_ray.stages.materialize import lookup_triples, materialize_triples
+
+    store_ref = broadcast_store()
+    triples = triples_dataset("/root/testdata/sf0.001", store_ref=store_ref)
+    out = str(tmp_path / "store")
+    manifests = materialize_triples(triples, out, num_parts=8)
+    assert len(manifests) == 8
+    # pick a subject that exists and look it up through the pruned path
+    import pyarrow.parquet as pq
+    import glob
+
+    some = pq.read_table(glob.glob(f"{out}/part=*/triples.parquet")[0])
+    subj = some["subj"][0].as_py()
+    hits = lookup_triples(out, subj)
+    assert hits.num_rows >= 1
+    assert set(hits["subj"].to_pylist()) == {subj}
+    # absent key → empty result, still only one partition touched
+    assert lookup_triples(out, "NOPE:NOPE").num_rows == 0

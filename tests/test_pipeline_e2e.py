@@ -94,3 +94,23 @@ def test_entry_contract(ray_session):
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) > 0
+
+
+def test_acceptance_scorer_gate(oracle_out, ray_out):
+    """Per-class soft-span acceptance (reference acceptance_test.py
+    mechanism): Ray output vs oracle gold must clear 0.95 on every
+    NER/linking metric for every class."""
+    from kazu_ray.pipelines.acceptance import check_acceptance, score_entities
+
+    gold_ents, _, _ = oracle_out
+    ents, _ = ray_out
+    gold = gold_ents.rename(columns={"url": "doc_id"}).assign(
+        mapping_source=gold_ents.canonical_id.str.split(":").str[0],
+        mapping_idx=gold_ents.canonical_id.str.split(":").str[1],
+        mapping_label="",
+    )
+    test = ents.assign(mapping_label="")
+    scores = score_entities(gold, test)
+    assert scores, "no classes scored"
+    failures = check_acceptance(scores, default_threshold=0.95)
+    assert not failures, failures
