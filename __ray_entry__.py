@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": relational.sessionize,
         "top_parts_by_retail": relational.top_parts_by_retail,
         "top_events_per_user": _top_events_per_user,
+        "segment_ship_priority": relational.segment_ship_priority,
+        "sliding_event_counts": relational.sliding_event_counts,
     }
 
 
@@ -418,6 +420,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+        """,
+        "segment_ship_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+        """,
+        "sliding_event_counts": """
+            WITH assigned AS (
+                SELECT event_type,
+                       to_timestamp((epoch_us(ts) // (30*60*1000000) - w)
+                                    * (30*60*1000000) / 1000000)::TIMESTAMP AS window_start
+                FROM events, (SELECT unnest([0, 1]) AS w)
+            )
+            SELECT window_start, event_type, count(*) AS n
+            FROM assigned GROUP BY 1, 2
         """,
         "top_events_per_user": """
             SELECT user_id, event_id, value FROM (

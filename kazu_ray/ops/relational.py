@@ -201,3 +201,124 @@ def top_parts_by_retail(sf_dir: str, k: int = 20):
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
     )
     return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(k)
+
+
+def segment_ship_priority(sf_dir: str, segment: str = "BUILDING"):
+    """TPC-H Q3 shape: three-table join as two chained broadcast probes
+    (customer and orders side both fit in memory at any realistic scale
+    ratio; lineitem — the big side — streams and is never shuffled)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_custkeys = {
+        k
+        for k, s in zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+        if s == segment
+    }
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    order_lookup = {
+        ok: od
+        for ok, ck, od in zip(
+            orders["o_orderkey"].to_pylist(),
+            orders["o_custkey"].to_pylist(),
+            orders["o_orderdate"].to_pylist(),
+        )
+        if ck in seg_custkeys
+    }
+    lookup_ref = ray.put(order_lookup) if ray.is_initialized() else order_lookup
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    class Probe:
+        def __init__(self, ref):
+            import ray as _ray
+
+            self.lookup = _ray.get(ref) if not isinstance(ref, dict) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["l_orderkey"].to_pylist()
+            mask = [k in self.lookup for k in keys]
+            batch = batch.filter(pa.array(mask))
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "l_orderkey": pa.array([], type=pa.int64()),
+                        "revenue": pa.array([], type=pa.float64()),
+                    }
+                )
+            rev = pc.multiply(
+                batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+            )
+            df = pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev}).to_pandas()
+            out = df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        line.map_batches(
+            Probe,
+            fn_constructor_args=(lookup_ref,),
+            batch_format="pyarrow",
+            batch_size=65536,
+            concurrency=(1, 4),
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("revenue"), "revenue", pc.round(t["revenue"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sliding_event_counts(sf_dir: str, window_minutes: int = 60, slide_minutes: int = 30):
+    """Sliding window = each event assigned to window_minutes/slide_minutes
+    buckets via a flat map, then tumbling aggregation — the batch-engine
+    restatement of a sliding window (no watermarks needed on a bounded
+    log)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    n_windows = window_minutes // slide_minutes
+    slide_us = slide_minutes * 60 * 1_000_000
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts = batch["ts"].to_pandas().astype("int64")  # µs since epoch
+        types = batch["event_type"].to_pylist()
+        starts, etypes = [], []
+        for t, ev in zip(ts, types):
+            base = (t // slide_us) * slide_us
+            for w in range(n_windows):
+                starts.append(base - w * slide_us)
+                etypes.append(ev)
+        df = pd.DataFrame({"window_start_us": starts, "event_type": etypes})
+        out = df.groupby(["window_start_us", "event_type"], as_index=False).agg(
+            n=("event_type", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=65536)
+        .groupby(["window_start_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ws = pc.cast(batch["window_start_us"], pa.timestamp("us"))
+        return pa.table(
+            {"window_start": ws, "event_type": batch["event_type"], "n": batch["n"]}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

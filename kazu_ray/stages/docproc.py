@@ -453,7 +453,7 @@ def process_doc(
     """Run the full doc-scoped tail for one document. Shared verbatim by
     the Ray stage and the single-process oracle (tests)."""
     ents = rules_based_filter(text, sents, ents, class_rules or {})
-    runner.run_doc(ents)
+    runner.run_doc(ents, text)
     ents = apply_abbreviations(text, ents, sents)
     ents = cleanup(ents)
     ents = merge_overlapping(ents)

@@ -80,10 +80,22 @@ def make_mapping(
 class DocContext:
     """Per-document state consulted by disambiguation strategies."""
 
-    def __init__(self, ents: list[dict], runner: "MappingRunner"):
+    def __init__(self, ents: list[dict], runner: "MappingRunner", text: str | None = None):
         self.ents = ents
         self.runner = runner
+        self.text = text
         self._doc_repr: dict[str, object] = {}
+        self._gilda_repr: dict[str, object] = {}
+
+    def gilda_doc_vector(self, parser_name: str):
+        """Whole-doc text vector (``disambiguation/strategies.py:303-316``),
+        computed once per (doc, parser)."""
+        vec = self._gilda_repr.get(parser_name)
+        if vec is None:
+            vectorizer, _, _ = self.runner.gilda_contexts[parser_name]
+            vec = vectorizer.transform([self.text or ""])[0]
+            self._gilda_repr[parser_name] = vec
+        return vec
 
     def mapped_ids(self) -> set[tuple[str, str, str]]:
         """(parser, source, idx) already grounded anywhere in the doc
@@ -162,6 +174,59 @@ class TfIdfContextStrategy:
             if score >= self.context_threshold and len(syn_to_sets[best_syn]) == 1:
                 return set(syn_to_sets[best_syn])
         return set()
+
+
+class GildaStyleTfIdfStrategy:
+    """Doc-text-context disambiguation in the shape of the reference's
+    ``GildaTfIdfDisambiguationStrategy`` (``disambiguation/strategies.py:272-358``
+    + ``context_scoring.py:92-232``): score each candidate id's context
+    vector against the whole document's text vector; succeed only if the
+    best id's score beats the first id from a *different* EquivalentIdSet
+    by ≥ ``context_threshold_delta``. The reference's pretrained
+    vectorizer + wikipedia context strings live in a model pack that is
+    unavailable here; the context string for an id is therefore its
+    default label + all synonyms that reference it (deterministic, built
+    from the ontology caches)."""
+
+    name = "GildaTfIdfDisambiguationStrategy"
+    confidence = PROB
+    context_threshold_delta = 0.01
+
+    def __call__(self, id_sets, doc: DocContext, parser_name, ent_match, ent_match_norm):
+        runner = doc.runner
+        ctx = runner.gilda_contexts.get(parser_name)
+        if ctx is None or doc.text is None:
+            return set()
+        vectorizer, idx_list, matrix = ctx
+        doc_vec = doc.gilda_doc_vector(parser_name)
+        idx_to_set: dict[str, set] = {}
+        relevant: set[str] = set()
+        for id_set in id_sets:
+            for idx, _source in id_set:
+                idx_to_set.setdefault(idx, set()).add(id_set)
+                relevant.add(idx)
+        pos = {idx: i for i, idx in enumerate(idx_list)}
+        scored = sorted(
+            (
+                (float(matrix[pos[idx]] @ doc_vec), idx)
+                for idx in relevant
+                if idx in pos
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        best_set = None
+        best_score = 0.0
+        for score, idx in scored:
+            this_set = idx_to_set[idx]
+            if best_set is None:
+                best_set, best_score = this_set, score
+            elif best_set == this_set:
+                continue
+            else:
+                if (best_score - score) < self.context_threshold_delta:
+                    return set()
+                return set(best_set)
+        return set(best_set) if best_set is not None and len(scored) > 0 else set()
 
 
 class AnnotationLevelStrategy:
@@ -390,8 +455,9 @@ def _disamb_default():
 
 
 def _disamb_gene():
-    # GildaTfIdf (pretrained model pack) substituted by plain TfIdf context
-    return [DefinedElsewhereStrategy(), TfIdfContextStrategy(), AnnotationLevelStrategy()]
+    # [DefinedElsewhere, GildaTfIdf, AnnotationLevel] per
+    # conf/DisambiguationStrategies/default.yaml `gene`
+    return [DefinedElsewhereStrategy(), GildaStyleTfIdfStrategy(), AnnotationLevelStrategy()]
 
 
 def _disamb_prefer_default_label():
@@ -496,6 +562,25 @@ class MappingRunner:
     def __init__(self, store: OntologyStore, xref_manager=None):
         self.store = store
         self.xref_manager = xref_manager
+        # Gilda-style id-context vectors, gene parsers only (the gene
+        # disambiguation ladder is the consumer): context string per id =
+        # default label + synonyms referencing the id
+        self.gilda_contexts: dict[str, tuple] = {}
+        for parser_name, entity_class in store.parser_entity_class.items():
+            if entity_class != "gene":
+                continue
+            idx_list = sorted(
+                idx for (p, idx) in store.metadata if p == parser_name
+            )
+            contexts = []
+            for idx in idx_list:
+                syns = store.id_to_syns.get((parser_name, idx), set())
+                contexts.append(
+                    " ".join([store.default_label(parser_name, idx)] + sorted(syns))
+                )
+            v = TfidfVectorizer(analyzer=word_and_char_ngrams)
+            matrix = v.fit_transform(contexts)
+            self.gilda_contexts[parser_name] = (v, idx_list, matrix)
         self.strategy_table = build_strategy_table()
         # per-parser context vectorizers fit over that parser's synonym
         # norms (context_scoring.py:61-69)
@@ -514,11 +599,11 @@ class MappingRunner:
                 out[cand] = (bool(exact), score)
         return out
 
-    def run_doc(self, ents: list[dict]) -> None:
+    def run_doc(self, ents: list[dict], text: str | None = None) -> None:
         """StrategyRunner.__call__ (``strategy_runner.py:239-342``)."""
         from itertools import groupby
 
-        doc = DocContext(ents, self)
+        doc = DocContext(ents, self, text)
         linkable = [e for e in ents if e["cands"]]
         # entity_key is consulted by every sort/group below — compute once
         key_memo: dict[int, tuple] = {id(e): entity_key(e) for e in linkable}
