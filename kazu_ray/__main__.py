@@ -1,0 +1,119 @@
+"""CLI entry points.
+
+    python -m kazu_ray run --sf-dir DIR --out DIR [--multiplier K]
+        full KG pipeline → materialized, manifest-tracked triple store
+        (re-running resumes: finished partitions are skipped)
+    python -m kazu_ray annotate --sf-dir DIR --out DIR
+        annotated-docs corpus with failed-docs side channel
+    python -m kazu_ray lookup --store DIR --subj ID
+        partition-pruned point query over a materialized triple store
+    python -m kazu_ray build-caches [--cache-dir DIR]
+        (re)build the ontology cache tables
+
+These scripts own their Ray session (guarded init, shutdown at exit) —
+library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_run(args) -> None:
+    ray = _ray_session()
+    from kazu_ray.pipelines.kg import broadcast_store, triples_dataset
+    from kazu_ray.stages.materialize import materialize_triples
+
+    store_ref = broadcast_store()
+    triples = triples_dataset(
+        args.sf_dir, store_ref=store_ref, multiplier=args.multiplier
+    )
+    manifests = materialize_triples(triples, args.out, num_parts=args.num_parts)
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "partitions": len(manifests),
+                "rows": sum(m["row_count"] for m in manifests),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def cmd_annotate(args) -> None:
+    ray = _ray_session()
+    from kazu_ray.pipelines.kg import annotated_docs, broadcast_store
+    from kazu_ray.stages.materialize import write_annotated
+
+    store_ref = broadcast_store()
+    docs = annotated_docs(args.sf_dir, store_ref=store_ref, multiplier=args.multiplier)
+    result = write_annotated(docs, args.out)
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def cmd_lookup(args) -> None:
+    from kazu_ray.stages.materialize import lookup_triples
+
+    table = lookup_triples(args.store, args.subj)
+    for row in table.to_pylist():
+        print(json.dumps(row))
+
+
+def cmd_build_caches(args) -> None:
+    from kazu_ray.state.store import ensure_default_caches
+
+    print(ensure_default_caches(args.cache_dir))
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="kazu_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="KG pipeline → materialized triple store")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", required=True)
+    p.add_argument("--multiplier", type=int, default=1)
+    p.add_argument("--num-parts", type=int, default=16)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("annotate", help="annotated docs + failure side channel")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", required=True)
+    p.add_argument("--multiplier", type=int, default=1)
+    p.set_defaults(fn=cmd_annotate)
+
+    p = sub.add_parser("lookup", help="point query over a triple store")
+    p.add_argument("--store", required=True)
+    p.add_argument("--subj", required=True)
+    p.set_defaults(fn=cmd_lookup)
+
+    p = sub.add_parser("build-caches", help="(re)build ontology caches")
+    p.add_argument("--cache-dir", default=None)
+    p.set_defaults(fn=cmd_build_caches)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -212,10 +212,22 @@ def autocurate(resource: _Resource, entity_class: str) -> _Resource:
 
 
 def build_parser_caches(
-    df: pd.DataFrame, parser_name: str, entity_class: str, source: str
+    df: pd.DataFrame,
+    parser_name: str,
+    entity_class: str,
+    source: str,
+    global_drop_ids: set[str] | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
-    """Build (metadata, synonyms, ner_terms) frames for one parser."""
+    """Build (metadata, synonyms, ner_terms) frames for one parser.
+
+    ``global_drop_ids`` implements the reference's global parser action
+    ``DROP_IDS_FROM_PARSER`` (``kazu/data/__init__.py:692-751``): the
+    ids are removed before any candidate resolution, so they can never
+    appear in NER surfaces, linking candidates, or metadata.
+    """
     df = df.copy()
+    if global_drop_ids:
+        df = df[~df["idx"].isin(global_drop_ids)]
     df["syn"] = df["syn"].astype(str).str.strip()
     df = df.dropna(subset=["syn"]).drop_duplicates(subset=["idx", "syn", "mapping_type"])
 

@@ -105,9 +105,12 @@ def annotated_docs(
         num_cpus=1,
     )
     if with_regex_ner:
+        from kazu_ray.stages.postner import split_batch
+
         docs = docs.map_batches(
             regex_ner_batch, batch_format="pyarrow", batch_size=batch_size
         )
+        docs = docs.map_batches(split_batch, batch_format="pyarrow", batch_size=batch_size)
         docs = docs.map_batches(
             LinkingStage,
             fn_constructor_args=(store_ref,),

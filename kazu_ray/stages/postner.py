@@ -87,3 +87,21 @@ def split_non_contiguous(ents: list[dict], text: str, classes: set[str] = frozen
                 out.append(new_ent)
                 existing.update(spans)
     return out
+
+
+def split_batch(batch):
+    """Stateless ``map_batches`` wrapper for the unfused pipeline layout:
+    applies :func:`split_non_contiguous` to the ``ents_json`` column."""
+    import json
+
+    import pyarrow as pa
+
+    texts = batch["text"].to_pylist()
+    ents_lists = [json.loads(x) for x in batch["ents_json"].to_pylist()]
+    out = [
+        json.dumps(split_non_contiguous(ents, text))
+        for ents, text in zip(ents_lists, texts)
+    ]
+    return batch.drop_columns(["ents_json"]).append_column(
+        "ents_json", pa.array(out, type=pa.large_string())
+    )

@@ -201,3 +201,22 @@ def test_triple_store_point_lookup(ray_session, tmp_path):
     assert set(hits["subj"].to_pylist()) == {subj}
     # absent key → empty result, still only one partition touched
     assert lookup_triples(out, "NOPE:NOPE").num_rows == 0
+
+
+def test_global_parser_action_drop_ids():
+    from kazu_ray.ontology.build import build_parser_caches
+    from kazu_ray.ontology.generate import generate_ontology_tables
+
+    df = generate_ontology_tables()["hgnc_like"]
+    meta, syns, ner = build_parser_caches(
+        df, "hgnc_like", "gene", "ENSEMBL", global_drop_ids={"ENSG90000000001"}
+    )
+    assert "ENSG90000000001" not in set(meta["idx"])
+    # p27 candidate loses the CDKN1B id but keeps the other two
+    import json
+
+    p27 = syns[syns.synonym_norm == "P 27"]
+    assert len(p27) == 1
+    cand = json.loads(p27.iloc[0]["candidate_json"])
+    ids = {i for id_set in cand["associated_id_sets"] for i, _ in id_set}
+    assert ids == {"ENSG90000000002", "ENSG90000000003"}
