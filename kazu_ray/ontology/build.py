@@ -187,6 +187,96 @@ def _ac_upper_word_to_ci(r: _Resource) -> None:
             v[0] = False
 
 
+def _resources_have_case_conflicts(resources: list[_Resource]) -> bool:
+    """Case/confidence conflict predicate
+    (``curation_utils.py:580-636``): a case-sensitive rank must always
+    outrank a case-insensitive rank for the same lowered surface, and a
+    surface may carry only one confidence per sensitivity class."""
+    cs_lookup: dict[str, set[int]] = {}
+    ci_lookup: dict[str, set[int]] = {}
+    for r in resources:
+        if r.behaviour != "ADD_FOR_NER_AND_LINKING":
+            continue
+        for source in (r.syns, r.alt_syns):
+            for text, (case_sensitive, confidence) in source.items():
+                if case_sensitive:
+                    cs_lookup.setdefault(text, set()).add(confidence)
+                else:
+                    ci_lookup.setdefault(text.lower(), set()).add(confidence)
+    for cased, cs_confs in cs_lookup.items():
+        ci_confs = ci_lookup.get(cased.lower(), set())
+        if len(ci_confs) > 1 or (
+            len(ci_confs) == 1 and cs_confs and min(cs_confs) <= min(ci_confs)
+        ):
+            return True
+    return any(len(confs) > 1 for confs in ci_lookup.values())
+
+
+def autofix_case_conflicts(resources: list[_Resource]) -> tuple[list[_Resource], int]:
+    """OPTIMISTIC autofix (``curation_utils.py:345-423``): group resources
+    sharing any lowered surface; for a conflicted group choose the least
+    restrictive case sensitivity (min → case-insensitive wins) and the
+    max confidence per surface; DROP_FOR_LINKING behaviour dominates.
+    Returns (resources, number of conflicted groups fixed)."""
+    surface_to_group: dict[str, int] = {}
+    parent = list(range(len(resources)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for i, r in enumerate(resources):
+        for source in (r.syns, r.alt_syns):
+            for text in source:
+                key = text.lower()
+                if key in surface_to_group:
+                    union(surface_to_group[key], i)
+                else:
+                    surface_to_group[key] = i
+
+    groups: dict[int, list[int]] = {}
+    for i in range(len(resources)):
+        groups.setdefault(find(i), []).append(i)
+
+    n_fixed = 0
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        group = [resources[i] for i in members]
+        if not _resources_have_case_conflicts(group):
+            continue
+        n_fixed += 1
+        case_sensitivities = set()
+        conf_by_lower: dict[str, int] = {}
+        behaviours = set()
+        for r in group:
+            behaviours.add(r.behaviour)
+            for source in (r.syns, r.alt_syns):
+                for text, (cs, conf) in source.items():
+                    case_sensitivities.add(cs)
+                    key = text.lower()
+                    conf_by_lower[key] = max(conf_by_lower.get(key, 0), conf)
+        chosen_cs = min(case_sensitivities)  # OPTIMISTIC: ci wins
+        chosen_behaviour = (
+            "DROP_FOR_LINKING" if "DROP_FOR_LINKING" in behaviours
+            else "ADD_FOR_NER_AND_LINKING"
+        )
+        for r in group:
+            r.behaviour = chosen_behaviour
+            for source in (r.syns, r.alt_syns):
+                for text, v in source.items():
+                    v[0] = chosen_cs
+                    v[1] = conf_by_lower[text.lower()]
+    return resources, n_fixed
+
+
 def autocurate(resource: _Resource, entity_class: str) -> _Resource:
     """Apply the per-class autocuration chain in config order
     (``conf/autocurator/default.yaml``): the ``basic`` chain for disease,
@@ -258,13 +348,23 @@ def build_parser_caches(
     # the candidate from the synonym table (curation semantics)
     from kazu_ray.ontology.synonym_generation import generate_alternatives
 
-    syn_rows = []
-    ner_rows = []
+    resources: dict[str, _Resource] = {}
     for syn_norm in sorted(candidates):
         cand = candidates[syn_norm]
         originals = set(cand.raw_synonyms)
         alternatives = generate_alternatives(originals)
-        resource = autocurate(_Resource(syn_norm, originals, alternatives), entity_class)
+        resources[syn_norm] = autocurate(
+            _Resource(syn_norm, originals, alternatives), entity_class
+        )
+    # cross-resource case-conflict analysis + OPTIMISTIC autofix
+    # (curation_utils.py verify_resource_set_integrity semantics)
+    _, _n_conflicts_fixed = autofix_case_conflicts(list(resources.values()))
+
+    syn_rows = []
+    ner_rows = []
+    for syn_norm in sorted(candidates):
+        cand = candidates[syn_norm]
+        resource = resources[syn_norm]
         if resource.behaviour == "DROP_FOR_LINKING":
             continue
         syn_rows.append((parser_name, syn_norm, cand.to_json()))

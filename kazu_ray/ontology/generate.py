@@ -27,7 +27,7 @@ import random
 import pandas as pd
 
 # bump when generated content changes — keys the derived cache directories
-ONTOLOGY_VERSION = "v3"
+ONTOLOGY_VERSION = "v4"
 
 DISEASE_ADJ = [
     "chronic", "acute", "congenital", "idiopathic", "familial", "juvenile",

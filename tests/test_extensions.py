@@ -220,3 +220,35 @@ def test_global_parser_action_drop_ids():
     cand = json.loads(p27.iloc[0]["candidate_json"])
     ids = {i for id_set in cand["associated_id_sets"] for i, _ in id_set}
     assert ids == {"ENSG90000000002", "ENSG90000000003"}
+
+
+def test_case_conflict_autofix():
+    from kazu_ray.ontology.build import (
+        _Resource,
+        _resources_have_case_conflicts,
+        autofix_case_conflicts,
+    )
+
+    # reference curation_utils.py:595-607 examples:
+    # supported: cs rank strictly above ci rank
+    ok1 = _Resource("EGFR", {"EGFR"})
+    ok1.syns["EGFR"] = [True, 10]  # cs POSSIBLE
+    ok2 = _Resource("EGFR2", {"eGFR"})
+    ok2.syns["eGFR"] = [False, 0]  # ci IGNORE... (use 10 vs 50 instead)
+    ok1.syns["EGFR"] = [True, 50]
+    ok2.syns["eGFR"] = [False, 10]
+    assert not _resources_have_case_conflicts([ok1, ok2])
+
+    # conflicted: ci PROBABLE vs cs POSSIBLE on same lowered surface
+    bad1 = _Resource("A", {"Egfr"})
+    bad1.syns["Egfr"] = [True, 10]  # cs POSSIBLE
+    bad2 = _Resource("B", {"eGFR"})
+    bad2.syns["eGFR"] = [False, 50]  # ci PROBABLE
+    assert _resources_have_case_conflicts([bad1, bad2])
+
+    fixed, n = autofix_case_conflicts([bad1, bad2])
+    assert n == 1
+    # OPTIMISTIC: case-insensitive wins, max confidence per surface
+    assert bad1.syns["Egfr"] == [False, 50]
+    assert bad2.syns["eGFR"] == [False, 50]
+    assert not _resources_have_case_conflicts([bad1, bad2])
