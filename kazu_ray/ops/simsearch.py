@@ -97,3 +97,50 @@ def ivf_topk_cosine(
         batch_format="pyarrow",
     )
     return topk_cosine(probed, query_vec, k)
+
+
+def ivf_near_dup_pairs(
+    embeddings_ds,
+    threshold: float = 0.999,
+    n_clusters: int = 16,
+    sample_size: int = 2048,
+):
+    """Embedding-cosine near-dup pairs — the scale path.
+
+    Near-identical vectors share a nearest centroid (for thresholds
+    near 1.0), so candidates are generated per centroid bucket via a
+    ``groupby("bucket")`` shuffle and verified with an exact in-bucket
+    matmul. Pairwise work drops from O(N²) to Σ O(|bucket|²); at 10^9
+    vectors, raise n_clusters so buckets stay bounded. Returns a Dataset
+    of (id_a, id_b).
+
+    Caveat (documented, standard for IVF): a pair straddling a centroid
+    boundary can be missed; lower `threshold` tolerance needs multi-probe
+    assignment (assign each vector to its top-2 centroids).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    sample_tbl = embeddings_ds.limit(sample_size).to_pandas()
+    sample = np.array(sample_tbl["embedding"].tolist(), dtype=np.float64)
+    centroids = kmeans_centroids(sample, n_clusters)
+
+    bucketed = embeddings_ds.map_batches(
+        _BucketAssign, fn_constructor_args=(centroids,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.array(g["vec_id"], dtype=np.int64)
+        mat = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        if len(ii) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            )
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")

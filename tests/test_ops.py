@@ -90,3 +90,30 @@ def test_kmeans_deterministic():
     c1 = kmeans_centroids(data, 4)
     c2 = kmeans_centroids(data, 4)
     assert np.array_equal(c1, c2)
+
+
+def test_ivf_near_dup_pairs_matches_exact(ray_session):
+    """At small scale the IVF-bucketed near-dup pairs must equal the
+    exact all-pairs result (threshold high enough that twins share a
+    centroid)."""
+    import numpy as np
+    import ray.data as rd
+
+    from kazu_ray.ops.simsearch import ivf_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 16)
+    # plant 10 near-duplicate twins
+    vecs = np.vstack([base, base[:10] + rng.randn(10, 16) * 1e-4])
+    ids = list(range(len(vecs)))
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in ids]
+    )
+    got = ivf_near_dup_pairs(ds, threshold=0.999).to_pandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    ii, jj = np.nonzero(np.triu(sims >= 0.999, k=1))
+    expected = {(min(a, b), max(a, b)) for a, b in zip(ii, jj)}
+    assert expected, "no planted pairs?"
+    assert got_pairs == expected
