@@ -56,6 +56,15 @@ def _kg_entities(sf_dir: str):
     return explode_entities(annotated_docs(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_node_doc_counts(sf_dir: str):
+    """Distinct docs per canonical node via the salted two-phase
+    aggregate (explicit hub-entity skew handling)."""
+    from kazu_ray.pipelines.kg import triples_dataset
+    from kazu_ray.stages.materialize import node_doc_counts_salted
+
+    return node_doc_counts_salted(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
 def _kg_node_degrees(sf_dir: str):
     from kazu_ray.pipelines.kg import annotated_docs
     from kazu_ray.stages.materialize import explode_triples, node_degrees
@@ -308,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
         "kg_node_degrees": _kg_node_degrees,
+        "kg_node_doc_counts": _kg_node_doc_counts,
         "kg_text_hashes": _text_hashes,
         # text analysis (SQL-oracled)
         "doc_token_stats": _doc_token_stats,

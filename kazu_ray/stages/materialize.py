@@ -309,3 +309,48 @@ def lookup_triples(out_dir: str, subj: str, num_parts: int | None = None):
         return pa.table({name: [] for name in TRIPLE_SCHEMA.names}, schema=TRIPLE_SCHEMA)
     table = pq.read_table(path)
     return table.filter(pc.equal(table["subj"], subj))
+
+
+def node_doc_counts_salted(triples_ds, salt: int = 8):
+    """Distinct-document count per canonical node — the aggregate where a
+    plain combiner can't bound per-key state (distinct sets grow with the
+    key's volume), so Zipfian hub entities are SALTED explicitly
+    (north_rule: "skew-aware salting of hub entities"):
+
+      stage 1: shuffle on (node, salt=hash(doc_id) %% k) — a hub node's
+               rows split across k sub-keys, so no single reducer holds
+               the hub's whole doc set; per-sub-key distinct counts are
+               exact because the salt partitions doc-id space disjointly.
+      stage 2: tiny groupby(node) sums the k partials.
+    """
+    from ray.data.aggregate import Sum
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rows = []
+        for node_col in ("subj", "obj"):
+            for node, doc in zip(
+                batch[node_col].to_pylist(), batch["doc_id"].to_pylist()
+            ):
+                rows.append((node, int(hashlib.md5(doc.encode()).hexdigest()[:8], 16) % salt, doc))
+        df = pd.DataFrame(rows, columns=["node", "salt", "doc_id"]).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def distinct_per_subkey(g):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "node": [g["node"].iloc[0]],
+                "n_docs_partial": [g["doc_id"].nunique()],
+            }
+        )
+
+    salted = triples_ds.map_batches(add_salt, batch_format="pyarrow")
+    partials = salted.repartition(16).groupby(["node", "salt"]).map_groups(
+        distinct_per_subkey, batch_format="pandas"
+    )
+    return partials.repartition(8).groupby("node").aggregate(
+        Sum("n_docs_partial", alias_name="n_docs")
+    )

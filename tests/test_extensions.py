@@ -252,3 +252,32 @@ def test_case_conflict_autofix():
     assert bad1.syns["Egfr"] == [False, 50]
     assert bad2.syns["eGFR"] == [False, 50]
     assert not _resources_have_case_conflicts([bad1, bad2])
+
+
+def test_salted_distinct_doc_counts(ray_session):
+    """Salted two-phase distinct-count equals the exact pandas answer."""
+    import pandas as pd
+
+    from kazu_ray.pipelines.kg import broadcast_store, triples_dataset
+    from kazu_ray.stages.materialize import node_doc_counts_salted
+
+    store_ref = broadcast_store()
+    triples = triples_dataset("/root/testdata/sf0.001", store_ref=store_ref)
+    df = triples.to_pandas()
+    exact = (
+        pd.concat(
+            [
+                df[["subj", "doc_id"]].rename(columns={"subj": "node"}),
+                df[["obj", "doc_id"]].rename(columns={"obj": "node"}),
+            ]
+        )
+        .drop_duplicates()
+        .groupby("node")
+        .doc_id.nunique()
+        .to_dict()
+    )
+    got = node_doc_counts_salted(
+        triples_dataset("/root/testdata/sf0.001", store_ref=store_ref)
+    ).to_pandas()
+    got_d = dict(zip(got.node, got.n_docs))
+    assert got_d == exact
