@@ -145,14 +145,23 @@ def node_degrees(triples_ds):
     )
 
 
-def materialize_triples(triples_ds, out_dir: str, num_parts: int = 16) -> list[dict]:
-    """Sorted, partitioned, manifest-tracked triple store.
+def materialize_partitioned(
+    ds,
+    out_dir: str,
+    key_col: str,
+    num_parts: int = 16,
+    sort_cols: list[str] | None = None,
+    hash_cols: list[str] | None = None,
+    file_name: str = "data.parquet",
+) -> list[dict]:
+    """Generic resumable partitioned materialize.
 
-    Partition key = hash(subj) % num_parts (stable across runs). Each
-    partition is sorted by (subj, pred, obj) and written atomically
-    (tmp file + rename); its manifest records row count, key range and a
-    content hash. Already-manifested partitions are skipped on re-run —
-    the engine's checkpoint-resume contract.
+    Partition = hash(key_col) % num_parts (stable across runs); each
+    partition is optionally sorted, written atomically (tmp + rename),
+    and described by a content-hashed manifest under ``_manifests/``.
+    Partitions with an existing manifest are skipped on re-run; empty
+    partitions get zero-row manifests so resume converges. Shared by the
+    triple store and the annotated-docs sink.
     """
     import pyarrow.parquet as pq
 
@@ -161,9 +170,7 @@ def materialize_triples(triples_ds, out_dir: str, num_parts: int = 16) -> list[d
     os.makedirs(manifest_dir, exist_ok=True)
 
     done_parts = {
-        int(f.split(".")[0])
-        for f in os.listdir(manifest_dir)
-        if f.endswith(".json")
+        int(f.split(".")[0]) for f in os.listdir(manifest_dir) if f.endswith(".json")
     }
     pending = [p for p in range(num_parts) if p not in done_parts]
     if not pending:
@@ -171,61 +178,59 @@ def materialize_triples(triples_ds, out_dir: str, num_parts: int = 16) -> list[d
 
     def _assign_part(batch: pa.Table) -> pa.Table:
         parts = [
-            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % num_parts
-            for s in batch["subj"].to_pylist()
+            int(hashlib.md5(str(s).encode()).hexdigest()[:8], 16) % num_parts
+            for s in batch[key_col].to_pylist()
         ]
-        return batch.append_column("part", pa.array(parts, type=pa.int32()))
+        return batch.append_column("__part", pa.array(parts, type=pa.int32()))
 
-    with_part = triples_ds.map_batches(_assign_part, batch_format="pyarrow")
+    with_part = ds.map_batches(_assign_part, batch_format="pyarrow")
     if done_parts:
         import pyarrow.compute as pc
 
-        pending_set = set(pending)
+        pending_arr = pa.array(sorted(pending), type=pa.int32())
         with_part = with_part.map_batches(
-            lambda t: t.filter(pc.is_in(t["part"], pa.array(sorted(pending_set), type=pa.int32()))),
+            lambda t: t.filter(pc.is_in(t["__part"], pending_arr)),
             batch_format="pyarrow",
         )
 
+    content_cols = hash_cols or ([key_col] + (sort_cols or []))
+
     def _write_partition(group):
-        # one partition at a time: sort locally, write atomically
-        part = int(group["part"].iloc[0])
-        table = pa.Table.from_pandas(
-            group.sort_values(["subj", "pred", "obj"]).drop(columns=["part"]),
-            preserve_index=False,
-        )
+        import pandas as pd
+
+        part = int(group["__part"].iloc[0])
+        if sort_cols:
+            group = group.sort_values(sort_cols)
+        table = pa.Table.from_pandas(group.drop(columns=["__part"]), preserve_index=False)
         part_dir = os.path.join(out_dir, f"part={part}")
         os.makedirs(part_dir, exist_ok=True)
-        tmp = os.path.join(part_dir, ".tmp.parquet")
+        tmp = os.path.join(part_dir, f".tmp.{file_name}")
         pq.write_table(table, tmp)
-        final = os.path.join(part_dir, "triples.parquet")
-        os.replace(tmp, final)
+        os.replace(tmp, os.path.join(part_dir, file_name))
         content_hash = hashlib.sha256()
-        for s, p, o in zip(
-            table["subj"].to_pylist(), table["pred"].to_pylist(), table["obj"].to_pylist()
-        ):
-            content_hash.update(f"{s}\t{p}\t{o}\n".encode())
+        cols = [table[c].to_pylist() for c in dict.fromkeys(content_cols)]
+        for vals in zip(*cols) if cols else ():
+            content_hash.update(("\t".join(str(v) for v in vals) + "\n").encode())
+        keys = table[key_col].to_pylist()
         manifest = {
             "partition_id": part,
             "row_count": table.num_rows,
-            "min_subj": table["subj"][0].as_py() if table.num_rows else None,
-            "max_subj": table["subj"][-1].as_py() if table.num_rows else None,
+            "min_key": min(keys) if keys else None,
+            "max_key": max(keys) if keys else None,
             "sha256": content_hash.hexdigest(),
         }
         tmp_manifest = os.path.join(manifest_dir, f".{part}.json.tmp")
         with open(tmp_manifest, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp_manifest, os.path.join(manifest_dir, f"{part}.json"))
-        import pandas as pd
-
         return pd.DataFrame({"partition_id": [part], "row_count": [table.num_rows]})
 
-    # groupby(part) is the single all-to-all exchange of the pipeline;
-    # num_parts bounds its fan-out and the partition dirs are the resume unit
-    with_part.groupby("part").map_groups(_write_partition, batch_format="pandas").materialize()
+    # groupby(__part) is the single all-to-all exchange; num_parts bounds
+    # its fan-out and the partition dirs are the resume unit
+    with_part.groupby("__part").map_groups(
+        _write_partition, batch_format="pandas"
+    ).materialize()
 
-    # partitions with zero triples never appear in the groupby — write
-    # their (empty) manifests so resume converges instead of re-running
-    # the pipeline forever looking for them
     written = {
         int(f.split(".")[0]) for f in os.listdir(manifest_dir) if f.endswith(".json")
     }
@@ -237,14 +242,29 @@ def materialize_triples(triples_ds, out_dir: str, num_parts: int = 16) -> list[d
                     {
                         "partition_id": part,
                         "row_count": 0,
-                        "min_subj": None,
-                        "max_subj": None,
+                        "min_key": None,
+                        "max_key": None,
                         "sha256": hashlib.sha256(b"").hexdigest(),
                     },
                     f,
                 )
             os.replace(tmp_manifest, os.path.join(manifest_dir, f"{part}.json"))
     return load_manifests(out_dir)
+
+
+def materialize_triples(triples_ds, out_dir: str, num_parts: int = 16) -> list[dict]:
+    """Sorted, partitioned, manifest-tracked triple store: hash(subj)
+    partitions, (subj, pred, obj)-sorted files, content-hashed manifests,
+    checkpoint-resume — see :func:`materialize_partitioned`."""
+    return materialize_partitioned(
+        triples_ds,
+        out_dir,
+        key_col="subj",
+        num_parts=num_parts,
+        sort_cols=["subj", "pred", "obj"],
+        hash_cols=["subj", "pred", "obj"],
+        file_name="triples.parquet",
+    )
 
 
 def load_manifests(out_dir: str) -> list[dict]:
@@ -264,7 +284,9 @@ def write_annotated(docs_ds, out_dir: str) -> dict:
 
     Mirrors the reference's JSON doc sink + ``FailedDocsFileHandler``
     (``kazu/pipeline/__init__.py:92-117``): successfully processed docs
-    land under ``out_dir/docs``; docs whose per-row processing raised
+    land under ``out_dir/docs`` (partitioned + manifest-tracked via
+    :func:`materialize_partitioned`, so a rerun resumes); docs whose
+    per-row processing raised
     land under ``out_dir/failed`` with their traceback string, so a
     human can triage without re-running. Both are partitioned Parquet
     directories (resumable layout)."""
@@ -278,7 +300,13 @@ def write_annotated(docs_ds, out_dir: str) -> dict:
         lambda t: t.filter(pc.not_equal(t["processing_exception"], "")),
         batch_format="pyarrow",
     )
-    ok.write_parquet(os.path.join(out_dir, "docs"))
+    materialize_partitioned(
+        ok,
+        os.path.join(out_dir, "docs"),
+        key_col="doc_id",
+        num_parts=16,
+        file_name="docs.parquet",
+    )
     failed_count = 0
     failed_path = os.path.join(out_dir, "failed")
     failed_df = failed.to_pandas()

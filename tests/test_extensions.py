@@ -132,7 +132,7 @@ def test_write_annotated_side_channel(ray_session, cache_dir, tmp_path):
     import pyarrow.parquet as pq
     import glob
 
-    files = glob.glob(str(tmp_path / "out" / "docs" / "*.parquet"))
+    files = glob.glob(str(tmp_path / "out" / "docs" / "part=*" / "*.parquet"))
     assert files
     total = sum(pq.read_metadata(f).num_rows for f in files)
     assert total == 2
