@@ -117,3 +117,21 @@ def test_ivf_near_dup_pairs_matches_exact(ray_session):
     expected = {(min(a, b), max(a, b)) for a, b in zip(ii, jj)}
     assert expected, "no planted pairs?"
     assert got_pairs == expected
+
+
+def test_incremental_sessionize_matches_batch(ray_session):
+    """Stateful-actor sessionization must agree with the batch
+    groupby-based sessionize on session counts per user."""
+    import ray.data as rd
+
+    from kazu_ray.ops.relational import sessionize
+    from kazu_ray.ops.streaming import incremental_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    batch = sessionize(sf).to_pandas().set_index("user_id")
+    events = rd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    inc = incremental_sessionize(events)
+    per_user = inc.groupby("user_id").size()
+    for user_id, n_sessions in per_user.items():
+        assert batch.loc[user_id, "n_sessions"] == n_sessions, user_id
+    assert inc["n_events"].sum() == batch["n_events"].sum()
