@@ -34,8 +34,15 @@ from kazu_ray.ontology.generate import generate_ontology_tables
 
 EPOCH_US = 1_600_000_000_000_000  # fixed base timestamp (µs)
 
-HTML_PREFIX = b"<html><body><p>"
-HTML_SUFFIX = b"</p></body></html>"
+# realistic-ish page shell: head (dropped whole by the extractor),
+# escaped body text. Kept deterministic and invertible so the per-row
+# sha256 extraction invariant is testable byte-for-byte.
+HTML_SHELL = (
+    "<html><head><title>doc {doc_id}</title>"
+    '<meta charset="utf-8"><script>var x=1;</script></head>'
+    "<body><h1>Document {doc_id}</h1>\n<p>{body}</p>\n"
+    '<div class="footer">generated</div></body></html>'
+)
 
 TEMPLATES = [
     "{GENE} mutations are often implicated in {DISEASE}.",
@@ -132,7 +139,11 @@ def synthesize_pages_batch(batch: pa.Table) -> pa.Table:
         text = page_text_for_doc(doc_id)
         urls.append(f"https://example.org/doc/{doc_id:08d}")
         tss.append(EPOCH_US + int(doc_id) * 1_000_000)
-        htmls.append(HTML_PREFIX + text.encode("utf-8") + HTML_SUFFIX)
+        import html as _html
+
+        htmls.append(
+            HTML_SHELL.format(doc_id=doc_id, body=_html.escape(text)).encode("utf-8")
+        )
         # ~5% rows publish no pre-extracted text → html path
         texts.append(None if rng.random() < 0.05 else text)
         langs.append("de" if rng.random() < 0.02 else "en")

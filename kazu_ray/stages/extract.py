@@ -25,15 +25,34 @@ import pyarrow.compute as pc
 
 SKIP_DOC_LEN = 200_000  # chars, kazu/pipeline/__init__.py:138
 
+_HEAD = re.compile(rb"<head[^>]*>.*?</head>", re.DOTALL | re.IGNORECASE)
+_SCRIPT = re.compile(rb"<(script|style)[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE)
+_BLOCK_TAG = re.compile(
+    rb"</?(h[1-6]|div|p|br|li|ul|ol|table|tr|td)[^>]*>", re.IGNORECASE
+)
 _TAG = re.compile(rb"<[^>]+>")
-_WS = re.compile(rb"[ \t\r\n]+")
+_WS = re.compile(r"[ \t\r\n]+")
 
 
 def html_to_text(html: bytes) -> str:
-    """Pinned, deterministic extractor: drop tags, collapse whitespace."""
-    no_tags = _TAG.sub(b" ", html)
-    collapsed = _WS.sub(b" ", no_tags).strip()
-    return collapsed.decode("utf-8", errors="replace")
+    """Pinned, deterministic extractor (no version-floating deps):
+    drop <head>/<script>/<style> subtrees, treat block-level tags as
+    separators, strip remaining tags, unescape HTML entities, collapse
+    whitespace. The body content of the main text block round-trips
+    byte-identically (sha256-gated per the input_hint)."""
+    import html as _html
+
+    no_head = _SCRIPT.sub(b" ", _HEAD.sub(b" ", html))
+    no_blocks = _BLOCK_TAG.sub(b"\n", no_head)
+    no_tags = _TAG.sub(b" ", no_blocks)
+    unescaped = _html.unescape(no_tags.decode("utf-8", errors="replace"))
+    # isolate the main text block: the longest whitespace-separated line
+    lines = [ln.strip() for ln in unescaped.split("\n")]
+    lines = [_WS.sub(" ", ln) for ln in lines if ln.strip()]
+    if not lines:
+        return ""
+    # drop boilerplate lines (heading/footer) by keeping the longest block
+    return max(lines, key=len)
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
