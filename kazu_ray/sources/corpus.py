@@ -199,8 +199,12 @@ def ensure_pages_parquet(
     """
     import ray.data as rd
 
+    from kazu_ray.ontology.generate import ONTOLOGY_VERSION
+
+    # keyed by ontology version: the mention bank derives from the
+    # generated ontology tables, so corpus content changes with them
     tag = sf_dir.rstrip("/").split("/")[-1]
-    out_dir = os.path.join(out_root, f"{tag}_x{multiplier}")
+    out_dir = os.path.join(out_root, f"{tag}_x{multiplier}_{ONTOLOGY_VERSION}")
     done_marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done_marker):
         return out_dir
