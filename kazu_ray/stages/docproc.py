@@ -113,16 +113,18 @@ def _short_form_ok(tokens: list[str], joined: str) -> bool:
     return joined[0].isalpha()
 
 
-def apply_abbreviations(
+def detect_abbreviations(
     text: str,
     ents: list[dict],
-    sents: list[tuple[int, int]] | None = None,
-    namespace: str = "AbbreviationFinder",
-):
-    """Detect "long (short)" definitions; apply the short form doc-wide:
-    at each short-form occurrence, drop existing entities at exactly that
-    span and copy the long-form source entities onto it (HIGHLY_LIKELY
-    confidence) — ``abbreviation_detector.py:262-460``."""
+    seen_long: set[str] | None = None,
+    seen_short: set[str] | None = None,
+) -> dict[tuple[str, ...], list[dict]]:
+    """Find "long (short)" definitions in one section and the source
+    entities anchored at the long-form span. ``seen_long``/``seen_short``
+    are shared across sections so a definition is learnt once per doc
+    (``abbreviation_detector.py:400-424``)."""
+    seen_long = seen_long if seen_long is not None else set()
+    seen_short = seen_short if seen_short is not None else set()
     toks = _tokens(text)
     # minimal paren pairs
     pairs = []
@@ -139,8 +141,6 @@ def apply_abbreviations(
         ents_by_span.setdefault((ent["start"], ent["end"]), []).append(ent)
 
     short_to_sources: dict[tuple[str, ...], list[dict]] = {}
-    seen_long: set[str] = set()
-    seen_short: set[str] = set()
     for open_i, close_i in pairs:
         start, end = open_i + 1, close_i  # brackets stripped (detector :441)
         if end - start > 8 or end - start < 1 or start == 1:
@@ -174,10 +174,24 @@ def apply_abbreviations(
         seen_long.add(long_text)
         seen_short.add(" ".join(short_tokens))
         short_to_sources[short_key] = ents_by_span.get(long_span, [])
+    return short_to_sources
 
+
+def apply_short_forms(
+    text: str,
+    ents: list[dict],
+    short_to_sources: dict[tuple[str, ...], list[dict]],
+    sents: list[tuple[int, int]] | None = None,
+    namespace: str = "AbbreviationFinder",
+    section_idx: int = 0,
+) -> list[dict]:
+    """At each short-form occurrence in this section, drop existing
+    entities at exactly that span and copy the long-form source entities
+    onto it (HIGHLY_LIKELY confidence) — ``abbreviation_detector.py:262-460``.
+    Definitions may come from ANY section of the document."""
     if not short_to_sources:
         return ents
-
+    toks = _tokens(text)
     # global matcher: find every occurrence of each short-form token seq
     tok_texts = [t[0] for t in toks]
     remove_spans: set[tuple[int, int]] = set()
@@ -204,11 +218,23 @@ def apply_abbreviations(
                         "cands": [list(c) for c in src["cands"]],
                         "mappings": [dict(m) for m in src["mappings"]],
                         "sent_idx": sent_idx,
+                        "section_idx": section_idx,
                     }
                 )
     kept = [e for e in ents if (e["start"], e["end"]) not in remove_spans]
     kept.extend(new_ents)
     return kept
+
+
+def apply_abbreviations(
+    text: str,
+    ents: list[dict],
+    sents: list[tuple[int, int]] | None = None,
+    namespace: str = "AbbreviationFinder",
+):
+    """Single-section convenience: detect + apply in one text."""
+    short_to_sources = detect_abbreviations(text, ents)
+    return apply_short_forms(text, ents, short_to_sources, sents, namespace)
 
 
 # ---------------------------------------------------------------------------
@@ -459,6 +485,72 @@ def process_doc(
     ents = merge_overlapping(ents)
     triples = emit_triples(doc_id, ents)
     return ents, triples
+
+
+def process_sections(
+    runner: MappingRunner,
+    section_texts: list[str],
+    doc_id: str,
+    ents_per_section: list[list[dict]],
+    sents_per_section: list[list[tuple[int, int]]],
+    class_rules: dict | None = None,
+) -> tuple[list[dict], list[dict]]:
+    """Multi-section document tail — the reference's ``Document`` →
+    ``Section`` shape (``kazu/data/__init__.py:438-565``): NER/linking ran
+    per section; this runs the doc-scoped steps with the reference's
+    cross-section semantics:
+
+    * rules filter + mapping + cleanup are document-wide;
+    * abbreviation DEFINITIONS learnt in any section are APPLIED in every
+      section (``abbreviation_finder.py:14-16``);
+    * overlap merging is per section (``merge_overlapping_ents.py:90``);
+    * triples use document-global sentence numbering (sections offset by
+      their predecessors' sentence counts).
+
+    Entity spans stay section-local; each entity carries ``section_idx``.
+    """
+    rules = class_rules or {}
+    doc_text = "\n".join(section_texts)
+    for i, ents in enumerate(ents_per_section):
+        for e in ents:
+            e["section_idx"] = i
+    if rules:
+        ents_per_section = [
+            rules_based_filter(doc_text, sents, ents, rules)
+            for ents, sents in zip(ents_per_section, sents_per_section)
+        ]
+    all_ents = [e for ents in ents_per_section for e in ents]
+    runner.run_doc(all_ents, doc_text)
+
+    # abbreviations: detect across all sections, apply across all sections
+    seen_long: set[str] = set()
+    seen_short: set[str] = set()
+    short_to_sources: dict = {}
+    for text, ents in zip(section_texts, ents_per_section):
+        found = detect_abbreviations(text, ents, seen_long, seen_short)
+        for key, sources in found.items():
+            short_to_sources.setdefault(key, sources)
+    final_sections: list[list[dict]] = []
+    for i, (text, ents, sents) in enumerate(
+        zip(section_texts, ents_per_section, sents_per_section)
+    ):
+        ents = apply_short_forms(text, ents, short_to_sources, sents, section_idx=i)
+        ents = cleanup(ents)
+        ents = merge_overlapping(ents)
+        final_sections.append(ents)
+
+    # triples with document-global sentence numbering
+    offset = 0
+    final_ents: list[dict] = []
+    triples: list[dict] = []
+    for i, (ents, sents) in enumerate(zip(final_sections, sents_per_section)):
+        for e in ents:
+            e["sent_idx"] = e.get("sent_idx", 0) + offset
+            e["section_idx"] = i
+        triples.extend(emit_triples(doc_id, ents))
+        final_ents.extend(ents)
+        offset += max(1, len(sents))
+    return final_ents, triples
 
 
 class DocPostProcessStage:

@@ -72,6 +72,54 @@ def make_annotate_task(
     return annotate_task
 
 
+def make_annotate_sections_task(store, with_regex_ner: bool = True, class_rules: dict | None = None):
+    """``map_batches`` function for multi-section documents: expects a
+    ``sections`` column (list of strings, or list of structs with a
+    ``text`` field). Emits ents_json / triples_json with per-entity
+    ``section_idx`` and document-global sentence numbering."""
+    key = (
+        (store if isinstance(store, str) else store.hex()),
+        with_regex_ner,
+        "sections",
+    )
+
+    def annotate_sections_task(batch: pa.Table) -> pa.Table:
+        import traceback
+
+        stage = _WORKER_STAGE_CACHE.get(key)
+        if stage is None:
+            stage = AnnotateStage(store, with_regex_ner, class_rules)
+            _WORKER_STAGE_CACHE[key] = stage
+        ents_out, triples_out, errors = [], [], []
+        for doc_id, sections in zip(
+            batch["doc_id"].to_pylist(), batch["sections"].to_pylist()
+        ):
+            texts = [
+                s["text"] if isinstance(s, dict) else s for s in (sections or [])
+            ]
+            try:
+                ents, triples = stage.annotate_sections(texts, doc_id)
+                error = ""
+            except Exception:
+                ents, triples = [], []
+                error = traceback.format_exc(limit=5)
+            ents_out.append(json.dumps(ents))
+            triples_out.append(json.dumps(triples))
+            errors.append(error)
+        out = batch.append_column(
+            "ents_json", pa.array(ents_out, type=pa.large_string())
+        )
+        out = out.append_column(
+            "triples_json", pa.array(triples_out, type=pa.large_string())
+        )
+        out = out.append_column(
+            "processing_exception", pa.array(errors, type=pa.large_string())
+        )
+        return out
+
+    return annotate_sections_task
+
+
 class AnnotateStage:
     """docs(text) → docs + ents_json + sents_json + triples_json."""
 
@@ -122,6 +170,61 @@ class AnnotateStage:
                         if (c[0], c[1]) not in existing:
                             ent["cands"].append(list(c))
         return process_doc(self.runner, text, doc_id, ents, spans, self.class_rules), spans
+
+    def _section_ner(self, text: str):
+        """NER + regex + split + linking for one section (section-local spans)."""
+        from kazu_ray.lang import normalizer
+
+        spans = sentence_spans(text)
+        ents = match_entities(text, self.automaton)
+        for e in ents:
+            e["sent_idx"] = sentence_index_for_span(spans, e["start"])
+        if self.with_regex_ner:
+            for m in REGEX_NER_PATTERN.finditer(text):
+                ents.append(
+                    {
+                        "start": m.start(),
+                        "end": m.end(),
+                        "match": m.group(),
+                        "match_norm": normalizer.normalize(m.group(), "gene"),
+                        "entity_class": "gene",
+                        "namespace": REGEX_NAMESPACE,
+                        "confidence": 50,
+                        "cands": [],
+                        "mappings": [],
+                        "sent_idx": sentence_index_for_span(spans, m.start()),
+                    }
+                )
+            ents = split_non_contiguous(ents, text)
+            for ent in ents:
+                if ent["namespace"] == REGEX_NAMESPACE:
+                    cands = self.linker._search(ent["match"], ent["entity_class"])
+                    existing = {(c[0], c[1]) for c in ent["cands"]}
+                    for c in cands:
+                        if (c[0], c[1]) not in existing:
+                            ent["cands"].append(list(c))
+        return ents, spans
+
+    def annotate_sections(self, section_texts: list[str], doc_id: str):
+        """Multi-section document annotation (reference Document/Section
+        shape): per-section NER/linking, document-wide mapping, cross-
+        section abbreviation application — see
+        ``docproc.process_sections``."""
+        from kazu_ray.stages.docproc import process_sections
+
+        ents_per_section, sents_per_section = [], []
+        for text in section_texts:
+            ents, spans = self._section_ner(text)
+            ents_per_section.append(ents)
+            sents_per_section.append(spans)
+        return process_sections(
+            self.runner,
+            section_texts,
+            doc_id,
+            ents_per_section,
+            sents_per_section,
+            self.class_rules,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # per-document exception capture (poison-pill semantics): one bad

@@ -281,3 +281,70 @@ def test_salted_distinct_doc_counts(ray_session):
     ).to_pandas()
     got_d = dict(zip(got.node, got.n_docs))
     assert got_d == exact
+
+
+def test_cross_section_abbreviation_application(cache_dir):
+    """The reference's headline Document/Section semantic
+    (abbreviation_finder.py:14-16): an abbreviation DEFINED in section 0
+    grounds bare mentions in section 1."""
+    from kazu_ray.stages.fused import AnnotateStage
+
+    stage = AnnotateStage(cache_dir)
+    sections = [
+        "Patients had acute lymphoblastic leukemia (ALL) at baseline.",
+        "Relapse was recorded in twelve cases. ALL patients received vorastatin daily.",
+    ]
+    ents, triples = stage.annotate_sections(sections, "doc-ms")
+    alls = [e for e in ents if e["match"] == "ALL"]
+    assert len(alls) == 2
+    assert {e["section_idx"] for e in alls} == {0, 1}
+    assert all(
+        {m["idx"] for m in e["mappings"]} == {"MONDO_2000001"} for e in alls
+    )
+    # section-1 drug+disease co-occurrence, with globally-offset sent_idx
+    t = [x for x in triples if x["pred"] == "treats_candidate"]
+    assert t and all(x["sent_idx"] >= 1 for x in t)
+
+
+def test_sections_match_single_section_when_one():
+    from kazu_ray.state.store import ensure_default_caches
+    from kazu_ray.stages.fused import AnnotateStage
+
+    stage = AnnotateStage(ensure_default_caches())
+    text = "EGFR12 mutations in breast cancer. Treatment with vorastatin helped."
+    (ents1, triples1), _ = stage.annotate_doc(text, "d")
+    ents2, triples2 = stage.annotate_sections([text], "d")
+    assert [
+        (e["start"], e["end"], e["entity_class"]) for e in ents1
+    ] == [(e["start"], e["end"], e["entity_class"]) for e in ents2]
+    strip = lambda ts: [
+        {k: v for k, v in t.items()} for t in ts
+    ]
+    assert strip(triples1) == strip(triples2)
+
+
+def test_sectioned_dataset_stage(ray_session, cache_dir):
+    import json
+
+    import ray.data as rd
+
+    from kazu_ray.stages.fused import make_annotate_sections_task
+
+    docs = rd.from_items(
+        [
+            {
+                "doc_id": "s1",
+                "sections": [
+                    {"name": "abstract", "text": "Breast cancer (BC) outcomes."},
+                    {"name": "body", "text": "BC patients received vorastatin."},
+                ],
+            },
+            {"doc_id": "s2", "sections": [{"name": "body", "text": "flu season."}]},
+        ]
+    ).map_batches(make_annotate_sections_task(cache_dir), batch_format="pyarrow")
+    out = docs.to_pandas().set_index("doc_id")
+    ents = json.loads(out.loc["s1", "ents_json"])
+    bcs = [e for e in ents if e["match"] == "BC"]
+    assert len(bcs) == 2 and {e["section_idx"] for e in bcs} == {0, 1}
+    triples = json.loads(out.loc["s1", "triples_json"])
+    assert any(t["pred"] == "treats_candidate" for t in triples)
