@@ -348,3 +348,42 @@ def test_sectioned_dataset_stage(ray_session, cache_dir):
     assert len(bcs) == 2 and {e["section_idx"] for e in bcs} == {0, 1}
     triples = json.loads(out.loc["s1", "triples_json"])
     assert any(t["pred"] == "treats_candidate" for t in triples)
+
+
+def test_kazu_corpus_loader_roundtrip(ray_session, cache_dir, tmp_path):
+    """Reference-shaped parquet corpus → sectioned annotation end to end,
+    including the keep-most-sections duplicate-id rule."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kazu_ray.sources.kazu_corpus import read_kazu_corpus
+    from kazu_ray.stages.fused import make_annotate_sections_task
+
+    sec_t = pa.struct([("section", pa.string()), ("text", pa.string()), ("subSection", pa.string())])
+    table = pa.table(
+        {
+            "id": ["a", "a", "b"],
+            "sections": pa.array(
+                [
+                    [{"section": "abstract", "text": "breast cancer (BC).", "subSection": None}],
+                    [
+                        {"section": "abstract", "text": "breast cancer (BC).", "subSection": None},
+                        {"section": "body", "text": "BC patients improved.", "subSection": "s1"},
+                    ],
+                    [{"section": "body", "text": "flu season.", "subSection": None}],
+                ],
+                type=pa.list_(sec_t),
+            ),
+        }
+    )
+    p = tmp_path / "corpus.parquet"
+    pq.write_table(table, p)
+    ds = read_kazu_corpus(str(p))
+    docs = ds.map_batches(make_annotate_sections_task(cache_dir), batch_format="pyarrow")
+    out = docs.to_pandas().set_index("doc_id")
+    assert len(out) == 2  # duplicate id "a" deduped
+    ents_a = json.loads(out.loc["a", "ents_json"])
+    # the 2-section variant won: BC grounded in both sections
+    assert {e["section_idx"] for e in ents_a if e["match"] == "BC"} == {0, 1}
