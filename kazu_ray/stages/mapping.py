@@ -630,6 +630,97 @@ class MappingRunner:
                     continue
                 self._execute(bucket, doc, table, key_memo)
 
+    def _try_fast_path(self, group, doc, class_strategies, default_strategies) -> bool:
+        """Resolve an entity group directly when the full ladder's outcome
+        is provably determined; returns True iff resolved."""
+        ref = group[0]
+        cands = ref["cands"]
+        # all exact-match candidates from exactly one parser
+        if not cands or any(not c[2] for c in cands):
+            return False
+        parser = cands[0][0]
+        if any(c[0] != parser for c in cands):
+            return False
+        strategies = class_strategies.get(ref["entity_class"], default_strategies)
+        if not strategies or type(strategies[0]) is not ExactMatchMappingStrategy:
+            return False
+        first = strategies[0]
+        candidates = self._candidates_of(ref)
+        if len(candidates) != len(cands):
+            return False
+        id_sets = set()
+        for cand in candidates:
+            id_sets.update(cand.associated_id_sets)
+        if len(id_sets) != 1:
+            return False
+        (id_set,) = id_sets
+
+        store = self.store
+        if first.disamb_essential:
+            # only the prefer-default-label-essential shape is predictable
+            if len(first.disamb_strategies) != 1 or not isinstance(
+                first.disamb_strategies[0], PreferDefaultLabelStrategy
+            ):
+                return False
+            entity_class = store.parser_entity_class[parser]
+            kept = sorted(
+                (idx, source)
+                for idx, source in id_set
+                if normalizer.normalize(
+                    store.default_label(parser, idx), entity_class
+                )
+                == ref["match_norm"]
+            )
+            if kept:
+                mappings = [
+                    make_mapping(
+                        store, parser, idx, source,
+                        "ExactMatchMappingStrategy", first.confidence,
+                        PreferDefaultLabelStrategy.name, HL,
+                    )
+                    for idx, source in kept
+                ]
+            else:
+                # essential strategy fails → next ladder entry must be a
+                # plain non-essential Exact for the outcome to be known
+                if (
+                    len(strategies) < 2
+                    or type(strategies[1]) is not ExactMatchMappingStrategy
+                    or strategies[1].disamb_essential
+                ):
+                    return False
+                mappings = [
+                    make_mapping(
+                        store, parser, idx, source,
+                        "ExactMatchMappingStrategy", strategies[1].confidence,
+                        DISAMBIGUATION_NOT_REQUIRED, None,
+                    )
+                    for idx, source in sorted(id_set)
+                ]
+        else:
+            mappings = [
+                make_mapping(
+                    store, parser, idx, source,
+                    "ExactMatchMappingStrategy", first.confidence,
+                    DISAMBIGUATION_NOT_REQUIRED, None,
+                )
+                for idx, source in sorted(id_set)
+            ]
+
+        for mapping in mappings:
+            xrefs = (
+                self.xref_manager.create_xref_mappings(mapping)
+                if self.xref_manager is not None
+                else []
+            )
+            for ent in group:
+                if mapping not in ent["mappings"]:
+                    ent["mappings"].append(dict(mapping))
+                for xref in xrefs:
+                    if xref not in ent["mappings"]:
+                        ent["mappings"].append(dict(xref))
+        return True
+
     def _execute(self, ents: list[dict], doc: DocContext, table, key_memo=None) -> None:
         """execute_hit_post_processing_strategies + per-group bookkeeping
         (``strategy_runner.py:294-342``, ``:40-159``). stop_on_success is
@@ -648,6 +739,20 @@ class MappingRunner:
         unresolved: dict[tuple, set[str]] = {}
         mapped_flag: dict[tuple, bool] = {}
         cand_memo: dict[tuple, dict] = {}
+
+        # fast path for the dominant case — all candidates exact, single
+        # parser, single unambiguous EquivalentIdSet: the ladder outcome
+        # is fully determined by its first one or two Exact strategies, so
+        # resolve directly without running the strategy machinery.
+        # Equivalence with the slow path is enforced by
+        # tests/test_mapping_and_docproc.py::test_fast_path_matches_slow_path.
+        slow_groups = []
+        for group in groups:
+            resolved = self._try_fast_path(group, doc, class_strategies, default_strategies)
+            if not resolved:
+                slow_groups.append(group)
+        groups = slow_groups
+
         for i in range(max_index):
             for group in groups:
                 ref = group[0]

@@ -172,3 +172,34 @@ def test_triple_emission_pairs():
     assert t["subj"] == "ENSEMBL:G1" and t["obj"] == "MONDO:D1"
     assert t["confidence"] == 50
     assert canonical_id(ents[2]) is None
+
+
+def test_fast_path_matches_slow_path(store):
+    """Differential test: the unambiguous-exact fast path must produce
+    byte-identical mappings to the full strategy ladder over the whole
+    sf0.001 corpus."""
+    from kazu_ray.sources.corpus import pages_pandas
+    from kazu_ray.stages.extract import html_to_text
+    from kazu_ray.stages.fused import AnnotateStage
+    from kazu_ray.stages.mapping import MappingRunner
+    from kazu_ray.state.store import ensure_default_caches
+
+    cache_dir = ensure_default_caches()
+    stage = AnnotateStage(cache_dir)
+    pages = pages_pandas("/root/testdata/sf0.001", limit=200)
+    slow_runner = MappingRunner(store)
+    slow_runner._try_fast_path = lambda *a, **k: False  # disable fast path
+    fast_runner = stage.runner
+
+    for row in pages.itertuples(index=False):
+        text = row.text if row.text is not None else html_to_text(row.html)
+        ents_fast, _ = stage._section_ner(text)
+        import copy
+
+        ents_slow = copy.deepcopy(ents_fast)
+        fast_runner.run_doc(ents_fast, text)
+        slow_runner.run_doc(ents_slow, text)
+        for ef, es in zip(ents_fast, ents_slow):
+            assert sorted(map(str, ef["mappings"])) == sorted(
+                map(str, es["mappings"])
+            ), (row.url, ef["match"])
