@@ -302,6 +302,24 @@ def _top_events_per_user(sf_dir: str, k: int = 3):
     return ds.groupby("user_id").map_groups(top_k, batch_format="pandas")
 
 
+def _quality_filtered_docs(sf_dir: str):
+    """C4-style quality gate: keep docs with ≥30 words and stopword count
+    ≥ 3 — the filter shape of a training-data cleaning pipeline."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from kazu_ray.ops.text import quality_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    q = ds.map_batches(quality_batch, batch_format="pyarrow")
+    return q.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["n_words"], 30), pc.greater_equal(t["n_stopwords"], 3))
+        ).select(["doc_id", "n_words", "n_stopwords"]),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.ops import relational
     from kazu_ray.ops.text import LangIdStage
@@ -325,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": _lang_distribution,
         "doc_fingerprints": _doc_fingerprints,
         "doc_langid": _langid,
+        "quality_filtered_docs": _quality_filtered_docs,
         # dedup
         "exact_dedup": _exact_dedup,
         "minhash_near_dups": _minhash_pairs,
@@ -369,6 +388,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_distribution": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "quality_filtered_docs": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'for', 'on')))
+                       AS n_stopwords
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 30
+              AND len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'for', 'on'))) >= 3
+        """,
         "doc_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n

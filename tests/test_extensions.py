@@ -387,3 +387,24 @@ def test_kazu_corpus_loader_roundtrip(ray_session, cache_dir, tmp_path):
     ents_a = json.loads(out.loc["a", "ents_json"])
     # the 2-section variant won: BC grounded in both sections
     assert {e["section_idx"] for e in ents_a if e["match"] == "BC"} == {0, 1}
+
+
+def test_doc_length_guard_routes_to_failure():
+    import pyarrow as pa
+
+    from kazu_ray.stages.extract import SKIP_DOC_LEN, extract_batch
+
+    long_text = "x" * (SKIP_DOC_LEN + 10)
+    batch = pa.table(
+        {
+            "url": ["u1", "u2"],
+            "warc_ts": pa.array([0, 0], type=pa.timestamp("us")),
+            "html": pa.array([b"<html><body><p>a</p></body></html>"] * 2, type=pa.binary()),
+            "text": pa.array([long_text, "short doc."], type=pa.large_string()),
+            "lang": ["en", "en"],
+        }
+    )
+    out = extract_batch(batch)
+    statuses = dict(zip(out["url"].to_pylist(), out["status"].to_pylist()))
+    assert statuses["u1"] == "doc_too_long"
+    assert statuses["u2"] == ""
