@@ -302,6 +302,17 @@ def _top_events_per_user(sf_dir: str, k: int = 3):
     return ds.groupby("user_id").map_groups(top_k, batch_format="pandas")
 
 
+def _sampled_docs(sf_dir: str):
+    """Deterministic 20% sample of documents by md5(doc_id) bucket —
+    reproducible across engines (the SQL oracle computes the same rule)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.sample import sample_by_hash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return sample_by_hash(ds, "doc_id", 20)
+
+
 def _quality_filtered_docs(sf_dir: str):
     """C4-style quality gate: keep docs with ≥30 words and stopword count
     ≥ 3 — the filter shape of a training-data cleaning pipeline."""
@@ -344,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _doc_fingerprints,
         "doc_langid": _langid,
         "quality_filtered_docs": _quality_filtered_docs,
+        "sampled_docs": _sampled_docs,
         # dedup
         "exact_dedup": _exact_dedup,
         "minhash_near_dups": _minhash_pairs,
@@ -388,6 +400,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_distribution": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "sampled_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT) % 100 < 20
+        """,
         "quality_filtered_docs": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_words,

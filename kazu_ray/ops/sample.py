@@ -1,0 +1,46 @@
+"""Deterministic sampling operators.
+
+Training-data pipelines sample constantly (eval splits, ablations,
+decontamination spot-checks). ``Dataset.random_sample`` is
+seed-dependent per execution plan; these operators instead key the
+decision on a content hash, which makes samples (a) reproducible across
+runs/engines — the DuckDB oracle computes the identical md5 rule — and
+(b) resumable: re-running after a failure selects the same rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+
+def _bucket(value: str, buckets: int = 100) -> int:
+    return int(hashlib.md5(value.encode()).hexdigest()[:8], 16) % buckets
+
+
+def sample_by_hash(ds, key_col: str, rate_percent: int):
+    """Keep rows whose md5(key) bucket (mod 100) < rate_percent."""
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = [
+            _bucket(str(v)) < rate_percent for v in batch[key_col].to_pylist()
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def stratified_sample_by_hash(ds, key_col: str, strata_col: str, rates: dict[str, int]):
+    """Per-stratum deterministic sampling: ``rates`` maps stratum value →
+    keep percentage (missing strata keep 0%)."""
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        strata = batch[strata_col].to_pylist()
+        mask = [
+            _bucket(str(k)) < rates.get(s, 0) for k, s in zip(keys, strata)
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

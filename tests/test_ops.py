@@ -135,3 +135,22 @@ def test_incremental_sessionize_matches_batch(ray_session):
     for user_id, n_sessions in per_user.items():
         assert batch.loc[user_id, "n_sessions"] == n_sessions, user_id
     assert inc["n_events"].sum() == batch["n_events"].sum()
+
+
+def test_stratified_sampling_deterministic(ray_session):
+    import ray.data as rd
+
+    from kazu_ray.ops.sample import sample_by_hash, stratified_sample_by_hash
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang"])
+    s1 = sample_by_hash(ds, "doc_id", 20).to_pandas()
+    s2 = sample_by_hash(
+        rd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang"]),
+        "doc_id",
+        20,
+    ).to_pandas()
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)
+    assert 0.1 < len(s1) / 500 < 0.3
+    strat = stratified_sample_by_hash(ds, "doc_id", "lang", {"en": 100, "de": 0}).to_pandas()
+    assert set(strat.lang) == {"en"}
+    assert len(strat) == 193  # all en docs kept
