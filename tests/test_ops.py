@@ -154,3 +154,16 @@ def test_stratified_sampling_deterministic(ray_session):
     strat = stratified_sample_by_hash(ds, "doc_id", "lang", {"en": 100, "de": 0}).to_pandas()
     assert set(strat.lang) == {"en"}
     assert len(strat) == 193  # all en docs kept
+
+
+def test_connected_components_on_planted_dups(ray_session):
+    import pandas as pd
+
+    from kazu_ray.ops.dedup import connected_components
+
+    # chain a-b-c plus isolated pair d-e
+    pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    comps = connected_components(pairs)
+    m = dict(zip(comps.doc_id, comps.component))
+    assert m[1] == m[2] == m[3] == 1
+    assert m[10] == m[11] == 10
