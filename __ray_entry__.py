@@ -302,6 +302,42 @@ def _top_events_per_user(sf_dir: str, k: int = 3):
     return ds.groupby("user_id").map_groups(top_k, batch_format="pandas")
 
 
+def _vocabulary(sf_dir: str):
+    """Global word-frequency table via partial-agg combiner + groupby."""
+    import ray.data as rd
+
+    from kazu_ray.ops.text import vocabulary
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocabulary(ds)
+
+
+def _decontaminate(sf_dir: str):
+    """Flag docs sharing an 8-word shingle with the first 20 docs
+    (standing in for a benchmark/eval set); returns flagged doc ids.
+    The planted '+ dup' near-duplicates guarantee hits."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kazu_ray.ops.text import DecontaminateStage
+
+    bench = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    benchmark_texts = tuple(
+        t for i, t in zip(bench["doc_id"].to_pylist(), bench["text"].to_pylist()) if i < 20
+    )
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    flagged = ds.map_batches(
+        DecontaminateStage,
+        fn_constructor_args=(benchmark_texts,),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    return flagged.map_batches(
+        lambda t: t.filter(t["contaminated"]).select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
 def _sampled_docs(sf_dir: str):
     """Deterministic 20% sample of documents by md5(doc_id) bucket —
     reproducible across engines (the SQL oracle computes the same rule)."""
@@ -356,6 +392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _langid,
         "quality_filtered_docs": _quality_filtered_docs,
         "sampled_docs": _sampled_docs,
+        "vocabulary": _vocabulary,
+        "decontaminate": _decontaminate,
         # dedup
         "exact_dedup": _exact_dedup,
         "minhash_near_dups": _minhash_pairs,
@@ -400,6 +438,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_distribution": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "vocabulary": """
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word
+        """,
         "sampled_docs": """
             SELECT doc_id, lang FROM documents
             WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT) % 100 < 20

@@ -115,3 +115,70 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "rolling_hash": pa.array(rolls, type=pa.uint64()),
         }
     )
+
+
+def word_count_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial word counts (the combiner for a vocabulary
+    build); a groupby-sum over these partials gives exact global counts
+    with hub-word fan-in bounded by block count."""
+    counts: dict[str, int] = {}
+    for t in batch["text"].to_pylist():
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    words = sorted(counts)
+    return pa.table(
+        {
+            "word": pa.array(words, type=pa.string()),
+            "partial": pa.array([counts[w] for w in words], type=pa.int64()),
+        }
+    )
+
+
+def vocabulary(docs_ds, min_count: int = 1):
+    """Global word-frequency table (vocabulary/BPE prep shape)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    partials = docs_ds.map_batches(word_count_partial_batch, batch_format="pyarrow")
+    agg = partials.repartition(16).groupby("word").aggregate(
+        Sum("partial", alias_name="n")
+    )
+    if min_count > 1:
+        agg = agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
+            batch_format="pyarrow",
+        )
+    return agg
+
+
+class DecontaminateStage:
+    """Benchmark decontamination: flag corpus docs sharing any k-word
+    shingle with a benchmark text set. The benchmark shingle set is
+    broadcast (built once per worker from the payload), the corpus
+    streams — the standard shape for removing eval-set leakage from
+    training data."""
+
+    def __init__(self, benchmark_texts: tuple, k: int = 8):
+        self.k = k
+        self.shingles: set[str] = set()
+        for t in benchmark_texts:
+            words = t.split(" ")
+            if len(words) < k:
+                self.shingles.add(" ".join(words))
+            for i in range(len(words) - k + 1):
+                self.shingles.add(" ".join(words[i : i + k]))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flags = []
+        for t in batch["text"].to_pylist():
+            words = t.split(" ")
+            hit = False
+            if len(words) < self.k:
+                hit = " ".join(words) in self.shingles
+            else:
+                for i in range(len(words) - self.k + 1):
+                    if " ".join(words[i : i + self.k]) in self.shingles:
+                        hit = True
+                        break
+            flags.append(hit)
+        return batch.append_column("contaminated", pa.array(flags, type=pa.bool_()))

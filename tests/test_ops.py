@@ -167,3 +167,28 @@ def test_connected_components_on_planted_dups(ray_session):
     m = dict(zip(comps.doc_id, comps.component))
     assert m[1] == m[2] == m[3] == 1
     assert m[10] == m[11] == 10
+
+
+def test_decontamination_catches_planted_dups(ray_session):
+    """The '+ dup' near-duplicates of benchmark docs must be flagged."""
+    import duckdb
+    import ray.data
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    out = e.queries()["decontaminate"](sf)
+    flagged = set(
+        out.to_pandas().doc_id if isinstance(out, ray.data.Dataset) else out.doc_id
+    )
+    # docs whose text = benchmark text + ' dup' share 8-word shingles
+    planted = duckdb.sql(
+        f"""
+        WITH d AS (SELECT doc_id, text FROM '{sf}/documents.parquet')
+        SELECT b.doc_id FROM d a JOIN d b ON b.text = a.text || ' dup'
+        WHERE a.doc_id < 20
+        """
+    ).df()
+    assert set(planted.doc_id) <= flagged
+    # all benchmark docs flag themselves
+    assert set(range(20)) <= flagged
