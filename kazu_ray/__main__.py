@@ -43,6 +43,19 @@ def cmd_run(args) -> None:
     from kazu_ray.stages.materialize import materialize_triples
 
     store_ref = broadcast_store()
+    if args.by_shard:
+        from kazu_ray.pipelines.resumable import run_resumable
+        from kazu_ray.sources.corpus import ensure_pages_parquet
+
+        pages_dir = args.pages_dir or ensure_pages_parquet(
+            args.sf_dir, args.multiplier
+        )
+        result = run_resumable(
+            pages_dir, args.out, store_ref=store_ref, num_shards=args.num_parts
+        )
+        print(json.dumps({"out": args.out, **result}))
+        ray.shutdown()
+        return
     triples = triples_dataset(
         args.sf_dir, store_ref=store_ref, multiplier=args.multiplier
     )
@@ -94,6 +107,9 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--multiplier", type=int, default=1)
     p.add_argument("--num-parts", type=int, default=16)
+    p.add_argument("--by-shard", action="store_true",
+                   help="checkpoint the whole pipeline per input shard")
+    p.add_argument("--pages-dir", default=None)
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("annotate", help="annotated docs + failure side channel")

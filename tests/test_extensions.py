@@ -408,3 +408,30 @@ def test_doc_length_guard_routes_to_failure():
     statuses = dict(zip(out["url"].to_pylist(), out["status"].to_pylist()))
     assert statuses["u1"] == "doc_too_long"
     assert statuses["u2"] == ""
+
+
+def test_input_shard_resume(ray_session, tmp_path):
+    """Whole-pipeline resume by input shard: a second invocation skips
+    every completed shard; deleting one manifest re-runs only that shard
+    with identical output rows."""
+    import json
+    import os
+
+    from kazu_ray.pipelines.kg import broadcast_store
+    from kazu_ray.pipelines.resumable import run_resumable
+    from kazu_ray.sources.corpus import ensure_pages_parquet
+
+    pages_dir = ensure_pages_parquet("/root/testdata/sf0.001", 1)
+    store_ref = broadcast_store()
+    out = str(tmp_path / "shards")
+    r1 = run_resumable(pages_dir, out, store_ref=store_ref, num_shards=4)
+    assert r1["shards_run"] == r1["shards_total"] and r1["rows"] > 0
+    r2 = run_resumable(pages_dir, out, store_ref=store_ref, num_shards=4)
+    assert r2["shards_run"] == 0 and r2["shards_skipped"] == r1["shards_total"]
+    # kill one shard's manifest; only it re-runs, same rows as recorded
+    m = os.path.join(out, "_manifests", "shard0.json")
+    rows_before = json.load(open(m))["row_count"]
+    os.remove(m)
+    r3 = run_resumable(pages_dir, out, store_ref=store_ref, num_shards=4)
+    assert r3["shards_run"] == 1
+    assert r3["rows"] == rows_before
