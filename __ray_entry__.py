@@ -302,6 +302,33 @@ def _top_events_per_user(sf_dir: str, k: int = 3):
     return ds.groupby("user_id").map_groups(top_k, batch_format="pandas")
 
 
+def _pii_scrubbed(sf_dir: str):
+    import ray.data as rd
+
+    from kazu_ray.ops.text import scrub_pii_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(scrub_pii_batch, batch_format="pyarrow")
+
+
+def _doc_chunks(sf_dir: str):
+    import ray.data as rd
+
+    from kazu_ray.ops.text import chunk_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+
+def _repetition_stats(sf_dir: str):
+    import ray.data as rd
+
+    from kazu_ray.ops.text import repetition_stats_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
 def _vocabulary(sf_dir: str):
     """Global word-frequency table via partial-agg combiner + groupby."""
     import ray.data as rd
@@ -394,6 +421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_docs": _sampled_docs,
         "vocabulary": _vocabulary,
         "decontaminate": _decontaminate,
+        "pii_scrubbed": _pii_scrubbed,
+        "doc_chunks": _doc_chunks,
+        "repetition_stats": _repetition_stats,
         # dedup
         "exact_dedup": _exact_dedup,
         "minhash_near_dups": _minhash_pairs,
@@ -438,6 +468,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_distribution": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "pii_scrubbed": """
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '[a-zA-Z0-9_.]+@[a-zA-Z0-9_.]+', '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9\\-]{7,14}[0-9]', '<PHONE>', 'g') AS text,
+                   len(regexp_extract_all(text, '[a-zA-Z0-9_.]+@[a-zA-Z0-9_.]+')) AS n_emails,
+                   len(regexp_extract_all(
+                       regexp_replace(text, '[a-zA-Z0-9_.]+@[a-zA-Z0-9_.]+', '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9\\-]{7,14}[0-9]')) AS n_phones
+            FROM documents
+        """,
         "vocabulary": """
             SELECT word, count(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -182,3 +182,100 @@ class DecontaminateStage:
                         break
             flags.append(hit)
         return batch.append_column("contaminated", pa.array(flags, type=pa.bool_()))
+
+
+# --- PII scrubbing -----------------------------------------------------
+
+# deliberately simple patterns shared verbatim with the DuckDB oracle
+# (regexp dialects agree on this subset)
+PII_EMAIL = r"[a-zA-Z0-9_.]+@[a-zA-Z0-9_.]+"
+PII_PHONE = r"\+?[0-9][0-9\-]{7,14}[0-9]"
+
+
+def scrub_pii_batch(batch: pa.Table) -> pa.Table:
+    """Redact emails/phones; emits the scrubbed text plus per-doc
+    redaction counts (the audit trail a compliance pipeline needs)."""
+    email_re = re.compile(PII_EMAIL)
+    phone_re = re.compile(PII_PHONE)
+    texts, n_emails, n_phones = [], [], []
+    for t in batch["text"].to_pylist():
+        t2, ne = email_re.subn("<EMAIL>", t)
+        t3, np_ = phone_re.subn("<PHONE>", t2)
+        texts.append(t3)
+        n_emails.append(ne)
+        n_phones.append(np_)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text": pa.array(texts, type=pa.large_string()),
+            "n_emails": pa.array(n_emails, type=pa.int64()),
+            "n_phones": pa.array(n_phones, type=pa.int64()),
+        }
+    )
+
+
+# --- chunking ----------------------------------------------------------
+
+
+def chunk_batch(batch: pa.Table, chunk_words: int = 64, overlap: int = 8) -> pa.Table:
+    """Split docs into overlapping word-window chunks (training-sample
+    prep). flat-map shape: one input doc → ⌈n/(chunk-overlap)⌉ rows with
+    (doc_id, chunk_idx, chunk_text, n_words)."""
+    doc_ids, chunk_idxs, chunks, sizes = [], [], [], []
+    step = chunk_words - overlap
+    for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        words = t.split(" ")
+        if not words:
+            continue
+        i = 0
+        idx = 0
+        while i < len(words):
+            piece = words[i : i + chunk_words]
+            doc_ids.append(doc_id)
+            chunk_idxs.append(idx)
+            chunks.append(" ".join(piece))
+            sizes.append(len(piece))
+            if i + chunk_words >= len(words):
+                break
+            i += step
+            idx += 1
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "chunk_idx": pa.array(chunk_idxs, type=pa.int32()),
+            "chunk_text": pa.array(chunks, type=pa.large_string()),
+            "n_words": pa.array(sizes, type=pa.int64()),
+        }
+    )
+
+
+# --- repetition filter -------------------------------------------------
+
+
+def repetition_stats_batch(batch: pa.Table, ngram: int = 3) -> pa.Table:
+    """Gopher-style within-doc repetition signal: fraction of word
+    n-grams that are duplicates of an earlier occurrence."""
+    doc_ids, fracs = [], []
+    for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        words = t.split(" ")
+        total = max(0, len(words) - ngram + 1)
+        if total == 0:
+            frac = 0.0
+        else:
+            seen = set()
+            dup = 0
+            for i in range(total):
+                g = tuple(words[i : i + ngram])
+                if g in seen:
+                    dup += 1
+                else:
+                    seen.add(g)
+            frac = dup / total
+        doc_ids.append(doc_id)
+        fracs.append(frac)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "dup_ngram_frac": pa.array(fracs, type=pa.float64()),
+        }
+    )

@@ -192,3 +192,64 @@ def test_decontamination_catches_planted_dups(ray_session):
     assert set(planted.doc_id) <= flagged
     # all benchmark docs flag themselves
     assert set(range(20)) <= flagged
+
+
+def test_pii_scrub(ray_session):
+    import pyarrow as pa
+
+    from kazu_ray.ops.text import scrub_pii_batch
+
+    batch = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": pa.array(
+                [
+                    "contact me at jo.doe@example.org or +1-555-123-4567 now",
+                    "no pii here",
+                ],
+                type=pa.large_string(),
+            ),
+        }
+    )
+    out = scrub_pii_batch(batch)
+    assert out["text"][0].as_py() == "contact me at <EMAIL> or <PHONE> now"
+    assert out["n_emails"].to_pylist() == [1, 0]
+    assert out["n_phones"].to_pylist() == [1, 0]
+
+
+def test_chunking_overlap_and_coverage():
+    import pyarrow as pa
+
+    from kazu_ray.ops.text import chunk_batch
+
+    words = " ".join(f"w{i}" for i in range(150))
+    out = chunk_batch(
+        pa.table({"doc_id": [7], "text": pa.array([words], type=pa.large_string())}),
+        chunk_words=64,
+        overlap=8,
+    )
+    chunks = out["chunk_text"].to_pylist()
+    # every word appears in some chunk; consecutive chunks overlap by 8
+    assert "w0" in chunks[0].split(" ") and "w149" in chunks[-1].split(" ")
+    a, b = chunks[0].split(" "), chunks[1].split(" ")
+    assert a[-8:] == b[:8]
+
+
+def test_repetition_filter_flags_dups():
+    import pyarrow as pa
+
+    from kazu_ray.ops.text import repetition_stats_batch
+
+    clean = " ".join(f"u{i}" for i in range(30))
+    loop = "spam ham eggs " * 10
+    out = repetition_stats_batch(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": pa.array([clean, loop.strip()], type=pa.large_string()),
+            }
+        )
+    )
+    fracs = dict(zip(out["doc_id"].to_pylist(), out["dup_ngram_frac"].to_pylist()))
+    assert fracs[1] == 0.0
+    assert fracs[2] > 0.8
