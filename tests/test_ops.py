@@ -253,3 +253,40 @@ def test_repetition_filter_flags_dups():
     fracs = dict(zip(out["doc_id"].to_pylist(), out["dup_ngram_frac"].to_pylist()))
     assert fracs[1] == 0.0
     assert fracs[2] > 0.8
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from kazu_ray.ops.sketches import HyperLogLog, approx_distinct_words
+
+    # accuracy: 10k distinct values within ~3% at p=12
+    h = HyperLogLog(14)  # 10k ≪ 2.5m at p=14 → linear-counting regime
+    for i in range(10_000):
+        h.add(f"value-{i}")
+    assert abs(h.estimate() - 10_000) / 10_000 < 0.03
+
+    # mergeability: union of two disjoint sketches ≈ sum
+    a, b = HyperLogLog(14), HyperLogLog(14)
+    for i in range(5_000):
+        a.add(f"a-{i}")
+        b.add(f"b-{i}")
+    merged = a.merge(b)
+    assert abs(merged.estimate() - 10_000) / 10_000 < 0.03
+
+    # dataset path vs exact vocabulary
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["text"])
+    est = approx_distinct_words(ds)
+    import pyarrow.parquet as pq
+
+    exact = len(
+        {
+            w
+            for t in pq.read_table(
+                "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+            )["text"].to_pylist()
+            for w in t.split(" ")
+        }
+    )
+    assert abs(est - exact) / max(1, exact) < 0.1
