@@ -302,6 +302,50 @@ def _top_events_per_user(sf_dir: str, k: int = 3):
     return ds.groupby("user_id").map_groups(top_k, batch_format="pandas")
 
 
+def _monthly_order_revenue(sf_dir: str):
+    """Large-×-large join (lineitem ⋈ orders on orderkey, both scale with
+    sf) via the explicit bucketed hash join, then a monthly revenue
+    rollup. This is the one query shape where the all-to-all is
+    unavoidable; the bucket count is the explicit skew/partition knob."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from kazu_ray.ops.joins import bucketed_hash_join
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def lprep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"orderkey": t["l_orderkey"], "rev": rev})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def rprep(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t["o_orderdate"], unit="month")
+        return pa.table({"orderkey": t["o_orderkey"], "month": month})
+
+    joined = bucketed_hash_join(
+        line.map_batches(lprep, batch_format="pyarrow"),
+        orders.map_batches(rprep, batch_format="pyarrow"),
+        on="orderkey",
+        num_buckets=16,
+    )
+    agg = joined.groupby("month").aggregate(Sum("rev", alias_name="revenue"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"month": t["month"], "revenue": pc.round(t["revenue"], 2)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _pii_scrubbed(sf_dir: str):
     import ray.data as rd
 
@@ -422,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary": _vocabulary,
         "decontaminate": _decontaminate,
         "pii_scrubbed": _pii_scrubbed,
+        "monthly_order_revenue": _monthly_order_revenue,
         "doc_chunks": _doc_chunks,
         "repetition_stats": _repetition_stats,
         # dedup
@@ -468,6 +513,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_distribution": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "monthly_order_revenue": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
         "pii_scrubbed": """
             SELECT doc_id,
                    regexp_replace(

@@ -290,3 +290,19 @@ def test_hll_accuracy_and_merge(ray_session):
         }
     )
     assert abs(est - exact) / max(1, exact) < 0.1
+
+
+def test_bucketed_join_matches_native_join(ray_session):
+    """The explicit bucketed hash join and Ray's native Dataset.join must
+    produce identical row sets."""
+    import ray.data as rd
+
+    from kazu_ray.ops.joins import bucketed_hash_join, hash_join
+
+    left = rd.from_items([{"k": i % 10, "lv": i} for i in range(100)])
+    right = rd.from_items([{"k": i, "rv": i * 100} for i in range(8)])
+    a = bucketed_hash_join(left, right, on="k", num_buckets=4).to_pandas()
+    b = hash_join(left, right, on="k", num_partitions=4).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]].values.tolist()))
+    assert key(a) == key(b)
+    assert len(a) == 80  # 8 matching keys × 10 rows each
