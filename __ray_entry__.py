@@ -467,6 +467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "pii_scrubbed": _pii_scrubbed,
         "monthly_order_revenue": _monthly_order_revenue,
+        "asof_prior_view": lambda sf_dir: __import__(
+            "kazu_ray.ops.joins", fromlist=["asof_join_events"]
+        ).asof_join_events(sf_dir),
         "doc_chunks": _doc_chunks,
         "repetition_stats": _repetition_stats,
         # dedup
@@ -513,6 +516,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_distribution": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "asof_prior_view": """
+            SELECT c.event_id, c.user_id, c.ts, v.ts AS prior_view_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts > v.ts
+        """,
         "monthly_order_revenue": """
             SELECT date_trunc('month', o_orderdate) AS month,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -79,3 +79,38 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 16):
         return lrows.merge(rrows, on=on)
 
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def asof_join_events(sf_dir: str, probe_type: str = "click", ref_type: str = "view"):
+    """As-of join (ray_guide.md "Joins and lookups"): for each probe
+    event, the same user's most recent STRICTLY-PRIOR reference event.
+    Implementation = the guide's recipe verbatim: both sides shuffle once
+    on the key (user), and ``pd.merge_asof`` runs over the ts-sorted
+    group. Returns (event_id, user_id, ts, prior_view_ts)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        probes = g[g.event_type == probe_type].sort_values("ts")
+        refs = g[g.event_type == ref_type].sort_values("ts")
+        if probes.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in
+                 [("event_id", "int64"), ("user_id", "int64"),
+                  ("ts", "datetime64[us]"), ("prior_view_ts", "datetime64[us]")]}
+            )
+        merged = pd.merge_asof(
+            probes[["event_id", "user_id", "ts"]],
+            refs[["ts"]].rename(columns={"ts": "prior_view_ts"}),
+            left_on="ts",
+            right_on="prior_view_ts",
+            direction="backward",
+            allow_exact_matches=False,  # strictly prior
+        )
+        return merged
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
