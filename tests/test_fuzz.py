@@ -38,3 +38,18 @@ def test_annotate_never_raises_adversarial_alphabet(stage, text):
     (parens, slashes, dashes, greek, planted surfaces)."""
     (ents, triples), _ = stage.annotate_doc(text, "fuzz2")
     assert isinstance(ents, list) and isinstance(triples, list)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.text(max_size=120), min_size=0, max_size=4)
+)
+def test_annotate_sections_never_raises(stage, sections):
+    ents, triples = stage.annotate_sections(sections, "fuzz-sections")
+    for e in ents:
+        assert 0 <= e["section_idx"] < max(1, len(sections))
+        text = sections[e["section_idx"]]
+        if not e.get("spans"):
+            assert text[e["start"] : e["end"]] == e["match"]
+    for t in triples:
+        assert t["subj"] < t["obj"]
