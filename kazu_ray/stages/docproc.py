@@ -118,6 +118,7 @@ def detect_abbreviations(
     ents: list[dict],
     seen_long: set[str] | None = None,
     seen_short: set[str] | None = None,
+    toks: list | None = None,
 ) -> dict[tuple[str, ...], list[dict]]:
     """Find "long (short)" definitions in one section and the source
     entities anchored at the long-form span. ``seen_long``/``seen_short``
@@ -125,7 +126,7 @@ def detect_abbreviations(
     (``abbreviation_detector.py:400-424``)."""
     seen_long = seen_long if seen_long is not None else set()
     seen_short = seen_short if seen_short is not None else set()
-    toks = _tokens(text)
+    toks = toks if toks is not None else _tokens(text)
     # minimal paren pairs
     pairs = []
     open_idx = None
@@ -184,6 +185,7 @@ def apply_short_forms(
     sents: list[tuple[int, int]] | None = None,
     namespace: str = "AbbreviationFinder",
     section_idx: int = 0,
+    toks: list | None = None,
 ) -> list[dict]:
     """At each short-form occurrence in this section, drop existing
     entities at exactly that span and copy the long-form source entities
@@ -191,7 +193,7 @@ def apply_short_forms(
     Definitions may come from ANY section of the document."""
     if not short_to_sources:
         return ents
-    toks = _tokens(text)
+    toks = toks if toks is not None else _tokens(text)
     # global matcher: find every occurrence of each short-form token seq
     tok_texts = [t[0] for t in toks]
     remove_spans: set[tuple[int, int]] = set()
@@ -231,10 +233,12 @@ def apply_abbreviations(
     ents: list[dict],
     sents: list[tuple[int, int]] | None = None,
     namespace: str = "AbbreviationFinder",
+    toks: list | None = None,
 ):
     """Single-section convenience: detect + apply in one text."""
-    short_to_sources = detect_abbreviations(text, ents)
-    return apply_short_forms(text, ents, short_to_sources, sents, namespace)
+    toks = toks if toks is not None else _tokens(text)
+    short_to_sources = detect_abbreviations(text, ents, toks=toks)
+    return apply_short_forms(text, ents, short_to_sources, sents, namespace, toks=toks)
 
 
 # ---------------------------------------------------------------------------
@@ -475,12 +479,13 @@ def process_doc(
     ents: list[dict],
     sents: list[tuple[int, int]],
     class_rules: dict | None = None,
+    toks: list | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Run the full doc-scoped tail for one document. Shared verbatim by
     the Ray stage and the single-process oracle (tests)."""
     ents = rules_based_filter(text, sents, ents, class_rules or {})
     runner.run_doc(ents, text)
-    ents = apply_abbreviations(text, ents, sents)
+    ents = apply_abbreviations(text, ents, sents, toks=toks)
     ents = cleanup(ents)
     ents = merge_overlapping(ents)
     triples = emit_triples(doc_id, ents)

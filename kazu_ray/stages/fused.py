@@ -24,7 +24,12 @@ import json
 
 import pyarrow as pa
 
-from kazu_ray.lang.tokens import sentence_index_for_span, sentence_spans
+from kazu_ray.lang.tokens import (
+    sentence_index_for_span,
+    sentence_spans,
+    token_boundaries_from,
+    tokenize,
+)
 from kazu_ray.stages.docproc import DEFAULT_CLASS_RULES, process_doc
 from kazu_ray.stages.postner import split_non_contiguous
 from kazu_ray.stages.linking import LinkingStage
@@ -142,7 +147,8 @@ class AnnotateStage:
         from kazu_ray.lang import normalizer
 
         spans = sentence_spans(text)
-        ents = match_entities(text, self.automaton)
+        toks = tokenize(text)
+        ents = match_entities(text, self.automaton, token_boundaries_from(toks))
         for e in ents:
             e["sent_idx"] = sentence_index_for_span(spans, e["start"])
         if self.with_regex_ner:
@@ -169,7 +175,10 @@ class AnnotateStage:
                     for c in cands:
                         if (c[0], c[1]) not in existing:
                             ent["cands"].append(list(c))
-        return process_doc(self.runner, text, doc_id, ents, spans, self.class_rules), spans
+        return (
+            process_doc(self.runner, text, doc_id, ents, spans, self.class_rules, toks=toks),
+            spans,
+        )
 
     def _section_ner(self, text: str):
         """NER + regex + split + linking for one section (section-local spans)."""

@@ -94,12 +94,13 @@ def build_automaton(store: OntologyStore) -> Automaton:
     return automaton
 
 
-def match_entities(text: str, automaton: Automaton) -> list[dict]:
+def match_entities(text: str, automaton: Automaton, boundaries=None) -> list[dict]:
     """Scan one document; returns entity dicts (no sent_idx yet).
 
     Port of ``_process_automaton`` (``memory_efficient_string_matching.py:102-168``).
+    ``boundaries`` may be precomputed (starts, ends) sets.
     """
-    starts, ends = token_boundaries(text)
+    starts, ends = boundaries if boundaries is not None else token_boundaries(text)
     lower = text.lower()
     entities: list[dict] = []
     for end_index, (match_len, class_entries) in automaton.iter(lower):
