@@ -4,20 +4,27 @@ End-to-end composition (the engine's restatement of the reference's
 default pipeline, ``conf/Pipeline/default.yaml:3-12``, plus the
 triple-emission / graph-materialize stages required by the north rule):
 
-  pages (Parquet / synthesized)
-    → extract_docs            stateless map_batches (html→text, sha256, lang)
-    → DictionaryNerStage      actor pool (aho-corasick over broadcast synonyms)
-    → RegexNerStub            stateless stand-in for TransformerNER
-    → LinkingStage            actor pool (TF-IDF candidate search)
-    → DocPostProcessStage     actor pool (rules filter → mapping → abbrev
-                              → cleanup → merge → triples; all doc-scoped,
-                              zero shuffles)
-    → explode entities / triples
-    → node_degrees (partial-agg groupby) / materialize (sorted, manifested)
+  pages (Parquet / synthesized, input_hint shape)
+    → extract_docs       stateless map_batches (html→text, sha256 gate, lang)
+    → annotate (fused)   per-doc chain in ONE stage — dictionary NER
+                         (aho-corasick over broadcast synonyms) → regex
+                         NER stub → non-contiguous split → TF-IDF linking
+                         → rules filter → StrategyRunner mapping →
+                         abbreviations → cleanup → overlap merge →
+                         triples; per-doc poison-pill exception capture
+    → explode entities / flat triples
+    → node_degrees / salted distinct counts / materialize (sorted,
+      manifested, resumable)
+
+Default execution: elastic task pool with per-worker cached state
+(``compute="tasks"``); ``compute="actors"`` gives a classic actor pool;
+``fused=False`` splits into four independent stages (the layout for a
+GPU NER pool). All four layouts are compared exactly in
+``tests/test_pipeline_variants.py``.
 
 Every stage streams; nothing materializes the corpus. The only
-all-to-all exchanges are the final degree aggregate (over pre-combined
-partials) and the partitioned triple-store write.
+all-to-all exchanges are the final aggregates and the partitioned
+triple-store write.
 """
 
 from __future__ import annotations

@@ -1,0 +1,45 @@
+"""CLI surface: drive `python -m kazu_ray` end to end via subprocess
+(a separate process owns its own Ray session, as the CLI contract says)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args):
+    out = subprocess.run(
+        [sys.executable, "-m", "kazu_ray", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout.strip().splitlines()
+
+
+def test_cli_run_lookup_resume(tmp_path):
+    store = str(tmp_path / "store")
+    r1 = json.loads(
+        _run("run", "--sf-dir", "/root/testdata/sf0.001", "--out", store, "--num-parts", "4")[-1]
+    )
+    assert r1["partitions"] == 4 and r1["rows"] > 0
+    # resume: second run returns from manifests with identical totals
+    r2 = json.loads(
+        _run("run", "--sf-dir", "/root/testdata/sf0.001", "--out", store, "--num-parts", "4")[-1]
+    )
+    assert r2 == r1
+    # point lookup through the partition-pruned path
+    rows = _run("lookup", "--store", store, "--subj", "CHEMBL:CHEMBL1020")
+    assert rows and all(
+        json.loads(r)["subj"] == "CHEMBL:CHEMBL1020" for r in rows
+    )
+
+
+def test_cli_build_caches():
+    out = _run("build-caches")
+    assert out[-1].startswith("/tmp/kazu_ray_cache/")
