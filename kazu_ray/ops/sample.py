@@ -44,3 +44,12 @@ def stratified_sample_by_hash(ds, key_col: str, strata_col: str, rates: dict[str
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def training_order_shuffle(ds, seed: int = 42):
+    """Seeded global shuffle — the training-order randomization step of a
+    data pipeline. This is a true all-to-all (``random_shuffle``), kept
+    OUT of the analysis pipelines on purpose: order-insensitive consumers
+    never pay it; only the final training-export does. Deterministic for
+    a fixed seed and input."""
+    return ds.random_shuffle(seed=seed)

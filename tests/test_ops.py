@@ -306,3 +306,20 @@ def test_bucketed_join_matches_native_join(ray_session):
     key = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]].values.tolist()))
     assert key(a) == key(b)
     assert len(a) == 80  # 8 matching keys × 10 rows each
+
+
+def test_training_order_shuffle_deterministic(ray_session):
+    import ray.data as rd
+
+    from kazu_ray.ops.sample import training_order_shuffle
+
+    def order():
+        ds = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+        )
+        return training_order_shuffle(ds, seed=7).to_pandas().doc_id.tolist()
+
+    o1, o2 = order(), order()
+    assert o1 == o2
+    assert sorted(o1) == list(range(500))
+    assert o1 != sorted(o1)  # actually shuffled
