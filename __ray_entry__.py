@@ -73,7 +73,14 @@ def _kg_node_degrees(sf_dir: str):
 
 
 def _text_hashes(sf_dir: str):
-    """Per-row extraction invariant: url → hex sha256 of extracted text."""
+    """Per-row extraction invariant: url → hex sha256 of extracted text.
+
+    The (url, text) pairs are also written (distributed write, no driver
+    collect) to a deterministic /tmp path so the DuckDB oracle can
+    recompute sha256 independently with its own hash implementation."""
+    import os
+    import shutil
+
     import pyarrow as pa
 
     from kazu_ray.sources.corpus import pages_dataset
@@ -85,13 +92,22 @@ def _text_hashes(sf_dir: str):
         return pa.table(
             {
                 "url": batch["url"],
+                "text": batch["text"],
                 "text_sha256": pa.array(
                     [b.hex() for b in batch["text_sha256"].to_pylist()], type=pa.string()
                 ),
             }
         )
 
-    return docs.map_batches(fmt, batch_format="pyarrow")
+    import ray.data as rd
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    oracle_dir = f"/tmp/kazu_ray_oracle/kg_text_{tag}"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    os.makedirs(oracle_dir, exist_ok=True)
+    # single streaming pass: write the full rows, read back the 2 columns
+    docs.map_batches(fmt, batch_format="pyarrow").write_parquet(oracle_dir)
+    return rd.read_parquet(oracle_dir, columns=["url", "text_sha256"])
 
 
 def _doc_token_stats(sf_dir: str):
@@ -145,24 +161,21 @@ def _exact_dedup(sf_dir: str):
 
 
 def _minhash_pairs(sf_dir: str):
-    """Near-dup pairs via MinHash-LSH, verified with exact Jaccard ≥ 0.6."""
-    import pyarrow.parquet as pq
+    """Near-dup pairs via MinHash-LSH, verified with exact Jaccard ≥ 0.6.
+
+    Fully distributed: candidates from LSH banding, verify via broadcast
+    semi-join (pair doc-ids only — never texts — reach the driver) +
+    bucketed pair joins + per-batch Jaccard. SQL oracle = shingle-join
+    Jaccard self-join at the same threshold."""
     import ray.data as rd
 
-    from kazu_ray.ops.dedup import minhash_candidate_pairs, verify_pairs_jaccard
+    from kazu_ray.ops.dedup import minhash_candidate_pairs, verify_pairs_jaccard_ds
+
+    from kazu_ray.ops.dedup import pairs_to_table
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = minhash_candidate_pairs(ds).to_pandas()
-    texts = dict(
-        zip(
-            *[
-                pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])[c].to_pylist()
-                for c in ("doc_id", "text")
-            ]
-        )
-    )
-    out = verify_pairs_jaccard(pairs, texts, threshold=0.6)
-    return out[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pairs = minhash_candidate_pairs(ds)
+    return pairs_to_table(verify_pairs_jaccard_ds(pairs, ds, threshold=0.6))
 
 
 def _simhash_dups(sf_dir: str):
@@ -171,9 +184,10 @@ def _simhash_dups(sf_dir: str):
 
     from kazu_ray.ops.dedup import simhash_near_dup_pairs
 
+    from kazu_ray.ops.dedup import pairs_to_table
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = simhash_near_dup_pairs(ds).to_pandas()
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pairs_to_table(simhash_near_dup_pairs(ds))
 
 
 def _topk_cosine(sf_dir: str):
@@ -263,25 +277,19 @@ def _media_features(sf_dir: str):
 
 
 def _embedding_near_dups(sf_dir: str):
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.999): bucketed by IVF
-    centroid so the pairwise check never goes all-to-all, verified
-    exactly. SQL oracle = threshold self-join."""
-    import numpy as np
-    import pandas as pd
-    import pyarrow.parquet as pq
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.999) via the IVF scale
+    path: vectors bucketed by their top-2 nearest centroids (multi-probe
+    closes the boundary-straddle gap), exact in-bucket verify — the
+    pairwise check never goes all-to-all. SQL oracle = threshold
+    self-join."""
+    import ray.data as rd
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.array(tbl["vec_id"].to_pylist())
-    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    unit = mat / norms
-    # small table: exact matmul driver-side is the oracle-faithful choice;
-    # the scale path is ops/simsearch.ivf bucketing (see ops/dedup docs)
-    sims = unit @ unit.T
-    ii, jj = np.nonzero(np.triu(sims >= 0.999, k=1))
-    out = pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    from kazu_ray.ops.simsearch import ivf_near_dup_pairs
+
+    from kazu_ray.ops.dedup import pairs_to_table
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return pairs_to_table(ivf_near_dup_pairs(ds, threshold=0.999, n_assign=2))
 
 
 def _top_events_per_user(sf_dir: str, k: int = 3):
@@ -338,9 +346,17 @@ def _monthly_order_revenue(sf_dir: str):
         num_buckets=16,
     )
     agg = joined.groupby("month").aggregate(Sum("rev", alias_name="revenue"))
+    # fixed-point 1/10000-dollar units: true revenue values are exact
+    # integers at this resolution (2-dec price x 2-dec discount), so float
+    # summation-order error can never flip the rounding
     return agg.map_batches(
         lambda t: pa.table(
-            {"month": t["month"], "revenue": pc.round(t["revenue"], 2)}
+            {
+                "month": t["month"],
+                "revenue_x10k": pc.cast(
+                    pc.round(pc.multiply(t["revenue"], pa.scalar(10000.0))), pa.int64()
+                ),
+            }
         ),
         batch_format="pyarrow",
     )
@@ -511,7 +527,7 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' ')) AS n_words,
                    len(list_filter(string_split(text, ' '), x -> x IN ({stop_list})))
                        AS n_stopwords,
-                   list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+                   list_sum(list_transform(string_split(text, ' '), x -> length(x)))::BIGINT
                        AS sum_word_len
             FROM documents
         """,
@@ -524,7 +540,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "monthly_order_revenue": """
             SELECT date_trunc('month', o_orderdate) AS month,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+                       AS revenue_x10k
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1
         """,
@@ -611,7 +628,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
             )
-            SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+            SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
             FROM gaps GROUP BY user_id
         """,
         "embedding_near_dups": """
@@ -621,7 +638,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "segment_ship_priority": """
             SELECT l_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+                       AS revenue_x10k
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -651,5 +669,97 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             ORDER BY p_retailprice DESC, p_partkey
             LIMIT 20
+        """,
+        "doc_langid": """
+            WITH scored AS (
+                SELECT doc_id,
+                    len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de_h,
+                    len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN ('the','and','of','is','was','in','a','to'))) AS en_h,
+                    len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN ('el','la','los','es','un','una','que','y'))) AS es_h,
+                    len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN ('le','la','les','est','une','et','que','dans'))) AS fr_h
+                FROM documents
+            )
+            SELECT doc_id,
+                CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'unknown'
+                     WHEN de_h >= en_h AND de_h >= es_h AND de_h >= fr_h THEN 'de'
+                     WHEN en_h >= es_h AND en_h >= fr_h THEN 'en'
+                     WHEN es_h >= fr_h THEN 'es'
+                     ELSE 'fr' END AS lang_pred
+            FROM scored
+        """,
+        "doc_chunks": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                 k AS (SELECT doc_id, ws,
+                              CASE WHEN len(ws) <= 64 THEN 0
+                                   ELSE CAST(ceil((len(ws) - 64) / 56.0) AS BIGINT)
+                              END AS max_idx
+                       FROM w),
+                 e AS (SELECT doc_id, ws,
+                              unnest(generate_series(0, max_idx)) AS chunk_idx
+                       FROM k)
+            SELECT doc_id, chunk_idx,
+                   array_to_string(ws[chunk_idx*56 + 1 : chunk_idx*56 + 64], ' ') AS chunk_text,
+                   len(ws[chunk_idx*56 + 1 : chunk_idx*56 + 64]) AS n_words
+            FROM e
+        """,
+        "repetition_stats": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                 g AS (SELECT doc_id,
+                              CASE WHEN len(ws) < 3 THEN []
+                                   ELSE list_transform(generate_series(1, len(ws) - 2),
+                                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                              END AS grams
+                       FROM w)
+            SELECT doc_id,
+                   CASE WHEN len(grams) = 0 THEN 0.0
+                        ELSE (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+                   END AS dup_ngram_frac
+            FROM g
+        """,
+        "decontaminate": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                 sh AS (
+                    SELECT doc_id,
+                           unnest(list_distinct(
+                               CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+                                    ELSE list_transform(generate_series(1, len(ws) - 7),
+                                         i -> array_to_string(ws[i : i+7], ' '))
+                               END)) AS s
+                    FROM w
+                 ),
+                 bench_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+            SELECT DISTINCT s.doc_id
+            FROM sh s JOIN bench_sh b ON s.s = b.s
+        """,
+        "minhash_near_dups": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                 sh AS (
+                    SELECT doc_id,
+                           unnest(list_distinct(
+                               CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                                    ELSE list_transform(generate_series(1, len(ws) - 2),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                               END)) AS s
+                    FROM w
+                 ),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2
+                 )
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+        """,
+        "kg_text_hashes": """
+            SELECT url, sha256(text) AS text_sha256
+            FROM read_parquet('/tmp/kazu_ray_oracle/kg_text_sf0.01/*.parquet')
         """,
     }

@@ -190,22 +190,202 @@ def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts: dict[int, str], threshol
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
 
+# shingle-set serialization separator: shingles are space-joined words,
+# so any non-space control char is collision-free for whitespace-token text
+_SHINGLE_SEP = "\x1f"
+
+
+class _ShingleSemiJoin:
+    """Broadcast semi-join: keep only docs whose id appears in the
+    candidate pairs (the small side, shipped once via ray.put), and emit
+    their shingle set serialized as one separator-joined string (a plain
+    string column survives the pandas merge inside the bucketed join;
+    list columns do not). The corpus streams; no shuffle, no driver
+    text dict."""
+
+    def __init__(self, ids_ref, k: int):
+        import ray
+
+        ids = ray.get(ids_ref) if not isinstance(ids_ref, (list, tuple, set, frozenset)) else ids_ref
+        self.value_set = pa.array(sorted(ids), type=pa.int64())
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sub = batch.filter(pc.is_in(batch["doc_id"], value_set=self.value_set))
+        sh = [
+            _SHINGLE_SEP.join(sorted(word_shingles(t, self.k)))
+            for t in sub["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "shingles": pa.array(sh, type=pa.large_string()),
+            }
+        )
+
+
+def _anchor_pairs_schema(pairs_ds):
+    """Union with an explicit empty (id_a, id_b) block so a zero-pair
+    result still reports the correct schema (map_groups on an empty
+    stream otherwise yields a schema-less dataset)."""
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+        }
+    )
+    # anchor first: union adopts the leading dataset's schema when the
+    # other side is schema-less (fully-empty map_groups output)
+    return rd.from_arrow(empty).union(pairs_ds)
+
+
+def pairs_to_table(pairs_ds) -> pa.Table:
+    """Collect a pair Dataset into one Arrow table with a guaranteed
+    (id_a, id_b) int64 schema — ``Dataset.to_pandas()`` drops column
+    names entirely on 0-row results, which breaks schema comparison
+    against SQL oracles. Only ever used on LSH/IVF pair OUTPUTS, which
+    are small by contract; the generation upstream stays distributed."""
+    import pyarrow.compute as pc
+
+    tables = [
+        pa.table(
+            {
+                "id_a": pc.cast(b["id_a"], pa.int64()),
+                "id_b": pc.cast(b["id_b"], pa.int64()),
+            }
+        )
+        for b in pairs_ds.iter_batches(batch_format="pyarrow")
+    ]
+    if not tables:
+        return pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+            }
+        )
+    out = pa.concat_tables(tables)
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def verify_pairs_jaccard_ds(pairs_ds, docs_ds, threshold: float = 0.6, k: int = 3):
+    """Distributed exact-Jaccard verify of LSH candidate pairs.
+
+    Scale shape: (1) collect only the DISTINCT DOC IDS of the candidate
+    pairs (small by the LSH output contract — never the texts); (2)
+    broadcast them and stream the corpus through a filtering shingle
+    stage; (3) attach shingle sets to each pair side with two bucketed
+    hash joins (pairs × filtered-docs, both small); (4) compute Jaccard
+    per pair inside map_batches. Returns a Dataset of (id_a, id_b).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from kazu_ray.ops.joins import bucketed_hash_join
+
+    pairs = pairs_ds.materialize()
+    ids: set[int] = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        ids.update(b["id_a"].to_pylist())
+        ids.update(b["id_b"].to_pylist())
+    ids_ref = ray.put(frozenset(ids)) if ray.is_initialized() else frozenset(ids)
+
+    docs_sh = docs_ds.map_batches(
+        _ShingleSemiJoin,
+        fn_constructor_args=(ids_ref, k),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    side_a = docs_sh.map_batches(
+        lambda t: pa.table({"id_a": t["doc_id"], "sh_a": t["shingles"]}),
+        batch_format="pyarrow",
+    )
+    side_b = docs_sh.map_batches(
+        lambda t: pa.table({"id_b": t["doc_id"], "sh_b": t["shingles"]}),
+        batch_format="pyarrow",
+    )
+    j1 = bucketed_hash_join(pairs, side_a, on="id_a", num_buckets=8)
+
+    def _rearrow(t: pa.Table) -> pa.Table:
+        # normalize the pandas-block output of the first join back to
+        # explicit Arrow types so the second join's schema introspection
+        # sees DataTypes, not numpy/python classes
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+                "sh_a": pc.cast(t["sh_a"], pa.large_string()),
+            }
+        )
+
+    j2 = bucketed_hash_join(
+        j1.map_batches(_rearrow, batch_format="pyarrow"), side_b, on="id_b", num_buckets=8
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        ia, ib = [], []
+        for a, b, sa, sb in zip(
+            batch["id_a"].to_pylist(),
+            batch["id_b"].to_pylist(),
+            batch["sh_a"].to_pylist(),
+            batch["sh_b"].to_pylist(),
+        ):
+            if jaccard(set(sa.split(_SHINGLE_SEP)), set(sb.split(_SHINGLE_SEP))) >= threshold:
+                ia.append(a)
+                ib.append(b)
+        return pa.table(
+            {
+                "id_a": pa.array(ia, type=pa.int64()),
+                "id_b": pa.array(ib, type=pa.int64()),
+            }
+        )
+
+    return _anchor_pairs_schema(j2.map_batches(_verify, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    v = np.zeros(64, dtype=np.int64)
-    for w in set(text.split(" ")):
+# per-worker word→hash memo: the corpus vocabulary is Zipf-distributed,
+# so md5 is computed once per distinct word per worker, not per occurrence
+_WORD_HASH_CACHE: dict[str, int] = {}
+_WORD_HASH_CACHE_MAX = 2_000_000
+
+
+def _word_hash(w: str) -> int:
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        if len(_WORD_HASH_CACHE) >= _WORD_HASH_CACHE_MAX:
+            _WORD_HASH_CACHE.clear()
         h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-        for bit in range(64):
-            v[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if v[bit] > 0:
-            out |= 1 << bit
-    return out
+        _WORD_HASH_CACHE[w] = h
+    return h
+
+
+def simhash64(text: str) -> int:
+    """64-bit simhash over the distinct-word set, vectorized: per-word
+    md5 hashes (memoized) → np.unpackbits bit matrix → column majority
+    vote. Bit semantics identical to the per-bit reference loop
+    (bit i of the output = majority of bit i across word hashes)."""
+    words = set(text.split(" "))
+    if not words:
+        return 0
+    hashes = np.fromiter(
+        (_word_hash(w) for w in words), dtype=np.uint64, count=len(words)
+    )
+    # little-endian uint8 view + bitorder='little' ⇒ column j = (h >> j) & 1
+    bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    ones = bits.sum(axis=0, dtype=np.int64)
+    out_bits = (2 * ones > len(words)).astype(np.uint8)
+    return int(np.packbits(out_bits, bitorder="little").view(np.uint64)[0])
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
@@ -260,9 +440,16 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32):
     MAX_BUCKET = 128
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
         out: set[tuple[int, int]] = set()
+        n_dropped = 0
         for _, sub in group.groupby(["chunk_idx", "chunk_val"]):
-            if len(sub) < 2 or len(sub) > MAX_BUCKET:
+            if len(sub) > MAX_BUCKET:
+                # hot-bucket drop = recall cap; surface it per group
+                n_dropped += 1
+                continue
+            if len(sub) < 2:
                 continue
             recs = sorted(set(zip(sub["doc_id"], sub["simhash"])))
             ids = np.array([r[0] for r in recs], dtype=np.int64)
@@ -275,6 +462,12 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32):
             for i, j in zip(ii, jj):
                 if ids[i] != ids[j]:
                     out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+        if n_dropped:
+            logging.getLogger("kazu_ray.dedup").warning(
+                "simhash: dropped %d hot buckets (>%d docs) — recall cap",
+                n_dropped,
+                MAX_BUCKET,
+            )
         if not out:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
@@ -286,9 +479,10 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32):
         .groupby("coarse")
         .map_groups(_pairs, batch_format="pandas")
     )
-    return pairs.repartition(4).groupby(["id_a", "id_b"]).map_groups(
+    deduped = pairs.repartition(4).groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+    return _anchor_pairs_schema(deduped)
 
 
 # ---------------------------------------------------------------------------

@@ -91,12 +91,13 @@ def revenue_by_segment(sf_dir: str):
         def __init__(self, ref):
             import ray as _ray
 
-            self.lookup = _ray.get(ref) if not isinstance(ref, dict) else ref
+            lookup = _ray.get(ref) if not isinstance(ref, dict) else ref
+            # vectorized probe: pandas map over a prebuilt Series (C loop)
+            self.lookup = pd.Series(lookup)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            segs = [self.lookup.get(k) for k in batch["o_custkey"].to_pylist()]
-            out = batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
-            df = out.to_pandas()
+            df = batch.to_pandas()
+            df["c_mktsegment"] = df["o_custkey"].map(self.lookup)
             partial = df.groupby("c_mktsegment", as_index=False).agg(
                 revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
             )
@@ -213,24 +214,16 @@ def segment_ship_priority(sf_dir: str, segment: str = "BUILDING"):
     from ray.data.aggregate import Sum
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    seg_custkeys = {
-        k
-        for k, s in zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
-        if s == segment
-    }
+    seg_keys = pc.filter(
+        cust["c_custkey"], pc.equal(cust["c_mktsegment"], segment)
+    ).combine_chunks()
     orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    order_lookup = {
-        ok: od
-        for ok, ck, od in zip(
-            orders["o_orderkey"].to_pylist(),
-            orders["o_custkey"].to_pylist(),
-            orders["o_orderdate"].to_pylist(),
-        )
-        if ck in seg_custkeys
-    }
-    lookup_ref = ray.put(order_lookup) if ray.is_initialized() else order_lookup
+    seg_orderkeys = pc.filter(
+        orders["o_orderkey"], pc.is_in(orders["o_custkey"], value_set=seg_keys)
+    ).combine_chunks()
+    lookup_ref = ray.put(seg_orderkeys) if ray.is_initialized() else seg_orderkeys
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -241,12 +234,12 @@ def segment_ship_priority(sf_dir: str, segment: str = "BUILDING"):
         def __init__(self, ref):
             import ray as _ray
 
-            self.lookup = _ray.get(ref) if not isinstance(ref, dict) else ref
+            self.keys = _ray.get(ref) if not isinstance(ref, (pa.Array, pa.ChunkedArray)) else ref
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["l_orderkey"].to_pylist()
-            mask = [k in self.lookup for k in keys]
-            batch = batch.filter(pa.array(mask))
+            # semi-join as a vectorized Arrow membership test (no per-row
+            # Python dict probe)
+            batch = batch.filter(pc.is_in(batch["l_orderkey"], value_set=self.keys))
             if batch.num_rows == 0:
                 return pa.table(
                     {
@@ -272,9 +265,18 @@ def segment_ship_priority(sf_dir: str, segment: str = "BUILDING"):
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
+    # fixed-point output (NOTES.md rule): revenue is a 4-decimal quantity
+    # (2-dec price x 2-dec discount), so round(x*10000)::BIGINT is the
+    # resolution at which true values are integers and float summation-order
+    # error (~1e-5 in these units) can never flip the rounding
     return agg.map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("revenue"), "revenue", pc.round(t["revenue"], 2)
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue_x10k": pc.cast(
+                    pc.round(pc.multiply(t["revenue"], pa.scalar(10000.0))), pa.int64()
+                ),
+            }
         ),
         batch_format="pyarrow",
     )

@@ -57,13 +57,31 @@ def kmeans_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10, seed:
 
 
 class _BucketAssign:
-    def __init__(self, centroids: np.ndarray):
+    """Assign each vector to its ``n_assign`` nearest centroids.
+
+    ``n_assign=1`` is classic IVF; ``n_assign=2`` is the multi-probe
+    variant: a pair straddling a centroid boundary still shares at least
+    one of the two assigned buckets (for near-1.0 thresholds), closing
+    the single-probe recall caveat. Rows are exploded ×n_assign, so
+    downstream pair generation must dedupe."""
+
+    def __init__(self, centroids: np.ndarray, n_assign: int = 1):
         self.centroids = centroids
+        self.n_assign = n_assign
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
-        assign = np.argmax(mat @ self.centroids.T, axis=1)
-        return batch.append_column("bucket", pa.array(assign.astype(np.int32())))
+        sims = mat @ self.centroids.T
+        if self.n_assign == 1:
+            assign = np.argmax(sims, axis=1)
+            return batch.append_column("bucket", pa.array(assign.astype(np.int32)))
+        k = min(self.n_assign, sims.shape[1])
+        top = np.argsort(-sims, axis=1)[:, :k]  # (n, k)
+        idx = np.repeat(np.arange(batch.num_rows), k)
+        out = batch.take(pa.array(idx))
+        return out.append_column(
+            "bucket", pa.array(top.reshape(-1).astype(np.int32))
+        )
 
 
 def ivf_topk_cosine(
@@ -104,6 +122,7 @@ def ivf_near_dup_pairs(
     threshold: float = 0.999,
     n_clusters: int = 16,
     sample_size: int = 2048,
+    n_assign: int = 2,
 ):
     """Embedding-cosine near-dup pairs — the scale path.
 
@@ -114,9 +133,10 @@ def ivf_near_dup_pairs(
     vectors, raise n_clusters so buckets stay bounded. Returns a Dataset
     of (id_a, id_b).
 
-    Caveat (documented, standard for IVF): a pair straddling a centroid
-    boundary can be missed; lower `threshold` tolerance needs multi-probe
-    assignment (assign each vector to its top-2 centroids).
+    With ``n_assign=2`` (default) each vector lands in its top-2 centroid
+    buckets, so a pair straddling a centroid boundary is still generated
+    in whichever bucket both sides share; the duplicate pairs this
+    creates are removed by the final tiny groupby.
     """
     import pandas as pd
     import pyarrow as pa
@@ -126,11 +146,14 @@ def ivf_near_dup_pairs(
     centroids = kmeans_centroids(sample, n_clusters)
 
     bucketed = embeddings_ds.map_batches(
-        _BucketAssign, fn_constructor_args=(centroids,), batch_format="pyarrow",
+        _BucketAssign,
+        fn_constructor_args=(centroids, n_assign),
+        batch_format="pyarrow",
         concurrency=(1, 4),
     )
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
         ids = np.array(g["vec_id"], dtype=np.int64)
         mat = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
         sims = mat @ mat.T
@@ -143,4 +166,11 @@ def ivf_near_dup_pairs(
         b = np.maximum(ids[ii], ids[jj])
         return pd.DataFrame({"id_a": a, "id_b": b})
 
-    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    pairs = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    # a pair can be found in up to n_assign shared buckets: dedupe (tiny)
+    from kazu_ray.ops.dedup import _anchor_pairs_schema
+
+    deduped = pairs.repartition(4).groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    return _anchor_pairs_schema(deduped)

@@ -242,7 +242,7 @@ def chunk_batch(batch: pa.Table, chunk_words: int = 64, overlap: int = 8) -> pa.
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "chunk_idx": pa.array(chunk_idxs, type=pa.int32()),
+            "chunk_idx": pa.array(chunk_idxs, type=pa.int64()),
             "chunk_text": pa.array(chunks, type=pa.large_string()),
             "n_words": pa.array(sizes, type=pa.int64()),
         }
