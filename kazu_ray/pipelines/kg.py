@@ -7,8 +7,9 @@ triple-emission / graph-materialize stages required by the north rule):
   pages (Parquet / synthesized, input_hint shape)
     → extract_docs       stateless map_batches (html→text, sha256 gate, lang)
     → annotate (fused)   per-doc chain in ONE stage — dictionary NER
-                         (aho-corasick over broadcast synonyms) → regex
-                         NER stub → non-contiguous split → TF-IDF linking
+                         (aho-corasick over broadcast synonyms) →
+                         transformer token NER (span-finder port, stub
+                         logits) → non-contiguous split → TF-IDF linking
                          → rules filter → StrategyRunner mapping →
                          abbreviations → cleanup → overlap merge →
                          triples; per-doc poison-pill exception capture
@@ -36,7 +37,7 @@ from kazu_ray.stages.docproc import DocPostProcessStage
 from kazu_ray.stages.extract import extract_docs
 from kazu_ray.stages.linking import LinkingStage
 from kazu_ray.stages.materialize import explode_entities, explode_triples
-from kazu_ray.stages.ner import DictionaryNerStage, regex_ner_batch
+from kazu_ray.stages.ner import DictionaryNerStage, transformer_ner_batch
 from kazu_ray.state.store import ensure_default_caches, load_store
 
 
@@ -55,7 +56,7 @@ def annotated_docs(
     store_ref=None,
     ner_concurrency: int = 4,
     batch_size: int = 512,
-    with_regex_ner: bool = True,
+    with_model_ner: bool = True,
     multiplier: int = 1,
     fused: bool = True,
     pages_dir: str | None = None,
@@ -91,13 +92,13 @@ def annotated_docs(
             # stages/fused.py): scales to every free CPU with no pool
             # sizing; the right default for a CPU-only stage
             return docs.map_batches(
-                make_annotate_task(store_ref, with_regex_ner, emit=emit),
+                make_annotate_task(store_ref, with_model_ner, emit=emit),
                 batch_format="pyarrow",
                 batch_size=batch_size,
             )
         return docs.map_batches(
             AnnotateStage,
-            fn_constructor_args=(store_ref, with_regex_ner, None, emit),
+            fn_constructor_args=(store_ref, with_model_ner, None, emit),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=(1, ner_concurrency),
@@ -111,11 +112,11 @@ def annotated_docs(
         concurrency=(1, ner_concurrency),
         num_cpus=1,
     )
-    if with_regex_ner:
+    if with_model_ner:
         from kazu_ray.stages.postner import split_batch
 
         docs = docs.map_batches(
-            regex_ner_batch, batch_format="pyarrow", batch_size=batch_size
+            transformer_ner_batch, batch_format="pyarrow", batch_size=batch_size
         )
         docs = docs.map_batches(split_batch, batch_format="pyarrow", batch_size=batch_size)
         docs = docs.map_batches(

@@ -24,10 +24,10 @@ from kazu_ray.stages.fused import AnnotateStage
 from kazu_ray.state.store import ensure_default_caches
 
 
-def oracle_run(sf_dir: str, limit: int | None = None, with_regex_ner: bool = True):
+def oracle_run(sf_dir: str, limit: int | None = None, with_model_ner: bool = True):
     """Returns (entities_df, triples_df, text_hashes_df)."""
     cache_dir = ensure_default_caches()
-    stage = AnnotateStage(cache_dir, with_regex_ner=with_regex_ner)
+    stage = AnnotateStage(cache_dir, with_model_ner=with_model_ner)
 
     pages = pages_pandas(sf_dir, limit=limit)
     ent_rows, triple_rows, hash_rows = [], [], []

@@ -33,7 +33,7 @@ def run_resumable(
     out_dir: str,
     store_ref=None,
     num_shards: int = 8,
-    with_regex_ner: bool = True,
+    with_model_ner: bool = True,
 ) -> dict:
     """Run the full KG pipeline shard-by-shard with per-shard resume.
 
@@ -71,7 +71,7 @@ def run_resumable(
             extract_docs(rd.read_parquet(shard_files))
             .select_columns(["doc_id", "text"])
             .map_batches(
-                make_annotate_task(store_ref, with_regex_ner, emit=("triples_flat",)),
+                make_annotate_task(store_ref, with_model_ner, emit=("triples_flat",)),
                 batch_format="pyarrow",
             )
         )

@@ -1,7 +1,7 @@
 """Fused per-document annotation stage.
 
 One actor pool running the entire per-doc chain —
-dictionary NER → regex NER stub → TF-IDF linking → doc post-processing
+dictionary NER → transformer token NER → TF-IDF linking → doc post-processing
 (rules filter, mapping, abbreviations, cleanup, merge, triples) —
 in a single ``__call__``. Composes the exact same kernels as the
 individual stages in ``ner.py`` / ``linking.py`` / ``docproc.py``; the
@@ -35,12 +35,11 @@ from kazu_ray.stages.postner import split_non_contiguous
 from kazu_ray.stages.linking import LinkingStage
 from kazu_ray.stages.mapping import MappingRunner
 from kazu_ray.stages.ner import (
-    REGEX_NAMESPACE,
-    REGEX_NER_PATTERN,
     _resolve_store,
     build_automaton,
     match_entities,
 )
+from kazu_ray.stages.token_ner import MODEL_NER_NAMESPACE, model_ner_mentions
 
 
 # worker-process cache for the task-based variant: one AnnotateStage per
@@ -54,7 +53,7 @@ _WORKER_STAGE_CACHE: dict = {}
 
 def make_annotate_task(
     store,
-    with_regex_ner: bool = True,
+    with_model_ner: bool = True,
     class_rules: dict | None = None,
     emit: tuple = ("entities", "triples"),
 ):
@@ -65,26 +64,26 @@ def make_annotate_task(
     columns are produced — a triples-only flow skips serializing entity
     lists entirely (less allocation + object-store traffic).
     """
-    key = (store if isinstance(store, str) else store.hex(), with_regex_ner, emit)
+    key = (store if isinstance(store, str) else store.hex(), with_model_ner, emit)
 
     def annotate_task(batch: pa.Table) -> pa.Table:
         stage = _WORKER_STAGE_CACHE.get(key)
         if stage is None:
-            stage = AnnotateStage(store, with_regex_ner, class_rules, emit)
+            stage = AnnotateStage(store, with_model_ner, class_rules, emit)
             _WORKER_STAGE_CACHE[key] = stage
         return stage(batch)
 
     return annotate_task
 
 
-def make_annotate_sections_task(store, with_regex_ner: bool = True, class_rules: dict | None = None):
+def make_annotate_sections_task(store, with_model_ner: bool = True, class_rules: dict | None = None):
     """``map_batches`` function for multi-section documents: expects a
     ``sections`` column (list of strings, or list of structs with a
     ``text`` field). Emits ents_json / triples_json with per-entity
     ``section_idx`` and document-global sentence numbering."""
     key = (
         (store if isinstance(store, str) else store.hex()),
-        with_regex_ner,
+        with_model_ner,
         "sections",
     )
 
@@ -93,7 +92,7 @@ def make_annotate_sections_task(store, with_regex_ner: bool = True, class_rules:
 
         stage = _WORKER_STAGE_CACHE.get(key)
         if stage is None:
-            stage = AnnotateStage(store, with_regex_ner, class_rules)
+            stage = AnnotateStage(store, with_model_ner, class_rules)
             _WORKER_STAGE_CACHE[key] = stage
         ents_out, triples_out, errors = [], [], []
         for doc_id, sections in zip(
@@ -131,15 +130,15 @@ class AnnotateStage:
     def __init__(
         self,
         store,
-        with_regex_ner: bool = True,
+        with_model_ner: bool = True,
         class_rules: dict | None = None,
         emit: tuple = ("entities", "triples"),
     ):
         self.emit = emit
         resolved = _resolve_store(store)
         self.automaton = build_automaton(resolved)
-        self.with_regex_ner = with_regex_ner
-        self.linker = LinkingStage(resolved) if with_regex_ner else None
+        self.with_model_ner = with_model_ner
+        self.linker = LinkingStage(resolved) if with_model_ner else None
         self.runner = MappingRunner(resolved)
         self.class_rules = class_rules or DEFAULT_CLASS_RULES
 
@@ -151,25 +150,11 @@ class AnnotateStage:
         ents = match_entities(text, self.automaton, token_boundaries_from(toks))
         for e in ents:
             e["sent_idx"] = sentence_index_for_span(spans, e["start"])
-        if self.with_regex_ner:
-            for m in REGEX_NER_PATTERN.finditer(text):
-                ents.append(
-                    {
-                        "start": m.start(),
-                        "end": m.end(),
-                        "match": m.group(),
-                        "match_norm": normalizer.normalize(m.group(), "gene"),
-                        "entity_class": "gene",
-                        "namespace": REGEX_NAMESPACE,
-                        "confidence": 50,
-                        "cands": [],
-                        "mappings": [],
-                        "sent_idx": sentence_index_for_span(spans, m.start()),
-                    }
-                )
+        if self.with_model_ner:
+            ents.extend(model_ner_mentions(text, spans))
             ents = split_non_contiguous(ents, text)
             for ent in ents:
-                if ent["namespace"] == REGEX_NAMESPACE:
+                if ent["namespace"] == MODEL_NER_NAMESPACE:
                     cands = self.linker._search(ent["match"], ent["entity_class"])
                     existing = {(c[0], c[1]) for c in ent["cands"]}
                     for c in cands:
@@ -188,25 +173,11 @@ class AnnotateStage:
         ents = match_entities(text, self.automaton)
         for e in ents:
             e["sent_idx"] = sentence_index_for_span(spans, e["start"])
-        if self.with_regex_ner:
-            for m in REGEX_NER_PATTERN.finditer(text):
-                ents.append(
-                    {
-                        "start": m.start(),
-                        "end": m.end(),
-                        "match": m.group(),
-                        "match_norm": normalizer.normalize(m.group(), "gene"),
-                        "entity_class": "gene",
-                        "namespace": REGEX_NAMESPACE,
-                        "confidence": 50,
-                        "cands": [],
-                        "mappings": [],
-                        "sent_idx": sentence_index_for_span(spans, m.start()),
-                    }
-                )
+        if self.with_model_ner:
+            ents.extend(model_ner_mentions(text, spans))
             ents = split_non_contiguous(ents, text)
             for ent in ents:
-                if ent["namespace"] == REGEX_NAMESPACE:
+                if ent["namespace"] == MODEL_NER_NAMESPACE:
                     cands = self.linker._search(ent["match"], ent["entity_class"])
                     existing = {(c[0], c[1]) for c in ent["cands"]}
                     for c in cands:

@@ -9,14 +9,14 @@ against token boundaries, case-sensitivity-filtered, grouped by entity
 class, and emitted with exact-match linking candidates at the max
 mention confidence.
 
-``RegexNerStub`` stands in for the transformer token-classification NER
-(``kazu/steps/ner/hf_token_classification.py:64-352``) — no model
-weights are available in this environment, so a deterministic
-pattern-based mention detector produces the same *kind* of output
-(entities with a namespace, no linking candidates) so the downstream
-linking → mapping → cleanup path is exercised end to end. The actor
-signature, batch flow and output schema are the real thing; only the
-scoring model is fake.
+``transformer_ner_batch`` is the transformer token-classification NER
+(``kazu/steps/ner/hf_token_classification.py:64-352``): the ported
+sliding-window frame assembly + BIO span-finder state machine lives in
+``kazu_ray/stages/token_ner.py``; only the forward pass is a
+deterministic stub (no model weights in this environment). Everything
+downstream of the logits — stride trimming, word reassembly, span
+walking, suffix strip — is the real reference semantics and is
+differentially tested against the reference's own test cases.
 
 Both are actor-pool ``map_batches`` stages: state (automaton / compiled
 patterns) builds once per actor in ``__init__`` from the broadcast
@@ -42,7 +42,6 @@ from kazu_ray.lang.tokens import sentence_index_for_span, sentence_spans, token_
 from kazu_ray.state.store import OntologyStore, cached_store
 
 DICT_NAMESPACE = "DictionaryNerStage"
-REGEX_NAMESPACE = "RegexNerStub"
 
 
 def _resolve_store(store) -> OntologyStore:
@@ -172,18 +171,20 @@ class DictionaryNerStage:
         return out
 
 
-REGEX_NER_PATTERN = re.compile(r"\b[A-Z]{2,6}[0-9]{0,3}(?:/[0-9]{1,3})*\b")
+def transformer_ner_batch(batch: pa.Table) -> pa.Table:
+    """Transformer token-classification NER stage for the unfused (GPU)
+    layout — the ported frame→span-finder→entity path of
+    ``kazu/steps/ner/hf_token_classification.py:64-352`` +
+    ``tokenized_word_processor.py:69-433`` (see
+    ``kazu_ray/stages/token_ner.py``; the forward pass is a
+    deterministic stub, everything downstream of the logits is real).
+    Mentions carry PROBABLE confidence and no candidates — downstream
+    linking must ground them or cleanup drops them, the same contract a
+    real model NER output has. Runs as a stateless task op here (the
+    stub is cheap); a real checkpoint would make this an actor pool
+    with ``num_gpus`` set."""
+    from kazu_ray.stages.token_ner import model_ner_mentions
 
-
-def regex_ner_batch(batch: pa.Table) -> pa.Table:
-    """Deterministic stand-in for TransformerNER
-    (``kazu/steps/ner/hf_token_classification.py:64-352``): tags
-    gene-symbol-shaped tokens (≥2 uppercase letters + optional digits) as
-    ``gene`` mentions with PROBABLE confidence and no candidates.
-    Downstream linking must ground or cleanup must drop them — the same
-    contract a real model NER output has. Stateless task op (the pattern
-    compiles at import); a real transformer would be an actor pool with
-    ``num_gpus`` set."""
     texts = batch["text"].to_pylist()
     prev = (
         [json.loads(x) for x in batch["ents_json"].to_pylist()]
@@ -197,23 +198,7 @@ def regex_ner_batch(batch: pa.Table) -> pa.Table:
     for i, text in enumerate(texts):
         spans = json.loads(sents_prev[i]) if sents_prev else sentence_spans(text)
         ents = prev[i]
-        for m in REGEX_NER_PATTERN.finditer(text):
-            ents.append(
-                {
-                    "start": m.start(),
-                    "end": m.end(),
-                    "match": m.group(),
-                    "match_norm": normalizer.normalize(m.group(), "gene"),
-                    "entity_class": "gene",
-                    "namespace": REGEX_NAMESPACE,
-                    "confidence": 50,
-                    "cands": [],
-                    "mappings": [],
-                    "sent_idx": sentence_index_for_span(
-                        [tuple(s) for s in spans], m.start()
-                    ),
-                }
-            )
+        ents.extend(model_ner_mentions(text, [tuple(s) for s in spans]))
         ents_out.append(json.dumps(ents))
         sents_out.append(json.dumps(spans))
     out = batch

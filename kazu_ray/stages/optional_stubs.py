@@ -6,7 +6,7 @@ environment. Each gets an explicit actor-pool-shaped stub here so the
 operator inventory is honest about what is and isn't runnable: the
 class documents the reference semantics, the batch/actor signature is
 real, and calling it raises ``NotImplementedError`` naming the missing
-dependency. ``RegexNerStub`` (``kazu_ray/stages/ner.py``) is the
+dependency. ``transformer_ner_batch`` (``kazu_ray/stages/token_ner.py``) is the
 runnable deterministic stand-in used by the default pipeline for the
 model-NER slot.
 """
@@ -24,7 +24,8 @@ class _ModelStub:
         raise NotImplementedError(
             f"{type(self).__name__} requires {self.MISSING}, which is not "
             f"available in this environment. Reference semantics: {self.REFERENCE}. "
-            "Use RegexNerStub (kazu_ray/stages/ner.py) for a deterministic "
+            "Use transformer_ner_batch (kazu_ray/stages/token_ner.py): the "
+            "ported span-finder path with a deterministic "
             "model-NER stand-in."
         )
 
