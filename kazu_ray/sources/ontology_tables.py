@@ -14,6 +14,7 @@ sources (``parsers.py:1132-1145``) are the no-op case.
 from __future__ import annotations
 
 import json
+import re
 
 import pandas as pd
 
@@ -79,6 +80,127 @@ def from_jsonl(
     return _finalize(
         pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin
     )
+
+
+_OBO_SYNONYM_RE = re.compile(
+    r"""^synonym:      # line that begins synonyms
+    \s*                # any amount of whitespace (standardly a single space)
+    "(?P<syn>[^"]*)"   # a quoted string - the synonym text
+    \s*
+    (?P<mapping>\w*)   # mapping type (EXACT / RELATED / ...)
+    .*$""",
+    re.VERBOSE,
+)
+_CELL_LINE_RE = re.compile("cell line", re.IGNORECASE)
+
+
+def from_obo(
+    path: str,
+    data_origin: str,
+    use_synonyms: bool = True,
+    remove_cell_line_text: bool = False,
+) -> pd.DataFrame:
+    """OBO flat-file parser (``[Term]`` stanzas with ``id:`` / ``name:``
+    / ``synonym:`` lines).
+
+    Mirrors ``CellosaurusOntologyParser.parse_to_dataframe``
+    (``kazu/ontology_preprocessing/parsers.py:1186-1263``):
+    ``remove_cell_line_text=True`` reproduces its "cell line"-stripping
+    behaviour and ``use_synonyms=False`` its name-only term extraction
+    (the reference skips Cellosaurus synonym lines as unreliable);
+    with synonyms on, each ``synonym: "<text>" <MAPPING> [...]`` line
+    becomes a row with its OBO mapping type (the commented-out general
+    path at parsers.py:1240-1252, here implemented).
+    """
+    rows = []
+    current_id = ""
+    current_label = ""
+    with open(path) as f:
+        for line in f:
+            text = line.rstrip()
+            if text.startswith("id:"):
+                current_id = text.split(" ", 1)[1].strip()
+            elif text.startswith("name:"):
+                current_label = text[5:].strip()
+                if remove_cell_line_text:
+                    current_label = _CELL_LINE_RE.sub("", current_label).strip()
+                rows.append((current_id, current_label, current_label, "name"))
+            elif use_synonyms and text.startswith("synonym:"):
+                m = _OBO_SYNONYM_RE.match(text)
+                if m is None:
+                    raise ValueError(f"unparseable OBO synonym line: {text!r}")
+                syn = m.group("syn")
+                if remove_cell_line_text:
+                    syn = _CELL_LINE_RE.sub("", syn).strip()
+                rows.append((current_id, current_label, syn, m.group("mapping") or "synonym"))
+    return _finalize(pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin)
+
+
+def from_meddra_dir(
+    path: str,
+    data_origin: str = "meddra",
+    exclude_socs: tuple = (
+        "Surgical and medical procedures",
+        "Social circumstances",
+        "Investigations",
+    ),
+) -> pd.DataFrame:
+    """Meddra release directory parser: '$'-separated ``mdhier.asc`` +
+    ``llt.asc``.
+
+    Semantics of ``MeddraOntologyParser.parse_to_dataframe``
+    (``kazu/ontology_preprocessing/parsers.py:1275-1428``): PT terms
+    with their LLT synonyms, plus distinct HLT and HLGT rows, excluding
+    the given SOCs; mapping_type is always ``meddra_link``. Implemented
+    as vectorized pandas merges instead of the reference's per-row
+    loops (identical rows, different order — downstream build sorts).
+    """
+    import os
+
+    mdhier_cols = (
+        "pt_code hlt_code hlgt_code soc_code pt_name hlt_name hlgt_name "
+        "soc_name soc_abbrev null_field pt_soc_code primary_soc_fg NULL"
+    ).split()
+    llt_cols = (
+        "llt_code llt_name pt_code llt_whoart_code llt_harts_code "
+        "llt_costart_sym llt_icd9_code llt_icd9cm_code llt_icd10_code "
+        "llt_currency llt_jart_code NULL"
+    ).split()
+    hier = pd.read_csv(
+        os.path.join(path, "mdhier.asc"), sep="$", header=None,
+        names=mdhier_cols, dtype="string", engine="python",
+    )
+    hier = hier[~hier["soc_name"].isin(exclude_socs)]
+    llt = pd.read_csv(
+        os.path.join(path, "llt.asc"), sep="$", header=None,
+        names=llt_cols, usecols=("llt_name", "pt_code"), dtype="string",
+        engine="python",
+    )
+
+    pt = hier[["pt_code", "pt_name"]].rename(columns={"pt_code": "idx", "pt_name": "default_label"})
+    pt_rows = pt.assign(syn=pt["default_label"])
+    llt_rows = hier[["pt_code", "pt_name"]].merge(llt, on="pt_code")[
+        ["pt_code", "pt_name", "llt_name"]
+    ].rename(columns={"pt_code": "idx", "pt_name": "default_label", "llt_name": "syn"})
+    hlt_rows = (
+        hier[["hlt_code", "hlt_name"]].drop_duplicates()
+        .rename(columns={"hlt_code": "idx", "hlt_name": "default_label"})
+    )
+    hlt_rows = hlt_rows.assign(syn=hlt_rows["default_label"])
+    hlgt_rows = (
+        hier[["hlgt_code", "hlgt_name"]].drop_duplicates()
+        .rename(columns={"hlgt_code": "idx", "hlgt_name": "default_label"})
+    )
+    hlgt_rows = hlgt_rows.assign(syn=hlgt_rows["default_label"])
+    out = pd.concat([pt_rows, llt_rows, hlt_rows, hlgt_rows], ignore_index=True)
+    out["mapping_type"] = "meddra_link"
+    return _finalize(out, data_origin)
+
+
+def from_tsv(path: str, data_origin: str, column_map: dict | None = None) -> pd.DataFrame:
+    """TSV shorthand for :func:`from_csv` — the reference's
+    ``TabularOntologyParser`` (``parsers.py:1519``) with ``sep='\\t'``."""
+    return from_csv(path, data_origin, column_map=column_map, sep="\t")
 
 
 def build_caches_from_source(

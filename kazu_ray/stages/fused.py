@@ -50,6 +50,11 @@ from kazu_ray.stages.token_ner import MODEL_NER_NAMESPACE, model_ner_mentions
 # for this CPU-only stage; GPU/model stages should still use actor pools.
 _WORKER_STAGE_CACHE: dict = {}
 
+# per-worker running count of docs that raised on the triples_flat fast
+# path (observability side-channel: the fast path emits no per-doc error
+# column, so failures surface here + in the per-batch warning log)
+FAST_PATH_FAILURES: dict = {"docs": 0}
+
 
 def make_annotate_task(
     store,
@@ -218,16 +223,35 @@ class AnnotateStage:
             from kazu_ray.stages.materialize import TRIPLE_SCHEMA
 
             rows = {name: [] for name in TRIPLE_SCHEMA.names}
+            n_failed, failed_ids = 0, []
             for text, doc_id in zip(
                 batch["text"].to_pylist(), batch["doc_id"].to_pylist()
             ):
                 try:
                     (_final_ents, triples), _spans = self.annotate_doc(text, doc_id)
                 except Exception:
-                    continue  # failed docs emit no triples on the fast path
+                    # failed docs emit no triples on the fast path, but
+                    # they are never dropped SILENTLY: count per batch,
+                    # log ids, and keep a per-worker running total
+                    # (reference contract: kazu/pipeline/__init__.py:278-288)
+                    n_failed += 1
+                    if len(failed_ids) < 8:
+                        failed_ids.append(doc_id)
+                    continue
                 for t in triples:
                     for name in TRIPLE_SCHEMA.names:
                         rows[name].append(t[name])
+            if n_failed:
+                FAST_PATH_FAILURES["docs"] += n_failed
+                import logging
+
+                logging.getLogger("kazu_ray.fused").warning(
+                    "triples_flat fast path: %d failed doc(s) in batch "
+                    "(worker total %d), e.g. %s",
+                    n_failed,
+                    FAST_PATH_FAILURES["docs"],
+                    failed_ids,
+                )
             return pa.table(rows, schema=TRIPLE_SCHEMA)
 
         import traceback

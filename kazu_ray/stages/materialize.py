@@ -307,13 +307,17 @@ def write_annotated(docs_ds, out_dir: str) -> dict:
         num_parts=16,
         file_name="docs.parquet",
     )
-    failed_count = 0
-    failed_path = os.path.join(out_dir, "failed")
-    failed_df = failed.to_pandas()
-    if len(failed_df):
-        os.makedirs(failed_path, exist_ok=True)
-        failed_df.to_parquet(os.path.join(failed_path, "failed.parquet"))
-        failed_count = len(failed_df)
+    # failed docs route through the same partitioned, manifest-tracked
+    # sink as the ok branch — never collected to the driver (a poisoned
+    # corpus where 100% of docs fail must not OOM anything)
+    failed_manifests = materialize_partitioned(
+        failed,
+        os.path.join(out_dir, "failed"),
+        key_col="doc_id",
+        num_parts=4,
+        file_name="failed.parquet",
+    )
+    failed_count = sum(m["row_count"] for m in failed_manifests)
     return {"out_dir": out_dir, "failed": failed_count}
 
 

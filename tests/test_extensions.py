@@ -435,3 +435,69 @@ def test_input_shard_resume(ray_session, tmp_path):
     r3 = run_resumable(pages_dir, out, store_ref=store_ref, num_shards=4)
     assert r3["shards_run"] == 1
     assert r3["rows"] == rows_before
+
+
+def test_fast_path_failure_counted(cache_dir):
+    """A raising doc on the triples_flat fast path is counted and
+    logged, never silently dropped (VERDICT round-1 item 5)."""
+    from kazu_ray.stages import fused as fused_mod
+    from kazu_ray.stages.fused import AnnotateStage
+
+    stage = AnnotateStage(cache_dir, emit=("triples_flat",))
+    original = stage.annotate_doc
+
+    def flaky(text, doc_id):
+        if "POISON" in text:
+            raise RuntimeError("boom")
+        return original(text, doc_id)
+
+    stage.annotate_doc = flaky
+    before = fused_mod.FAST_PATH_FAILURES["docs"]
+    batch = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "text": pa.array(
+                ["breast cancer here.", "POISON doc.", "flu season."],
+                type=pa.large_string(),
+            ),
+        }
+    )
+    out = stage(batch)
+    assert fused_mod.FAST_PATH_FAILURES["docs"] == before + 1
+    # good docs still produce triples rows (schema is the flat table)
+    assert "subj" in out.column_names
+
+
+def test_write_annotated_failed_branch_partitioned(ray_session, cache_dir, tmp_path, monkeypatch):
+    """Failed docs land in the partitioned, manifest-tracked failed/
+    sink (no driver collect)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kazu_ray.stages.materialize import write_annotated
+
+    def poisoned(batch: pa.Table) -> pa.Table:
+        import pyarrow as pa
+
+        errs = ["" if "flu" in t else "RuntimeError: boom" for t in batch["text"].to_pylist()]
+        out = batch.append_column("ents_json", pa.array(["[]"] * batch.num_rows, type=pa.large_string()))
+        out = out.append_column("triples_json", pa.array(["[]"] * batch.num_rows, type=pa.large_string()))
+        return out.append_column("processing_exception", pa.array(errs, type=pa.large_string()))
+
+    docs = rd.from_items(
+        [
+            {"doc_id": "a", "text": "breast cancer."},
+            {"doc_id": "b", "text": "flu."},
+            {"doc_id": "c", "text": "totally poisoned."},
+        ]
+    ).map_batches(poisoned, batch_format="pyarrow")
+    result = write_annotated(docs, str(tmp_path / "out"))
+    assert result["failed"] == 2
+    files = glob.glob(str(tmp_path / "out" / "failed" / "part=*" / "*.parquet"))
+    assert files
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == 2
+    manifests = glob.glob(str(tmp_path / "out" / "failed" / "_manifests" / "*.json"))
+    assert manifests
