@@ -48,6 +48,19 @@ def _exact_partial_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def shuffle_parts(per_cpu: float = 0.5, lo: int = 8, hi: int = 256) -> int:
+    """Partition count for small-partial shuffles, scaled to the cluster
+    (fixed constants under-parallelize a big cluster and over-task a
+    small one)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(lo, min(hi, int(cpus * per_cpu)))
+
+
 def exact_dedup_groups(docs_ds):
     """One row per distinct text: (h, keep_id=min doc_id, n=count).
     Partial-aggregate inside map_batches, tiny groupby after."""
@@ -56,7 +69,7 @@ def exact_dedup_groups(docs_ds):
     partials = docs_ds.map_batches(_exact_partial_batch, batch_format="pyarrow")
     # partial rows are tiny (one per distinct hash per batch): bound the
     # shuffle's task count instead of inheriting the 200-partition default
-    return partials.repartition(16).groupby("h").aggregate(
+    return partials.repartition(shuffle_parts()).groupby("h").aggregate(
         Min("keep_id", alias_name="keep_id"), Sum("n", alias_name="n")
     )
 
@@ -134,6 +147,12 @@ class MinHashStage:
         )
 
 
+# per-worker stage cache for task-based dedup stages (Ray reuses worker
+# processes, so tasks get actor-style state amortization without the
+# actor-pool spin-up latency — same pattern as stages/fused.py)
+_WORKER_CACHE: dict = {}
+
+
 def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16, coarse: int = 32):
     """Candidate near-dup pairs via LSH banding.
 
@@ -144,10 +163,16 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16, coarse
     processes them with one vectorized pandas groupby. Same result, two
     orders of magnitude fewer group invocations.
     """
-    band_rows = docs_ds.map_batches(
-        MinHashStage, fn_constructor_args=(num_perm, bands), batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    key = ("minhash", num_perm, bands)
+
+    def _minhash_task(batch: pa.Table) -> pa.Table:
+        stage = _WORKER_CACHE.get(key)
+        if stage is None:
+            stage = MinHashStage(num_perm, bands)
+            _WORKER_CACHE[key] = stage
+        return stage(batch)
+
+    band_rows = docs_ds.map_batches(_minhash_task, batch_format="pyarrow")
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         vals = [
@@ -174,10 +199,11 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16, coarse
         .groupby("coarse")
         .map_groups(_pairs, batch_format="pandas")
     )
-    # dedupe pairs found in multiple coarse buckets (tiny output)
-    return pairs.repartition(4).groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # NOTE: a pair found in multiple coarse buckets appears multiple
+    # times; consumers dedupe (pairs_to_table / set-compare in tests) —
+    # a distributed dedupe shuffle over this tiny set cost more wall
+    # time than every consumer's local dedupe combined
+    return _anchor_pairs_schema(pairs)
 
 
 def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts: dict[int, str], threshold: float, k: int = 3):
@@ -247,8 +273,11 @@ def pairs_to_table(pairs_ds) -> pa.Table:
     """Collect a pair Dataset into one Arrow table with a guaranteed
     (id_a, id_b) int64 schema — ``Dataset.to_pandas()`` drops column
     names entirely on 0-row results, which breaks schema comparison
-    against SQL oracles. Only ever used on LSH/IVF pair OUTPUTS, which
-    are small by contract; the generation upstream stays distributed."""
+    against SQL oracles. Dedupes (a pair can be generated in several
+    LSH buckets — cheaper here as one Arrow group-by than as a
+    distributed shuffle over an already-tiny set) and sorts. Only ever
+    used on LSH/IVF pair OUTPUTS, which are small by contract; the
+    generation upstream stays distributed."""
     import pyarrow.compute as pc
 
     tables = [
@@ -267,38 +296,82 @@ def pairs_to_table(pairs_ds) -> pa.Table:
                 "id_b": pa.array([], type=pa.int64()),
             }
         )
-    out = pa.concat_tables(tables)
+    out = pa.concat_tables(tables).group_by(["id_a", "id_b"]).aggregate([])
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
-def verify_pairs_jaccard_ds(pairs_ds, docs_ds, threshold: float = 0.6, k: int = 3):
+def verify_pairs_jaccard_ds(
+    pairs_ds, docs_ds, threshold: float = 0.6, k: int = 3, max_gather_pairs: int = 200_000
+):
     """Distributed exact-Jaccard verify of LSH candidate pairs.
 
     Scale shape: (1) collect only the DISTINCT DOC IDS of the candidate
     pairs (small by the LSH output contract — never the texts); (2)
-    broadcast them and stream the corpus through a filtering shingle
-    stage; (3) attach shingle sets to each pair side with two bucketed
-    hash joins (pairs × filtered-docs, both small); (4) compute Jaccard
-    per pair inside map_batches. Returns a Dataset of (id_a, id_b).
+    broadcast them and stream the corpus ONCE through a filtering
+    shingle stage (no shuffle); then (3a) for pair sets up to
+    ``max_gather_pairs``, gather the filtered shingle rows — bounded by
+    2×|pairs| rows, the same size class as the pair set itself — and
+    broadcast them back for a per-batch verify over the pairs Dataset
+    (zero shuffles end to end); (3b) beyond that bound, fall back to
+    two bucketed hash joins (pairs × filtered-docs, both small) so
+    driver memory stays O(|ids|) ints. Returns a Dataset of
+    (id_a, id_b); duplicates of duplicate candidates are preserved
+    (consumers dedupe — see pairs_to_table).
     """
     import ray
-    import pyarrow.compute as pc
-
-    from kazu_ray.ops.joins import bucketed_hash_join
 
     pairs = pairs_ds.materialize()
     ids: set[int] = set()
+    n_pairs = 0
     for b in pairs.iter_batches(batch_format="pyarrow"):
+        n_pairs += b.num_rows
         ids.update(b["id_a"].to_pylist())
         ids.update(b["id_b"].to_pylist())
     ids_ref = ray.put(frozenset(ids)) if ray.is_initialized() else frozenset(ids)
 
-    docs_sh = docs_ds.map_batches(
-        _ShingleSemiJoin,
-        fn_constructor_args=(ids_ref, k),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    shingle_key = ("shingle_semijoin", id(ids_ref), k)
+
+    def _shingle_task(batch: pa.Table) -> pa.Table:
+        stage = _WORKER_CACHE.get(shingle_key)
+        if stage is None:
+            stage = _ShingleSemiJoin(ids_ref, k)
+            _WORKER_CACHE[shingle_key] = stage
+        return stage(batch)
+
+    docs_sh = docs_ds.map_batches(_shingle_task, batch_format="pyarrow")
+
+    if n_pairs <= max_gather_pairs:
+        # the filtered shingle rows are bounded by 2×|pairs| — the same
+        # size class as the already-driver-resident pair list — so the
+        # final verify runs locally: zero extra dataset executions
+        sh: dict[int, str] = {}
+        for b in docs_sh.iter_batches(batch_format="pyarrow"):
+            sh.update(zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist()))
+        ia, ib = [], []
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            for a, bb in zip(b["id_a"].to_pylist(), b["id_b"].to_pylist()):
+                sa, sb = sh.get(a), sh.get(bb)
+                if sa is None or sb is None:
+                    continue
+                if (
+                    jaccard(set(sa.split(_SHINGLE_SEP)), set(sb.split(_SHINGLE_SEP)))
+                    >= threshold
+                ):
+                    ia.append(a)
+                    ib.append(bb)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(ia, type=pa.int64()),
+                    "id_b": pa.array(ib, type=pa.int64()),
+                }
+            )
+        )
+
+    # large-pair-set fallback: bucketed joins, nothing big on the driver
+    from kazu_ray.ops.joins import bucketed_hash_join
 
     side_a = docs_sh.map_batches(
         lambda t: pa.table({"id_a": t["doc_id"], "sh_a": t["shingles"]}),
@@ -479,10 +552,9 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32):
         .groupby("coarse")
         .map_groups(_pairs, batch_format="pandas")
     )
-    deduped = pairs.repartition(4).groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
-    return _anchor_pairs_schema(deduped)
+    # duplicates across coarse buckets possible; consumers dedupe
+    # (see minhash_candidate_pairs note)
+    return _anchor_pairs_schema(pairs)
 
 
 # ---------------------------------------------------------------------------

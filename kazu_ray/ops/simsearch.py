@@ -167,10 +167,8 @@ def ivf_near_dup_pairs(
         return pd.DataFrame({"id_a": a, "id_b": b})
 
     pairs = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
-    # a pair can be found in up to n_assign shared buckets: dedupe (tiny)
+    # a pair can be found in up to n_assign shared buckets — consumers
+    # dedupe locally (pairs_to_table); a shuffle here isn't worth it
     from kazu_ray.ops.dedup import _anchor_pairs_schema
 
-    deduped = pairs.repartition(4).groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
-    return _anchor_pairs_schema(deduped)
+    return _anchor_pairs_schema(pairs)

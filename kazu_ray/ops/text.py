@@ -139,8 +139,10 @@ def vocabulary(docs_ds, min_count: int = 1):
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
+    from kazu_ray.ops.dedup import shuffle_parts
+
     partials = docs_ds.map_batches(word_count_partial_batch, batch_format="pyarrow")
-    agg = partials.repartition(16).groupby("word").aggregate(
+    agg = partials.repartition(shuffle_parts()).groupby("word").aggregate(
         Sum("partial", alias_name="n")
     )
     if min_count > 1:
