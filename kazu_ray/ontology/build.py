@@ -277,6 +277,108 @@ def autofix_case_conflicts(resources: list[_Resource]) -> tuple[list[_Resource],
     return resources, n_fixed
 
 
+def load_human_curations(path: str) -> list[dict]:
+    """Load human-curated resources from a jsonl file or directory of
+    jsonl files (``curation_utils.py:40-58``,
+    ``load_ontology_string_resources``). Record shape mirrors
+    ``OntologyStringResource.to_json``::
+
+        {"original_synonyms": [{"text": ..., "case_sensitive": bool,
+                                "mention_confidence": int}, ...],
+         "alternative_synonyms": [...],          # optional
+         "behaviour": "ADD_FOR_NER_AND_LINKING"  # or DROP_FOR_LINKING /
+                                                 #    ADD_FOR_LINKING_ONLY
+         "additional_to_source": false}          # optional
+    """
+    import json as _json
+
+    files = (
+        sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".jsonl")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    out: list[dict] = []
+    for f in files:
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    out.append(_json.loads(line))
+    return out
+
+
+def _resource_from_curation(rec: dict, entity_class: str) -> _Resource:
+    """Human curation record → working _Resource (syn_norm derived from
+    the first original synonym, as all originals of one resource share a
+    normalisation by the reference's integrity contract)."""
+    originals = rec.get("original_synonyms", [])
+    if not originals:
+        raise ValueError(f"curation record has no original_synonyms: {rec}")
+    syn_norm = normalizer.normalize(originals[0]["text"], entity_class)
+    r = _Resource(syn_norm, set())
+    for syn in originals:
+        r.syns[syn["text"]] = [
+            bool(syn.get("case_sensitive", False)),
+            int(syn.get("mention_confidence", int(MentionConfidence.PROBABLE))),
+        ]
+    for syn in rec.get("alternative_synonyms", []):
+        r.alt_syns[syn["text"]] = [
+            bool(syn.get("case_sensitive", False)),
+            int(syn.get("mention_confidence", int(MentionConfidence.PROBABLE))),
+        ]
+    r.behaviour = rec.get("behaviour", "ADD_FOR_NER_AND_LINKING")
+    return r
+
+
+def merge_human_and_auto_resources(
+    human: list[tuple[_Resource, bool]], auto_by_syn_norm: dict[str, _Resource]
+) -> tuple[dict[str, _Resource], dict]:
+    """``OntologyStringConflictAnalyser.merge_human_and_auto_resources``
+    (``curation_utils.py:638-701``): prefer the human resource wherever
+    its syn_norm matches an autocurated one; human resources with no
+    auto counterpart survive only when flagged ``additional_to_source``
+    (else they are obsolete — the source dropped the term); resources
+    whose synonym text sets differ from the auto version are reported as
+    discrepancies (synonym generation changed under the curation).
+
+    ``human`` is [(resource, additional_to_source)]. Returns
+    (effective resources by syn_norm, merge report dict).
+    """
+    working = dict(auto_by_syn_norm)
+    human_by_norm = {r.syn_norm: (r, additional) for r, additional in human}
+    superfluous: list[str] = []
+    discrepancies: list[str] = []
+    obsolete: list[str] = []
+    for syn_norm, (resource, additional) in human_by_norm.items():
+        default = auto_by_syn_norm.get(syn_norm)
+        if default is not None:
+            working[syn_norm] = resource
+            if set(resource.syns) != set(default.syns) or (
+                resource.alt_syns and set(resource.alt_syns) != set(default.alt_syns)
+            ):
+                discrepancies.append(syn_norm)
+            if (
+                resource.behaviour == default.behaviour
+                and resource.syns == default.syns
+            ):
+                superfluous.append(syn_norm)
+        elif additional:
+            working[syn_norm] = resource
+        else:
+            obsolete.append(syn_norm)
+            # obsolete curation: the source no longer produces this
+            # synonym — the curation is reported, not applied
+    report = {
+        "n_human": len(human),
+        "applied": len(human) - len(obsolete),
+        "superfluous": sorted(superfluous),
+        "discrepancies": sorted(discrepancies),
+        "obsolete": sorted(obsolete),
+    }
+    return working, report
+
+
 def autocurate(resource: _Resource, entity_class: str) -> _Resource:
     """Apply the per-class autocuration chain in config order
     (``conf/autocurator/default.yaml``): the ``basic`` chain for disease,
@@ -307,6 +409,7 @@ def build_parser_caches(
     entity_class: str,
     source: str,
     global_drop_ids: set[str] | None = None,
+    curations_path: str | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Build (metadata, synonyms, ner_terms) frames for one parser.
 
@@ -314,6 +417,14 @@ def build_parser_caches(
     ``DROP_IDS_FROM_PARSER`` (``kazu/data/__init__.py:692-751``): the
     ids are removed before any candidate resolution, so they can never
     appear in NER surfaces, linking candidates, or metadata.
+
+    ``curations_path`` is the human-override jsonl (file or directory):
+    curated resources are merged over the autocurated set per
+    ``curation_utils.py:638-701`` (human wins at matching syn_norm;
+    ``additional_to_source`` records may add NEW surfaces, carrying
+    their target ids in ``associated_idx``; obsolete curations are
+    reported and dropped) BEFORE cross-resource conflict analysis, the
+    reference's ordering (``base.py:369-674``).
     """
     df = df.copy()
     if global_drop_ids:
@@ -356,6 +467,52 @@ def build_parser_caches(
         resources[syn_norm] = autocurate(
             _Resource(syn_norm, originals, alternatives), entity_class
         )
+
+    if curations_path is not None:
+        recs = load_human_curations(curations_path)
+        human = [
+            (
+                _resource_from_curation(rec, entity_class),
+                bool(rec.get("additional_to_source", False)),
+            )
+            for rec in recs
+        ]
+        resources, merge_report = merge_human_and_auto_resources(human, resources)
+        if merge_report["obsolete"] or merge_report["discrepancies"]:
+            import logging
+
+            logging.getLogger("kazu_ray.ontology").warning(
+                "curation merge for %s: %d obsolete, %d discrepancies",
+                parser_name,
+                len(merge_report["obsolete"]),
+                len(merge_report["discrepancies"]),
+            )
+        # additional_to_source resources may introduce surfaces with no
+        # auto candidate: build one from the record's associated_idx
+        rec_by_norm = {
+            normalizer.normalize(r["original_synonyms"][0]["text"], entity_class): r
+            for r in recs
+            if r.get("original_synonyms")
+        }
+        for syn_norm, resource in resources.items():
+            if syn_norm in candidates:
+                continue
+            rec = rec_by_norm.get(syn_norm)
+            idxs = (rec or {}).get("associated_idx") or []
+            if not idxs:
+                continue
+            candidates[syn_norm] = LinkingCandidate(
+                synonym_norm=syn_norm,
+                parser_name=parser_name,
+                raw_synonyms=frozenset(resource.syns),
+                is_symbolic=all(
+                    normalizer.classify_symbolic(t, entity_class) for t in resource.syns
+                ),
+                mapping_types=frozenset({"human_curation"}),
+                associated_id_sets=frozenset({frozenset((i, source) for i in idxs)}),
+                aggregated_by="CUSTOM",
+            )
+
     # cross-resource case-conflict analysis + OPTIMISTIC autofix
     # (curation_utils.py verify_resource_set_integrity semantics)
     _, _n_conflicts_fixed = autofix_case_conflicts(list(resources.values()))

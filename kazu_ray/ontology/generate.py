@@ -27,7 +27,7 @@ import random
 import pandas as pd
 
 # bump when generated content changes — keys the derived cache directories
-ONTOLOGY_VERSION = "v4"
+ONTOLOGY_VERSION = "v5"  # v5: synonym generators expanded to 8 (stopword, spelling-variation in defaults)
 
 DISEASE_ADJ = [
     "chronic", "acute", "congenital", "idiopathic", "familial", "juvenile",

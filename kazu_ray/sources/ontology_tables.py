@@ -204,15 +204,24 @@ def from_tsv(path: str, data_origin: str, column_map: dict | None = None) -> pd.
 
 
 def build_caches_from_source(
-    df: pd.DataFrame, parser_name: str, entity_class: str, source: str, cache_dir: str
+    df: pd.DataFrame,
+    parser_name: str,
+    entity_class: str,
+    source: str,
+    cache_dir: str,
+    curations_path: str | None = None,
 ) -> str:
     """Run the standard cache build over a loaded source and append the
-    results to (or create) the cache tables at ``cache_dir``."""
+    results to (or create) the cache tables at ``cache_dir``.
+    ``curations_path`` merges a human-override jsonl (see
+    ``kazu_ray.ontology.build.build_parser_caches``)."""
     import os
 
     from kazu_ray.ontology.build import build_parser_caches
 
-    meta, syns, ner = build_parser_caches(df, parser_name, entity_class, source)
+    meta, syns, ner = build_parser_caches(
+        df, parser_name, entity_class, source, curations_path=curations_path
+    )
     os.makedirs(cache_dir, exist_ok=True)
     for name, frame in (("metadata", meta), ("synonyms", syns), ("ner_terms", ner)):
         path = os.path.join(cache_dir, f"{name}.parquet")

@@ -83,3 +83,49 @@ def test_boolean_scorers():
     assert not number_match_scorer("TYPE 2 DIABETE", "TYPE 1 DIABETE")
     assert entity_subtype_scorer("DIABETE", "DIABETE TYPE I")  # query may add types
     assert not entity_subtype_scorer("DIABETE TYPE I", "DIABETE")
+
+
+def test_synonym_generators_reference_semantics():
+    """The five newly-ported generators (synonym_generation.py:157-461)."""
+    from kazu_ray.ontology.synonym_generation import (
+        ngram_hyphenation,
+        spelling_variation_replacement,
+        stopword_remover,
+        suffix_replacement,
+        token_list_replacement,
+        verb_phrase_variants,
+    )
+
+    # StopWordRemover: only fires when a stopword was present
+    assert stopword_remover("cancer of the lung") == {"cancer lung"}
+    assert stopword_remover("lung cancer") == set()
+
+    # SuffixReplacement: every matching suffix swaps with every other,
+    # NOT longest-match-only (reference docstring example)
+    got = suffix_replacement("anaemia", frozenset({"ia", "a", "ic"}))
+    assert "anaemic" in got  # ia -> ic
+    assert "anaemiic" in got  # a -> ic (the documented noisy case)
+
+    # SpellingVariationReplacement: whole string + per-token
+    assert spelling_variation_replacement("tumour") == {"tumor"}
+    assert "breast tumor" in spelling_variation_replacement("breast tumour")
+
+    # NgramHyphenation: all dash variants of a 2-gram
+    got = ngram_hyphenation("breast cancer")
+    assert "breast-cancer" in got and len(got) > 1
+
+    # TokenListReplacementGenerator: one token at a time
+    got = token_list_replacement(
+        "AST increased", [["increased", "increase", "elevated"]]
+    )
+    assert "AST elevated" in got and "AST increase" in got
+
+    # VerbPhraseVariantGenerator: template x surface-form expansion
+    got = verb_phrase_variants(
+        "AST increased",
+        tense_templates=["{NOUN} {TARGET}", "{TARGET} in {NOUN}"],
+        lemmas_to_consider={"increase": ["increasing", "increased"]},
+    )
+    assert "increase in AST" in got
+    assert "AST increasing" in got
+    assert "increased in AST" in got
