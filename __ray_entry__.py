@@ -43,10 +43,27 @@ def entry() -> Any:
 
 
 def _kg_triples(sf_dir: str):
+    """Flagship triples. The flat table is also written (distributed,
+    streaming) to a deterministic /tmp path so the downstream aggregate
+    queries (node degrees, salted distinct doc counts) can be checked by
+    DuckDB against the same triple set — validating the aggregation
+    layer (partial-degree combiner, salted two-phase distinct)
+    independently of the NLP layer."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
     from kazu_ray.pipelines.kg import annotated_docs
     from kazu_ray.stages.materialize import explode_triples
 
-    return explode_triples(annotated_docs(sf_dir, store_ref=_store_ref()))
+    triples = explode_triples(annotated_docs(sf_dir, store_ref=_store_ref()))
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    oracle_dir = f"/tmp/kazu_ray_oracle/triples_{tag}"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    os.makedirs(oracle_dir, exist_ok=True)
+    triples.write_parquet(oracle_dir)
+    return rd.read_parquet(oracle_dir)
 
 
 def _kg_entities(sf_dir: str):
@@ -582,7 +599,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_cosine": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding,
-                       (SELECT embedding FROM embeddings WHERE vec_id = 0)), 3) AS cosine
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0))::DOUBLE, 3)
+                       AS cosine
             FROM embeddings
             ORDER BY list_cosine_similarity(embedding,
                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
@@ -761,5 +779,25 @@ def oracle_sql() -> dict[str, str]:
         "kg_text_hashes": """
             SELECT url, sha256(text) AS text_sha256
             FROM read_parquet('/tmp/kazu_ray_oracle/kg_text_sf0.01/*.parquet')
+        """,
+        "kg_node_degrees": """
+            WITH t AS (SELECT * FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 nodes AS (
+                    SELECT subj AS node FROM t
+                    UNION ALL
+                    SELECT obj AS node FROM t
+                 )
+            SELECT node, count(*)::BIGINT AS degree
+            FROM nodes GROUP BY node
+        """,
+        "kg_node_doc_counts": """
+            WITH t AS (SELECT * FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 pairs AS (
+                    SELECT subj AS node, doc_id FROM t
+                    UNION ALL
+                    SELECT obj AS node, doc_id FROM t
+                 )
+            SELECT node, count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM pairs GROUP BY node
         """,
     }
