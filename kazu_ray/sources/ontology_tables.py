@@ -197,6 +197,71 @@ def from_meddra_dir(
     return _finalize(out, data_origin)
 
 
+_NT_LINE_RE = re.compile(
+    r'^\s*<(?P<subj>[^>]+)>\s+<(?P<pred>[^>]+)>\s+'
+    r'(?:<(?P<obj_iri>[^>]+)>|"(?P<obj_lit>(?:[^"\\]|\\.)*)"(?:@[\w\-]+|\^\^<[^>]+>)?)'
+    r"\s*\.\s*$"
+)
+_NT_ESCAPES = {"\\n": "\n", "\\t": "\t", '\\"': '"', "\\\\": "\\", "\\r": "\r"}
+
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+OBO_EXACT_SYNONYM = "http://www.geneontology.org/formats/oboInOwl#hasExactSynonym"
+
+
+def _nt_unescape(s: str) -> str:
+    for esc, ch in _NT_ESCAPES.items():
+        s = s.replace(esc, ch)
+    return s
+
+
+def from_ntriples(
+    path: str,
+    data_origin: str,
+    uri_regex: str,
+    synonym_predicates: tuple = (OBO_EXACT_SYNONYM,),
+    label_predicate: str = RDFS_LABEL,
+) -> pd.DataFrame:
+    """RDF N-Triples parser — ``RDFGraphParser.parse_to_dataframe``
+    semantics (``kazu/ontology_preprocessing/parsers.py:467-620``)
+    without rdflib (absent in this environment): entities are subjects
+    matching ``uri_regex`` that carry a ``label_predicate`` triple; the
+    label becomes a row with mapping_type = the label predicate IRI, and
+    every ``synonym_predicates`` object becomes a synonym row with its
+    predicate IRI as mapping_type — the reference's exact row shape.
+    Only the line-based N-Triples serialization is supported (the
+    reference defers format sniffing to rdflib; OWL/XML needs a real
+    RDF stack).
+    """
+    uri_re = re.compile(uri_regex)
+    syn_preds = set(synonym_predicates)
+    labels: dict[str, str] = {}
+    syns_by_subj: dict[str, list[tuple[str, str]]] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip() or line.lstrip().startswith("#"):
+                continue
+            m = _NT_LINE_RE.match(line)
+            if m is None:
+                continue
+            subj, pred = m.group("subj"), m.group("pred")
+            lit = m.group("obj_lit")
+            if lit is None:
+                continue
+            lit = _nt_unescape(lit)
+            if pred == label_predicate:
+                labels[subj] = lit
+            elif pred in syn_preds:
+                syns_by_subj.setdefault(subj, []).append((lit, pred))
+    rows = []
+    for subj, label in labels.items():
+        if not uri_re.match(subj):
+            continue
+        rows.append((subj, label, label, label_predicate))
+        for syn, pred in syns_by_subj.get(subj, []):
+            rows.append((subj, label, syn, pred))
+    return _finalize(pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin)
+
+
 def from_tsv(path: str, data_origin: str, column_map: dict | None = None) -> pd.DataFrame:
     """TSV shorthand for :func:`from_csv` — the reference's
     ``TabularOntologyParser`` (``parsers.py:1519``) with ``sep='\\t'``."""

@@ -152,7 +152,7 @@ class AnnotateStage:
 
         spans = sentence_spans(text)
         toks = tokenize(text)
-        ents = match_entities(text, self.automaton, token_boundaries_from(toks))
+        ents = match_entities(text, self.automaton, toks=toks)
         for e in ents:
             e["sent_idx"] = sentence_index_for_span(spans, e["start"])
         if self.with_model_ner:

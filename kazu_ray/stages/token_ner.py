@@ -528,10 +528,11 @@ class DeterministicTransformerNer:
                 merged.append(w)
         return merged
 
-    def _labeled_runs(self, tokens, label_ids):
-        """Group tokens into words and return maximal runs of
-        consecutively-labeled words (label != O), each word built as a
-        full TokenizedWord with exact offsets.
+    def _labeled_runs_from_words(self, word_matches, word_labels):
+        """Maximal runs of consecutively-labeled words (label != O),
+        each built as a full TokenizedWord with exact offsets.
+        Wordpieces are materialized here, ONLY for labeled words — the
+        unlabeled majority never pays piece-splitting.
 
         Sparse-driver optimization, valid for single-label one-hot
         output: an O word can neither start a span (``start_span``
@@ -543,48 +544,52 @@ class DeterministicTransformerNer:
         """
         runs: list[list[TokenizedWord]] = []
         current: list[TokenizedWord] = []
-        i, n = 0, len(tokens)
-        while i < n:
-            word_id = tokens[i][0]
-            j = i
-            while j < n and tokens[j][0] == word_id:
-                j += 1
-            lid = label_ids[i]
+        for word_id, (w, ws, lid) in enumerate(zip(*word_matches, word_labels)):
             if lid != 0:
-                labels = tuple(label_ids[i:j])
+                n_pieces = (len(w) + _PIECE_LEN - 1) // _PIECE_LEN
+                offsets = [
+                    (ws + p, ws + min(p + _PIECE_LEN, len(w)))
+                    for p in range(0, len(w), _PIECE_LEN)
+                ]
                 word = TokenizedWord(
-                    token_ids=list(range(i, j)),
-                    tokens=[t[1] for t in tokens[i:j]],
-                    token_confidences=self._conf_array(lid, j - i),
-                    token_offsets=[t[2] for t in tokens[i:j]],
-                    word_char_start=tokens[i][2][0],
-                    word_char_end=tokens[j - 1][2][1] - 1,
+                    token_ids=list(range(n_pieces)),
+                    tokens=[w[p : p + _PIECE_LEN] for p in range(0, len(w), _PIECE_LEN)],
+                    token_confidences=self._conf_array(lid, n_pieces),
+                    token_offsets=offsets,
+                    word_char_start=ws,
+                    word_char_end=ws + len(w) - 1,
                     word_id=word_id,
-                    token_label_ids=labels,
+                    token_label_ids=(lid,) * n_pieces,
                 )
                 current.append(word)
             elif current:
                 runs.append(current)
                 current = []
-            i = j
         if current:
             runs.append(current)
         return runs
 
     def __call__(self, text: str) -> list[dict]:
         """text → model-NER entity dicts (start/end/match/class/namespace)."""
-        tokens = _tokenize(text)
-        if not tokens:
-            return []
-        label_ids = [self._label_id(t[3]) for t in tokens]
-        if not any(label_ids):
-            return []  # fast path: no tagged word anywhere in the text
         if self.processor.use_multilabel:
+            tokens = _tokenize(text)
+            if not tokens:
+                return []
+            label_ids = [self._label_id(t[3]) for t in tokens]
             words = self._assemble_words(tokens, label_ids)
             return self.processor(words, text, MODEL_NER_NAMESPACE)
-        # sparse driver: walk only labeled word-runs (see _labeled_runs)
+        # sparse driver: word-level first (pieces only for labeled words)
+        texts_starts = ([], [])
+        for m in _WORD_RE.finditer(text):
+            texts_starts[0].append(m.group())
+            texts_starts[1].append(m.start())
+        if not texts_starts[0]:
+            return []
+        word_labels = [self._label_id(w) for w in texts_starts[0]]
+        if not any(word_labels):
+            return []  # fast path: no tagged word anywhere in the text
         finder = self.processor.make_span_finder(text)
-        for run in self._labeled_runs(tokens, label_ids):
+        for run in self._labeled_runs_from_words(texts_starts, word_labels):
             for word in run:
                 finder.process_next_word(word)
             finder.close_spans()

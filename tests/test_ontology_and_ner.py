@@ -89,3 +89,26 @@ def test_dictionary_ner_stage_roundtrip(store):
     assert spans == [list(s) for s in sentence_spans(batch["text"][0].as_py())] or spans == [
         tuple(s) for s in sentence_spans(batch["text"][0].as_py())
     ]
+
+
+def test_span_matcher_equals_automaton():
+    """The token-span dictionary matcher must produce exactly the
+    word_is_valid-filtered hit set of the classic Aho-Corasick automaton
+    on real corpus docs (the scan-equivalence contract)."""
+    from kazu_ray.functions.ahocorasick import Automaton
+    from kazu_ray.sources.corpus import page_text_for_doc
+    from kazu_ray.stages.ner import build_automaton, match_entities
+    from kazu_ray.state.store import ensure_default_caches, load_store
+
+    store = load_store(ensure_default_caches(None))
+    span_matcher = build_automaton(store)
+    automaton = build_automaton(store, matcher_cls=Automaton)
+
+    def key(e):
+        return (e["start"], e["end"], e["entity_class"], tuple(map(tuple, e["cands"])))
+
+    for doc_id in range(400):
+        text = page_text_for_doc(doc_id)
+        got = sorted(match_entities(text, span_matcher), key=key)
+        want = sorted(match_entities(text, automaton), key=key)
+        assert [key(e) for e in got] == [key(e) for e in want], doc_id

@@ -107,3 +107,30 @@ def test_obo_cache_build_feeds_pipeline(tmp_path):
     assert "HeLa" in matches
     cell_line_ents = [e for e in ents if e["entity_class"] == "cell_line"]
     assert cell_line_ents
+
+
+def test_ntriples_rdf_parser():
+    """RDFGraphParser semantics without rdflib: uri_regex gate, label
+    predicate, synonym predicates with IRI mapping types
+    (parsers.py:467-620)."""
+    from kazu_ray.sources.ontology_tables import OBO_EXACT_SYNONYM, RDFS_LABEL, from_ntriples
+
+    df = from_ntriples(
+        os.path.join(FIXTURES, "clo_like.nt"),
+        data_origin="clo",
+        uri_regex=r"^http://purl\.obolibrary\.org/obo/CLO_[0-9]+$",
+    )
+    # excluded-by-regex and label-less subjects are absent
+    assert not any("not_clo" in i for i in df["idx"])
+    assert "http://purl.obolibrary.org/obo/CLO_0000003" not in set(df["idx"])
+    hela = df[df["idx"] == "http://purl.obolibrary.org/obo/CLO_0000002"]
+    assert set(hela["syn"]) == {
+        "HeLa cell",
+        "HeLa",
+        'Henrietta Lacks cells with "quotes"',
+    }
+    # definition predicate is NOT a synonym predicate
+    assert "A definition, not a synonym" not in set(df["syn"])
+    # mapping types carry the predicate IRIs, like the reference
+    assert set(hela["mapping_type"]) == {RDFS_LABEL, OBO_EXACT_SYNONYM}
+    assert (hela["default_label"] == "HeLa cell").all()
