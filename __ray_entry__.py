@@ -219,15 +219,28 @@ def _near_dup_clusters(sf_dir: str):
 
 
 def _simhash_dups(sf_dir: str):
-    """SimHash near-dup pairs: bucket by 16-bit chunks, hamming ≤ 3 verify."""
+    """SimHash near-dup pairs: bucket by 16-bit chunks, hamming ≤ 2 verify.
+
+    The per-doc signatures are also written (distributed) to a
+    deterministic /tmp path so the DuckDB oracle can run the exhaustive
+    O(N²) ``bit_count(xor(...))`` self-join over the same signatures —
+    validating the LSH chunk-bucketing layer (the distributed part)
+    against brute force, independent of the hash kernel."""
+    import os
+    import shutil
+
     import ray.data as rd
 
-    from kazu_ray.ops.dedup import simhash_near_dup_pairs
-
-    from kazu_ray.ops.dedup import pairs_to_table
+    from kazu_ray.ops.dedup import pairs_to_table, simhash_batch, simhash_near_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return pairs_to_table(simhash_near_dup_pairs(ds))
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    oracle_dir = f"/tmp/kazu_ray_oracle/simhash_{tag}"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    os.makedirs(oracle_dir, exist_ok=True)
+    ds.map_batches(simhash_batch, batch_format="pyarrow").write_parquet(oracle_dir)
+    sh = rd.read_parquet(oracle_dir)
+    return pairs_to_table(simhash_near_dup_pairs(ds, sh_ds=sh))
 
 
 def _topk_cosine(sf_dir: str):
@@ -303,17 +316,77 @@ def _embedding_label_centroids(sf_dir: str):
 
 
 def _media_features(sf_dir: str):
-    """Multimodal plumbing: synth binary media → (stubbed) decode features."""
+    """Multimodal plumbing: synth binary media → actor-pool (stubbed)
+    decode → per-media feature vector.
+
+    The binary payloads are hex-dumped (distributed write) to a
+    deterministic /tmp path, and the feature floats — exact multiples of
+    1/255 by construction — are projected to integer byte columns, so
+    the DuckDB oracle can recompute the pseudo-decode independently from
+    the hex artifact (sha256/BLOB is unavailable in SQL; raw-byte
+    features are)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
     from kazu_ray.ops.multimodal import ImageDecodeStage, synth_media_dataset
 
     ds = synth_media_dataset(sf_dir)
-    return ds.map_batches(
-        ImageDecodeStage,
-        fn_constructor_kwargs={"fake": True},
-        batch_format="pyarrow",
-        batch_size=128,
-        concurrency=(1, 2),
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    oracle_dir = f"/tmp/kazu_ray_oracle/media_{tag}"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    os.makedirs(oracle_dir, exist_ok=True)
+
+    def hexdump(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "payload_hex": pa.array(
+                    [p.hex() for p in batch["payload"].to_pylist()], type=pa.string()
+                ),
+            }
+        )
+
+    ds.map_batches(hexdump, batch_format="pyarrow").write_parquet(oracle_dir)
+
+    def unhex(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "payload": pa.array(
+                    [bytes.fromhex(h) for h in batch["payload_hex"].to_pylist()],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    feats = (
+        rd.read_parquet(oracle_dir)
+        .map_batches(unhex, batch_format="pyarrow")
+        .map_batches(
+            ImageDecodeStage,
+            fn_constructor_kwargs={"fake": True},
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=(1, 2),
+        )
     )
+
+    def to_bytes(batch: pa.Table) -> pa.Table:
+        flat = pc.round(pc.multiply(batch["features"].combine_chunks().flatten(), pa.scalar(255.0)))
+        n = len(batch)
+        mat = pc.cast(flat, pa.int64()).to_numpy().reshape(n, ImageDecodeStage.FEATURE_DIM)
+        cols = {"media_id": batch["media_id"], "media_type": batch["media_type"]}
+        for j in range(ImageDecodeStage.FEATURE_DIM):
+            cols[f"f{j:02d}"] = pa.array(mat[:, j], type=pa.int64())
+        return pa.table(cols)
+
+    return feats.map_batches(to_bytes, batch_format="pyarrow")
 
 
 def _embedding_near_dups(sf_dir: str):
@@ -799,6 +872,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+        """,
+        "simhash_near_dups": """
+            WITH s AS (SELECT doc_id, simhash
+                       FROM read_parquet('/tmp/kazu_ray_oracle/simhash_sf0.01/*.parquet'))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "media_features": """
+            SELECT media_id, media_type,
+                   """
+        + ",\n                   ".join(
+            f"('0x' || substr(payload_hex, {j * 2 + 1}, 2))::BIGINT AS f{j:02d}"
+            for j in range(16)
+        )
+        + """
+            FROM read_parquet('/tmp/kazu_ray_oracle/media_sf0.01/*.parquet')
         """,
         "kg_text_hashes": """
             SELECT url, sha256(text) AS text_sha256

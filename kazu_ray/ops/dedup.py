@@ -474,16 +474,20 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32):
+def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32, sh_ds=None):
     """SimHash near-dup pairs: by pigeonhole, two hashes within hamming
     ≤ 3 share at least one of the four 16-bit chunks, so candidates are
     generated per (chunk_idx, chunk_value) bucket and verified exactly.
     Same coarse-shuffle trick as minhash: shuffle on chunk_value %% 32,
-    vectorized per-bucket pairing inside each coarse group."""
+    vectorized per-bucket pairing inside each coarse group.
+
+    ``sh_ds``: optional precomputed ``simhash_batch`` output (so a caller
+    that also persists the signatures — e.g. for an external brute-force
+    check — hashes each document once, not twice)."""
     import pandas as pd
     import pyarrow as pa
 
-    sh = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+    sh = sh_ds if sh_ds is not None else docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
         doc_ids, sims, cidx, cval, co = [], [], [], [], []

@@ -72,11 +72,13 @@ class ImageDecodeStage:
         self.fake = fake
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
-        # deterministic pseudo-decode: payload digest → feature vector
-        d = hashlib.sha256(payload).digest()
-        return np.frombuffer(d[: self.FEATURE_DIM * 4], dtype=np.uint8).astype(
-            np.float32
-        )[: self.FEATURE_DIM] / 255.0
+        # deterministic pseudo-decode: leading payload bytes → feature
+        # vector. Defined on the raw bytes (not a re-hash) so an
+        # independent oracle can recompute it from a hex dump of the
+        # payload column.
+        return np.frombuffer(
+            payload[: self.FEATURE_DIM], dtype=np.uint8
+        ).astype(np.float32) / 255.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:

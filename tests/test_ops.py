@@ -71,7 +71,10 @@ def test_media_plumbing_stub(ray_session):
     out = e.queries()["media_features"](SF_DIR).to_pandas()
     assert len(out) == 500
     assert set(out["media_type"]) == {"image", "audio", "video"}
-    assert all(len(f) == 16 for f in out["features"])
+    feat_cols = [c for c in out.columns if c.startswith("f")]
+    assert len(feat_cols) == 16
+    # pseudo-decode = leading payload bytes: every feature is a byte value
+    assert all(out[c].between(0, 255).all() for c in feat_cols)
 
 
 def test_media_decode_raises_without_fake():
