@@ -1,0 +1,41 @@
+"""Vectorized deterministic bucket hashing.
+
+Shared by the partitioned materializer, the triple-store point lookup
+and the bucketed hash join so writer and reader always agree on the
+partition function. Uses :func:`pandas.util.hash_array` (SipHash with a
+fixed default key): stable across processes, runs and machines — unlike
+builtin ``hash`` — and a C kernel per column instead of a per-row
+Python ``hashlib.md5`` loop, which was the dominant cost of bucket
+assignment on wide inputs.
+
+NOT interchangeable with the DuckDB-reproducible ``md5`` rule used by
+``ops/sample.py`` — sampling must stay SQL-recomputable; bucket
+assignment only needs internal consistency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def bucket_ids(col, num_buckets: int) -> np.ndarray:
+    """Per-row bucket assignment for an Arrow array/chunked array
+    (or anything numpy-coercible). Returns int32 ndarray."""
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        vals = col.to_pandas().to_numpy()
+    else:
+        vals = np.asarray(col)
+    h = pd.util.hash_array(vals)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def bucket_of(value, num_buckets: int) -> int:
+    """Single-value counterpart of :func:`bucket_ids` for point lookups.
+
+    Matches the column path for object/string columns (the only keys we
+    point-look-up)."""
+    # int() before %: np.uint64 % python-int silently promotes to
+    # float64 and loses low bits, giving a different bucket
+    return int(pd.util.hash_array(np.array([value], dtype=object))[0]) % num_buckets

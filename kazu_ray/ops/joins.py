@@ -50,10 +50,9 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 16):
 
     def tag(side: str, own: dict):
         def _tag(batch: pa.Table) -> pa.Table:
-            buckets = [
-                int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % num_buckets
-                for v in batch[on].to_pylist()
-            ]
+            from kazu_ray.functions.hashing import bucket_ids
+
+            buckets = bucket_ids(batch[on], num_buckets)
             cols = {}
             for name, typ in combined.items():
                 if name in own:

@@ -137,10 +137,12 @@ def node_degrees(triples_ds):
     """Per-canonical-node degree via partial-aggregate → small groupby."""
     from ray.data.aggregate import Sum
 
+    from kazu_ray.ops.dedup import shuffle_parts
+
     partials = triples_ds.map_batches(_partial_degree_batch, batch_format="pyarrow")
     # partials are one row per (node, role) per block — small; bound the
-    # shuffle fan-out explicitly
-    return partials.repartition(16).groupby("node").aggregate(
+    # shuffle fan-out explicitly, scaled to the cluster
+    return partials.repartition(shuffle_parts()).groupby("node").aggregate(
         Sum("partial_count", alias_name="degree")
     )
 
@@ -176,11 +178,10 @@ def materialize_partitioned(
     if not pending:
         return load_manifests(out_dir)
 
+    from kazu_ray.functions.hashing import bucket_ids
+
     def _assign_part(batch: pa.Table) -> pa.Table:
-        parts = [
-            int(hashlib.md5(str(s).encode()).hexdigest()[:8], 16) % num_parts
-            for s in batch[key_col].to_pylist()
-        ]
+        parts = bucket_ids(batch[key_col], num_parts)
         return batch.append_column("__part", pa.array(parts, type=pa.int32()))
 
     with_part = ds.map_batches(_assign_part, batch_format="pyarrow")
@@ -207,10 +208,19 @@ def materialize_partitioned(
         tmp = os.path.join(part_dir, f".tmp.{file_name}")
         pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(part_dir, file_name))
+        import pyarrow.compute as pc
+
         content_hash = hashlib.sha256()
-        cols = [table[c].to_pylist() for c in dict.fromkeys(content_cols)]
-        for vals in zip(*cols) if cols else ():
-            content_hash.update(("\t".join(str(v) for v in vals) + "\n").encode())
+        keep = list(dict.fromkeys(content_cols))
+        if keep and table.num_rows:
+            # vectorized: cast → tab-join columns → newline-suffix, then
+            # hash the concatenated lines in one update (no per-row loop)
+            str_cols = [pc.cast(table[c], pa.string()) for c in keep]
+            lines = pc.binary_join_element_wise(
+                *str_cols, "\t", null_handling="replace", null_replacement="None"
+            )
+            lines = pc.binary_join_element_wise(lines, "", "\n")
+            content_hash.update(lines.to_pandas().str.cat().encode())
         keys = table[key_col].to_pylist()
         manifest = {
             "partition_id": part,
@@ -335,7 +345,9 @@ def lookup_triples(out_dir: str, subj: str, num_parts: int | None = None):
 
     if num_parts is None:
         num_parts = len(load_manifests(out_dir))
-    part = int(hashlib.md5(subj.encode()).hexdigest()[:8], 16) % num_parts
+    from kazu_ray.functions.hashing import bucket_of
+
+    part = bucket_of(subj, num_parts)
     path = os.path.join(out_dir, f"part={part}", "triples.parquet")
     if not os.path.exists(path):
         return pa.table({name: [] for name in TRIPLE_SCHEMA.names}, schema=TRIPLE_SCHEMA)
@@ -360,13 +372,17 @@ def node_doc_counts_salted(triples_ds, salt: int = 8):
     def add_salt(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        rows = []
-        for node_col in ("subj", "obj"):
-            for node, doc in zip(
-                batch[node_col].to_pylist(), batch["doc_id"].to_pylist()
-            ):
-                rows.append((node, int(hashlib.md5(doc.encode()).hexdigest()[:8], 16) % salt, doc))
-        df = pd.DataFrame(rows, columns=["node", "salt", "doc_id"]).drop_duplicates()
+        from kazu_ray.functions.hashing import bucket_ids
+
+        docs = batch["doc_id"].to_pandas()
+        salts = bucket_ids(batch["doc_id"], salt)
+        frames = [
+            pd.DataFrame(
+                {"node": batch[c].to_pandas(), "salt": salts, "doc_id": docs}
+            )
+            for c in ("subj", "obj")
+        ]
+        df = pd.concat(frames, ignore_index=True).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def distinct_per_subkey(g):
@@ -379,10 +395,13 @@ def node_doc_counts_salted(triples_ds, salt: int = 8):
             }
         )
 
+    from kazu_ray.ops.dedup import shuffle_parts
+
     salted = triples_ds.map_batches(add_salt, batch_format="pyarrow")
-    partials = salted.repartition(16).groupby(["node", "salt"]).map_groups(
+    partials = salted.repartition(shuffle_parts()).groupby(["node", "salt"]).map_groups(
         distinct_per_subkey, batch_format="pandas"
     )
-    return partials.repartition(8).groupby("node").aggregate(
+    # second phase: one row per (node, salt) — far smaller fan-in
+    return partials.repartition(max(shuffle_parts() // 2, 4)).groupby("node").aggregate(
         Sum("n_docs_partial", alias_name="n_docs")
     )
