@@ -84,6 +84,46 @@ def score_and_group_ids(
     )
 
 
+def score_and_group_ids_by_xref(
+    ids_and_source: set[tuple[str, str]],
+    is_symbolic: bool,
+    default_labels: dict[str, str],
+    xrefs: dict[str, frozenset],
+) -> tuple[frozenset, str]:
+    """Group ambiguous ids by shared cross-references, the OpenTargets
+    disease strategy (``parsers.py:158-222``): ids whose xref sets
+    intersect share an equivalent-id set; if two intersection groups
+    overlap inconsistently, fall back to the similarity strategy; ids
+    with no shared xref stay as singleton sets."""
+    import itertools
+
+    if len(ids_and_source) == 1:
+        return score_and_group_ids(ids_and_source, is_symbolic, default_labels)
+
+    lookup = {ias: xrefs.get(ias[0], frozenset()) for ias in sorted(ids_and_source)}
+    unmapped = set(lookup)
+    groups: dict[frozenset, set] = {}
+    for (ias1, x1), (ias2, x2) in itertools.combinations(lookup.items(), r=2):
+        shared = frozenset(x1 & x2)
+        if shared:
+            groups.setdefault(shared, set()).update((ias1, ias2))
+            unmapped.discard(ias1)
+            unmapped.discard(ias2)
+
+    if len(groups) > 1:
+        for s1, s2 in itertools.combinations(groups.values(), r=2):
+            if not s1.isdisjoint(s2):
+                # xref mappings confused between subsets → reference
+                # falls back to the default strategy
+                return score_and_group_ids(ids_and_source, is_symbolic, default_labels)
+
+    group_list = list(groups.values()) + [{ias} for ias in sorted(unmapped)]
+    return (
+        frozenset(frozenset(g) for g in group_list),
+        "RESOLVED_BY_XREF",
+    )
+
+
 def resolve_candidates_for_group(
     syn_norm: str,
     group: pd.DataFrame,
@@ -91,13 +131,20 @@ def resolve_candidates_for_group(
     entity_class: str,
     source: str,
     default_labels: dict[str, str],
+    xrefs: dict[str, frozenset] | None = None,
 ) -> LinkingCandidate:
     """One normalised synonym group → one LinkingCandidate
-    (``base.py:160-209``)."""
+    (``base.py:160-209``). When ``xrefs`` is provided (OpenTargets-style
+    sources), ambiguous ids group by shared cross-reference first."""
     syn_set = set(group["syn"])
     is_symbolic = all(normalizer.classify_symbolic(x, entity_class) for x in syn_set)
     ids_and_source = {(idx, source) for idx in set(group["idx"])}
-    associated_id_sets, agg = score_and_group_ids(ids_and_source, is_symbolic, default_labels)
+    if xrefs is not None:
+        associated_id_sets, agg = score_and_group_ids_by_xref(
+            ids_and_source, is_symbolic, default_labels, xrefs
+        )
+    else:
+        associated_id_sets, agg = score_and_group_ids(ids_and_source, is_symbolic, default_labels)
     return LinkingCandidate(
         synonym_norm=syn_norm,
         parser_name=parser_name,

@@ -82,6 +82,84 @@ def from_jsonl(
     )
 
 
+def from_chembl_sqlite(path: str, data_origin: str = "chembl") -> pd.DataFrame:
+    """ChEMBL sqlite dump → canonical long-thin frame.
+
+    Mirrors ``ChemblOntologyParser.parse_to_dataframe``
+    (``kazu/ontology_preprocessing/parsers.py:1098-1129``): synonym rows
+    from ``molecule_dictionary ⋈ molecule_synonyms`` unioned with one
+    ``pref_name`` row per molecule; entries without a ``pref_name`` are
+    dropped; exact duplicates collapsed. stdlib ``sqlite3`` — no new
+    dependency.
+    """
+    import sqlite3
+
+    conn = sqlite3.connect(path)
+    try:
+        df = pd.read_sql(
+            """
+            SELECT chembl_id AS idx, pref_name AS default_label,
+                   synonyms AS syn, syn_type AS mapping_type
+            FROM molecule_dictionary AS md
+                 JOIN molecule_synonyms ms ON md.molregno = ms.molregno
+            UNION ALL
+            SELECT chembl_id AS idx, pref_name AS default_label,
+                   pref_name AS syn, 'pref_name' AS mapping_type
+            FROM molecule_dictionary
+            """,
+            conn,
+        )
+    finally:
+        conn.close()
+    df = df.dropna(subset=["default_label"])
+    return _finalize(df, data_origin)
+
+
+def from_opentargets_disease_jsonl(
+    path: str,
+    data_origin: str = "opentargets",
+    allowed_therapeutic_areas: tuple = (),
+) -> pd.DataFrame:
+    """OpenTargets disease release JSONL → canonical frame + xrefs.
+
+    Mirrors ``OpenTargetsDiseaseOntologyParser.json_dict_to_parser_records``
+    (``kazu/ontology_preprocessing/parsers.py:226-260``): records whose
+    ``therapeuticAreas`` are disjoint from the allowed set are skipped;
+    each kept record yields one ``name`` row plus one row per
+    ``synonyms.hasExactSynonym`` (related synonyms ignored, as in the
+    reference). The record's ``dbXRefs`` — plus its own id in ``:``
+    form, the reference's format fixup — are carried in an extra
+    ``xrefs`` column (JSON-encoded list) for the xref-based id grouping
+    strategy in the cache build.
+    """
+    allowed = set(allowed_therapeutic_areas)
+    rows = []
+    xref_col = []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            if allowed and allowed.isdisjoint(rec.get("therapeuticAreas", ())):
+                continue
+            idx = str(rec["id"])
+            label = rec["name"]
+            xrefs = list(rec.get("dbXRefs", [])) + [idx.replace("_", ":")]
+            rows.append((idx, label, label, "name"))
+            xref_col.append(json.dumps(sorted(set(xrefs))))
+            for syn in rec.get("synonyms", {}).get("hasExactSynonym", []):
+                rows.append((idx, label, syn, "hasExactSynonym"))
+                xref_col.append(json.dumps(sorted(set(xrefs))))
+    df = pd.DataFrame(rows, columns=CANONICAL_COLUMNS)
+    df["xrefs"] = xref_col
+    out = _finalize(df, data_origin)
+    # _finalize deduplicates on the canonical columns; re-attach xrefs
+    # (constant per idx) by merge
+    xref_by_idx = df.drop_duplicates("idx").set_index("idx")["xrefs"]
+    out["xrefs"] = out["idx"].map(xref_by_idx)
+    return out
+
+
 _OBO_SYNONYM_RE = re.compile(
     r"""^synonym:      # line that begins synonyms
     \s*                # any amount of whitespace (standardly a single space)

@@ -134,3 +134,106 @@ def test_ntriples_rdf_parser():
     # mapping types carry the predicate IRIs, like the reference
     assert set(hela["mapping_type"]) == {RDFS_LABEL, OBO_EXACT_SYNONYM}
     assert (hela["default_label"] == "HeLa cell").all()
+
+
+def test_chembl_sqlite_parser(tmp_path):
+    """ChemblOntologyParser SQL semantics (parsers.py:1098-1129): synonym
+    join unioned with pref_name rows, null pref_names dropped, exact
+    duplicates collapsed — against an in-test sqlite fixture."""
+    import sqlite3
+
+    from kazu_ray.sources.ontology_tables import from_chembl_sqlite
+
+    db = str(tmp_path / "chembl.db")
+    conn = sqlite3.connect(db)
+    conn.executescript(
+        """
+        CREATE TABLE molecule_dictionary (molregno INTEGER, chembl_id TEXT, pref_name TEXT);
+        CREATE TABLE molecule_synonyms (molregno INTEGER, synonyms TEXT, syn_type TEXT);
+        INSERT INTO molecule_dictionary VALUES
+            (1, 'CHEMBL25', 'ASPIRIN'),
+            (2, 'CHEMBL112', 'PARACETAMOL'),
+            (3, 'CHEMBL999', NULL);
+        INSERT INTO molecule_synonyms VALUES
+            (1, 'acetylsalicylic acid', 'TRADE_NAME'),
+            (1, 'ASA', 'OTHER'),
+            (1, 'ASA', 'OTHER'),
+            (2, 'acetaminophen', 'OTHER'),
+            (3, 'orphan syn', 'OTHER');
+        """
+    )
+    conn.commit()
+    conn.close()
+
+    df = from_chembl_sqlite(db, data_origin="chembl")
+    # null-pref_name molecule fully dropped (its synonym too)
+    assert "CHEMBL999" not in set(df["idx"])
+    asp = df[df["idx"] == "CHEMBL25"]
+    assert set(asp["syn"]) == {"acetylsalicylic acid", "ASA", "ASPIRIN"}
+    # duplicate synonym row collapsed
+    assert len(asp[asp["syn"] == "ASA"]) == 1
+    # pref_name row carries its own mapping type
+    assert set(asp[asp["syn"] == "ASPIRIN"]["mapping_type"]) == {"pref_name"}
+    assert (asp["default_label"] == "ASPIRIN").all()
+
+
+def test_opentargets_disease_jsonl_parser():
+    """OpenTargetsDiseaseOntologyParser record semantics
+    (parsers.py:226-260): therapeutic-area gate, name + hasExactSynonym
+    rows only, dbXRefs carried (plus the id's ':' form)."""
+    import json as _json
+
+    from kazu_ray.sources.ontology_tables import from_opentargets_disease_jsonl
+
+    df = from_opentargets_disease_jsonl(
+        os.path.join(FIXTURES, "opentargets_disease_like.jsonl"),
+        data_origin="opentargets",
+        allowed_therapeutic_areas=("MONDO_0024458",),
+    )
+    # diabetes record is outside the allowed therapeutic areas
+    assert "MONDO_0005148" not in set(df["idx"])
+    asthma = df[df["idx"] == "MONDO_0004979"]
+    # related synonyms ignored, like the reference
+    assert "wheeze" not in set(asthma["syn"])
+    assert set(asthma["syn"]) == {"asthma", "bronchial asthma", "asthma bronchiale"}
+    assert set(asthma["mapping_type"]) == {"name", "hasExactSynonym"}
+    xrefs = set(_json.loads(asthma["xrefs"].iloc[0]))
+    # reference fixup: the record's own id in ':' form joins its dbXRefs
+    assert xrefs == {"DOID:2841", "MeSH:D001249", "MONDO:0004979"}
+    # record with no synonyms/xrefs still yields its name row
+    covid = df[df["idx"] == "MONDO_0100096"]
+    assert set(covid["syn"]) == {"COVID-19"}
+
+
+def test_xref_id_grouping():
+    """OpenTargets xref grouping strategy (parsers.py:158-222): shared
+    xref ⇒ one equivalent-id set; inconsistent xref overlap ⇒ fall back
+    to similarity; xref-less ids stay singletons."""
+    from kazu_ray.ontology.build import score_and_group_ids_by_xref
+
+    labels = {"MONDO_1": "asthma", "EFO_1": "asthma disorder", "ORPHA_1": "rare thing"}
+    xrefs = {
+        "MONDO_1": frozenset({"DOID:2841", "MONDO:1"}),
+        "EFO_1": frozenset({"DOID:2841"}),
+        "ORPHA_1": frozenset({"ORPHA:1"}),
+    }
+    ids = {("MONDO_1", "OT"), ("EFO_1", "OT"), ("ORPHA_1", "OT")}
+    sets, agg = score_and_group_ids_by_xref(ids, True, labels, xrefs)
+    assert agg == "RESOLVED_BY_XREF"
+    as_sets = {frozenset(i for i, _ in s) for s in sets}
+    assert frozenset({"MONDO_1", "EFO_1"}) in as_sets
+    assert frozenset({"ORPHA_1"}) in as_sets
+
+    # inconsistent: A∩B and B∩C through different xrefs, overlapping
+    # groups → reference falls back to the default strategy
+    xrefs_bad = {
+        "MONDO_1": frozenset({"X:1"}),
+        "EFO_1": frozenset({"X:1", "Y:2"}),
+        "ORPHA_1": frozenset({"Y:2"}),
+    }
+    sets2, agg2 = score_and_group_ids_by_xref(ids, True, labels, xrefs_bad)
+    assert agg2 in ("RESOLVED_BY_SIMILARITY", "MERGED_AS_NON_SYMBOLIC", "UNAMBIGUOUS")
+
+    # single id short-circuits to the default path
+    sets3, agg3 = score_and_group_ids_by_xref({("MONDO_1", "OT")}, True, labels, xrefs)
+    assert agg3 == "UNAMBIGUOUS"
