@@ -310,26 +310,39 @@ def from_ntriples(
     reference defers format sniffing to rdflib; OWL/XML needs a real
     RDF stack).
     """
+    def spo():
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if not line.strip() or line.lstrip().startswith("#"):
+                    continue
+                m = _NT_LINE_RE.match(line)
+                if m is None:
+                    continue
+                lit = m.group("obj_lit")
+                if lit is None:
+                    continue
+                yield m.group("subj"), m.group("pred"), _nt_unescape(lit)
+
+    rows = _rows_from_spo(spo(), uri_regex, synonym_predicates, label_predicate)
+    return _finalize(pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin)
+
+
+def _rows_from_spo(
+    spo_iter, uri_regex: str, synonym_predicates: tuple, label_predicate: str
+) -> list[tuple]:
+    """(subject, predicate, literal) triples → canonical rows: subjects
+    matching ``uri_regex`` with a label triple yield one label row plus
+    one row per synonym-predicate literal, mapping_type = predicate IRI
+    (the ``RDFGraphParser`` row shape, ``parsers.py:467-620``)."""
     uri_re = re.compile(uri_regex)
     syn_preds = set(synonym_predicates)
     labels: dict[str, str] = {}
     syns_by_subj: dict[str, list[tuple[str, str]]] = {}
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            if not line.strip() or line.lstrip().startswith("#"):
-                continue
-            m = _NT_LINE_RE.match(line)
-            if m is None:
-                continue
-            subj, pred = m.group("subj"), m.group("pred")
-            lit = m.group("obj_lit")
-            if lit is None:
-                continue
-            lit = _nt_unescape(lit)
-            if pred == label_predicate:
-                labels[subj] = lit
-            elif pred in syn_preds:
-                syns_by_subj.setdefault(subj, []).append((lit, pred))
+    for subj, pred, lit in spo_iter:
+        if pred == label_predicate:
+            labels[subj] = lit
+        elif pred in syn_preds:
+            syns_by_subj.setdefault(subj, []).append((lit, pred))
     rows = []
     for subj, label in labels.items():
         if not uri_re.match(subj):
@@ -337,6 +350,64 @@ def from_ntriples(
         rows.append((subj, label, label, label_predicate))
         for syn, pred in syns_by_subj.get(subj, []):
             rows.append((subj, label, syn, pred))
+    return rows
+
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def from_rdf_xml(
+    path: str,
+    data_origin: str,
+    uri_regex: str,
+    synonym_predicates: tuple = (OBO_EXACT_SYNONYM,),
+    label_predicate: str = RDFS_LABEL,
+) -> pd.DataFrame:
+    """RDF/XML (OWL) parser — the serialization OBO Foundry ontologies
+    (CLO, Mondo, CL, UBERON …) actually ship, so a user pointing at a
+    downloaded ``.owl`` file lands here. Same ``RDFGraphParser``
+    semantics as :func:`from_ntriples`; rdflib being absent, this is a
+    from-scratch streaming reader (``xml.etree.iterparse``, elements
+    cleared as they complete — memory stays flat on multi-GB files) for
+    the striped subset those files use: node elements carrying
+    ``rdf:about``, child predicate elements whose namespace+localname is
+    the predicate IRI, literal text objects. ``rdf:resource`` objects,
+    reification and ``rdf:nodeID`` blank-node wiring are out of scope
+    (none carry labels/synonyms in this family of ontologies).
+    """
+    import xml.etree.ElementTree as ET
+
+    def spo():
+        about_key = f"{{{_RDF_NS}}}about"
+
+        def emit(top):
+            # every descendant with rdf:about is a node element (striped
+            # syntax nests them inside predicate elements at any depth);
+            # its direct children are predicate elements
+            for node in top.iter():
+                subj = node.get(about_key)
+                if subj is None:
+                    continue
+                for child in node:
+                    if child.tag.startswith("{"):
+                        ns, local = child.tag[1:].split("}", 1)
+                        text = (child.text or "").strip()
+                        if text:
+                            yield subj, ns + local, text
+
+        context = ET.iterparse(path, events=("start", "end"))
+        event, root = next(context)
+        depth = 1
+        for event, elem in context:
+            if event == "start":
+                depth += 1
+            else:
+                depth -= 1
+                if depth == 1:  # a complete top-level node element
+                    yield from emit(elem)
+                    root.clear()
+
+    rows = _rows_from_spo(spo(), uri_regex, synonym_predicates, label_predicate)
     return _finalize(pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin)
 
 

@@ -237,3 +237,43 @@ def test_xref_id_grouping():
     # single id short-circuits to the default path
     sets3, agg3 = score_and_group_ids_by_xref({("MONDO_1", "OT")}, True, labels, xrefs)
     assert agg3 == "UNAMBIGUOUS"
+
+
+def test_rdf_xml_owl_parser():
+    """RDFGraphParser semantics over the RDF/XML serialization OBO
+    ontologies ship (.owl): uri_regex gate, label requirement, synonym
+    predicates as mapping types, XML entity unescaping, striped-syntax
+    nesting, reification blocks ignored."""
+    from kazu_ray.sources.ontology_tables import OBO_EXACT_SYNONYM, RDFS_LABEL, from_rdf_xml
+
+    df = from_rdf_xml(
+        os.path.join(FIXTURES, "clo_like.owl"),
+        data_origin="clo",
+        uri_regex=r"^http://purl\.obolibrary\.org/obo/CLO_[0-9]+$",
+    )
+    assert not any("not_clo" in i for i in df["idx"])
+    # label-less subject contributes nothing
+    assert "http://purl.obolibrary.org/obo/CLO_0000003" not in set(df["idx"])
+    hela = df[df["idx"] == "http://purl.obolibrary.org/obo/CLO_0000002"]
+    assert set(hela["syn"]) == {
+        "HeLa cell",
+        "HeLa",
+        'Henrietta Lacks cells with "quotes"',
+    }
+    assert "A definition, not a synonym" not in set(df["syn"])
+    assert set(hela["mapping_type"]) == {RDFS_LABEL, OBO_EXACT_SYNONYM}
+    # reification comment creates no rows
+    assert "reification block: must not create rows" not in set(df["syn"])
+    # node element nested inside a restriction is still parsed
+    nested = df[df["idx"] == "http://purl.obolibrary.org/obo/CLO_0000005"]
+    assert set(nested["syn"]) == {"nested node element"}
+    # parity with the N-Triples reader over the same logical graph
+    from kazu_ray.sources.ontology_tables import from_ntriples
+
+    nt = from_ntriples(
+        os.path.join(FIXTURES, "clo_like.nt"),
+        data_origin="clo",
+        uri_regex=r"^http://purl\.obolibrary\.org/obo/CLO_[0-9]+$",
+    )
+    merged = df[df["idx"] == "http://purl.obolibrary.org/obo/CLO_0000002"]
+    assert set(merged["syn"]) == set(nt[nt["idx"] == "http://purl.obolibrary.org/obo/CLO_0000002"]["syn"])
