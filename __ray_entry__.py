@@ -567,6 +567,22 @@ def _quality_filtered_docs(sf_dir: str):
     )
 
 
+def _incremental_sessions(sf_dir: str):
+    """Per-user session counts via the STATEFUL bucket-actor path
+    (ops/streaming.py) — the incremental state machine the Dataset API
+    can't express. Shares the batch sessionizer's SQL oracle, so the
+    driver hard-checks that incremental and batch semantics agree."""
+    from kazu_ray.ops.streaming import incremental_sessionize
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    sess = incremental_sessionize(ds)
+    return sess.groupby("user_id", as_index=False).agg(
+        n_sessions=("session_start", "size"), n_events=("n_events", "sum")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.ops import relational
     from kazu_ray.ops.text import LangIdStage
@@ -619,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": relational.events_by_type,
         "hourly_event_counts": relational.hourly_event_counts,
         "sessionize_events": relational.sessionize,
+        "incremental_sessions": _incremental_sessions,
         "top_parts_by_retail": relational.top_parts_by_retail,
         "top_events_per_user": _top_events_per_user,
         "segment_ship_priority": relational.segment_ship_priority,
@@ -733,6 +750,18 @@ def oracle_sql() -> dict[str, str]:
         "hourly_event_counts": """
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "incremental_sessions": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+            FROM gaps GROUP BY user_id
         """,
         "sessionize_events": """
             WITH gaps AS (
