@@ -160,6 +160,93 @@ def from_opentargets_disease_jsonl(
     return out
 
 
+OT_TARGET_ANNOTATION_FIELDS = (
+    "subcellularLocations",
+    "tractability",
+    "constraint",
+    "functionDescriptions",
+    "go",
+    "hallmarks",
+    "chemicalProbes",
+    "safetyLiabilities",
+    "pathways",
+    "targetClass",
+)
+
+
+def from_opentargets_target_jsonl(
+    path: str,
+    data_origin: str = "opentargets",
+    excluded_biotypes: tuple = (),
+) -> pd.DataFrame:
+    """OpenTargets target (gene) release JSONL → canonical frame.
+
+    Mirrors ``OpenTargetsTargetOntologyParser.json_dict_to_parser_records``
+    (``kazu/ontology_preprocessing/parsers.py:373-421``): excluded
+    biotypes skipped; records with no approved symbol (``id ==
+    approvedSymbol``) skipped; ``annotation_score`` = number of
+    non-empty annotation fields (used downstream to rank gene ids that
+    share a symbol); synonym rows from the ``synonyms`` /
+    ``obsoleteSymbols`` / ``obsoleteNames`` / ``proteinIds``
+    label-or-id + source records, plus one row each for approvedSymbol,
+    approvedName and the raw id (mapping type ``opentargets_id``).
+    """
+    excluded = set(excluded_biotypes)
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            if rec.get("biotype") in excluded:
+                continue
+            if rec["id"] == rec["approvedSymbol"]:
+                continue
+            score = sum(
+                1 for fld in OT_TARGET_ANNOTATION_FIELDS if len(rec.get(fld, [])) > 0
+            )
+            idx = str(rec["id"])
+            label = rec["approvedSymbol"]
+            for key in ("synonyms", "obsoleteSymbols", "obsoleteNames", "proteinIds"):
+                for sub in rec.get(key, []):
+                    if "label" in sub and "id" in sub:
+                        raise ValueError(f"record has both id and label: {sub}")
+                    syn = sub.get("label", sub.get("id"))
+                    rows.append((idx, label, syn, sub["source"], score))
+            for key, mtype in (
+                ("approvedSymbol", "approvedSymbol"),
+                ("approvedName", "approvedName"),
+                ("id", "opentargets_id"),
+            ):
+                rows.append((idx, label, rec[key], mtype, score))
+    df = pd.DataFrame(rows, columns=CANONICAL_COLUMNS + ["annotation_score"])
+    return _finalize(df, data_origin)
+
+
+def from_opentargets_molecule_jsonl(
+    path: str, data_origin: str = "opentargets"
+) -> pd.DataFrame:
+    """OpenTargets molecule release JSONL → canonical frame.
+
+    Mirrors ``OpenTargetsMoleculeOntologyParser`` (``parsers.py:424-456``):
+    the ``name`` joins the ``synonyms`` list (mapping type ``synonyms``)
+    and ``tradeNames`` become rows of their own mapping type.
+    """
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            idx = str(rec["id"])
+            label = rec["name"]
+            for syn in list(rec.get("synonyms", [])) + [label]:
+                rows.append((idx, label, syn, "synonyms"))
+            for trade in rec.get("tradeNames", []):
+                rows.append((idx, label, trade, "tradeNames"))
+    return _finalize(pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin)
+
+
 _OBO_SYNONYM_RE = re.compile(
     r"""^synonym:      # line that begins synonyms
     \s*                # any amount of whitespace (standardly a single space)

@@ -277,3 +277,48 @@ def test_rdf_xml_owl_parser():
     )
     merged = df[df["idx"] == "http://purl.obolibrary.org/obo/CLO_0000002"]
     assert set(merged["syn"]) == set(nt[nt["idx"] == "http://purl.obolibrary.org/obo/CLO_0000002"]["syn"])
+
+
+def test_opentargets_target_jsonl_parser():
+    """OpenTargetsTargetOntologyParser semantics (parsers.py:373-421):
+    biotype exclusion, no-approved-symbol skip, annotation_score from
+    non-empty annotation fields, label-or-id synonym records with their
+    source as mapping type, approvedSymbol/Name/id rows."""
+    from kazu_ray.sources.ontology_tables import from_opentargets_target_jsonl
+
+    df = from_opentargets_target_jsonl(
+        os.path.join(FIXTURES, "opentargets_target_like.jsonl"),
+        excluded_biotypes=("rRNA",),
+    )
+    # excluded biotype and symbol-less record both dropped
+    assert "ENSG00000999999" not in set(df["idx"])
+    assert "ENSG00000284917" not in set(df["idx"])
+    braf = df[df["idx"] == "ENSG00000157764"]
+    assert set(braf["syn"]) == {
+        "BRAF1", "BRAF-old", "P15056", "BRAF",
+        "B-Raf proto-oncogene, serine/threonine kinase", "ENSG00000157764",
+    }
+    by_syn = braf.set_index("syn")
+    assert by_syn.loc["BRAF1", "mapping_type"] == "HGNC"
+    assert by_syn.loc["P15056", "mapping_type"] == "uniprot_swissprot"
+    assert by_syn.loc["ENSG00000157764", "mapping_type"] == "opentargets_id"
+    # two non-empty annotation fields (go, pathways) → score 2
+    assert (braf["annotation_score"] == 2).all()
+    assert (braf["default_label"] == "BRAF").all()
+
+
+def test_opentargets_molecule_jsonl_parser():
+    """OpenTargetsMoleculeOntologyParser semantics (parsers.py:424-456):
+    name joins the synonyms list; trade names get their own type."""
+    from kazu_ray.sources.ontology_tables import from_opentargets_molecule_jsonl
+
+    df = from_opentargets_molecule_jsonl(
+        os.path.join(FIXTURES, "opentargets_molecule_like.jsonl")
+    )
+    asp = df[df["idx"] == "CHEMBL25"]
+    assert set(asp[asp["mapping_type"] == "synonyms"]["syn"]) == {
+        "Acetylsalicylic acid", "ASA", "ASPIRIN",
+    }
+    assert set(asp[asp["mapping_type"] == "tradeNames"]["syn"]) == {"Aspro", "Disprin"}
+    par = df[df["idx"] == "CHEMBL112"]
+    assert set(par["syn"]) == {"PARACETAMOL"}
