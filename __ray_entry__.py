@@ -567,6 +567,45 @@ def _quality_filtered_docs(sf_dir: str):
     )
 
 
+def _write_url_log(sf_dir: str, name: str) -> str:
+    """Synthesize the deterministic messy URL log and write it
+    (distributed) to the oracle artifact path; returns the dir."""
+    import os
+    import shutil
+
+    from kazu_ray.ops.web import synth_url_log
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    oracle_dir = f"/tmp/kazu_ray_oracle/{name}_{tag}"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    os.makedirs(oracle_dir, exist_ok=True)
+    synth_url_log(sf_dir).write_parquet(oracle_dir)
+    return oracle_dir
+
+
+def _url_dedup(sf_dir: str):
+    """Canonical-URL dedup over the messy crawl log: strip fragments /
+    tracking params, lowercase scheme+host, keep capture count + latest
+    capture per canonical URL. The raw log is written to an artifact so
+    the DuckDB oracle recomputes the whole rule chain independently."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import url_dedup
+
+    oracle_dir = _write_url_log(sf_dir, "urllog_dedup")
+    return url_dedup(rd.read_parquet(oracle_dir))
+
+
+def _domain_counts(sf_dir: str):
+    """Pages per lowercased host over the same messy crawl log."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import domain_counts
+
+    oracle_dir = _write_url_log(sf_dir, "urllog_domains")
+    return domain_counts(rd.read_parquet(oracle_dir))
+
+
 def _incremental_sessions(sf_dir: str):
     """Per-user session counts via the STATEFUL bucket-actor path
     (ops/streaming.py) — the incremental state machine the Dataset API
@@ -636,6 +675,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_event_counts": relational.hourly_event_counts,
         "sessionize_events": relational.sessionize,
         "incremental_sessions": _incremental_sessions,
+        # web-crawl hygiene
+        "url_dedup": _url_dedup,
+        "domain_counts": _domain_counts,
         "top_parts_by_retail": relational.top_parts_by_retail,
         "top_events_per_user": _top_events_per_user,
         "segment_ship_priority": relational.segment_ship_priority,
@@ -918,6 +960,41 @@ def oracle_sql() -> dict[str, str]:
         )
         + """
             FROM read_parquet('/tmp/kazu_ray_oracle/media_sf0.01/*.parquet')
+        """,
+        "url_dedup": """
+            WITH raw AS (SELECT url, warc_ts
+                         FROM read_parquet('/tmp/kazu_ray_oracle/urllog_dedup_sf0.01/*.parquet')),
+                 defrag AS (SELECT regexp_replace(url, '#.*$', '') AS u, warc_ts FROM raw),
+                 lowered AS (
+                    SELECT CASE WHEN regexp_extract(u, '^[^:/?#]+://[^/?#]+') <> ''
+                                THEN lower(regexp_extract(u, '^[^:/?#]+://[^/?#]+'))
+                                     || regexp_replace(u, '^[^:/?#]+://[^/?#]+', '')
+                                ELSE u END AS u,
+                           warc_ts
+                    FROM defrag
+                 ),
+                 canon AS (
+                    SELECT CASE WHEN contains(u, '?') THEN
+                               CASE WHEN len(qkeep) = 0 THEN base
+                                    ELSE base || '?' || array_to_string(qkeep, '&') END
+                           ELSE u END AS canonical_url,
+                           warc_ts
+                    FROM (SELECT u, warc_ts, split_part(u, '?', 1) AS base,
+                                 list_filter(string_split(split_part(u, '?', 2), '&'),
+                                     x -> NOT (starts_with(x, 'utm_')
+                                               OR starts_with(x, 'fbclid=')
+                                               OR starts_with(x, 'gclid='))) AS qkeep
+                          FROM lowered)
+                 )
+            SELECT canonical_url, count(*) AS n_urls, max(warc_ts) AS latest_ts
+            FROM canon GROUP BY canonical_url
+        """,
+        "domain_counts": """
+            SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS domain,
+                   count(*) AS n_pages
+            FROM read_parquet('/tmp/kazu_ray_oracle/urllog_domains_sf0.01/*.parquet')
+            WHERE regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1) <> ''
+            GROUP BY 1
         """,
         "kg_text_hashes": """
             SELECT url, sha256(text) AS text_sha256

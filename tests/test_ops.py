@@ -326,3 +326,43 @@ def test_training_order_shuffle_deterministic(ray_session):
     assert o1 == o2
     assert sorted(o1) == list(range(500))
     assert o1 != sorted(o1)  # actually shuffled
+
+
+def test_url_canonicalization_rules():
+    import pandas as pd
+
+    from kazu_ray.ops.web import _canonical_series
+
+    s = pd.Series(
+        [
+            "https://SITE0.Example.ORG/page/1?utm_source=feed&utm_campaign=x#frag",
+            "https://site0.example.org/page/1",
+            "https://site.org/p?rev=2&gclid=abc",
+            "https://site.org/p?utm_only=1",
+            "no-scheme-url",
+        ]
+    )
+    out = _canonical_series(s).tolist()
+    # host lowercased, tracking params + fragment stripped → same canonical
+    assert out[0] == out[1] == "https://site0.example.org/page/1"
+    # real param survives, tracking param dropped
+    assert out[2] == "https://site.org/p?rev=2"
+    # all params tracking → bare path
+    assert out[3] == "https://site.org/p"
+    # headless strings pass through
+    assert out[4] == "no-scheme-url"
+
+
+def test_url_dedup_keeps_latest_capture(ray_session):
+    from kazu_ray.ops.web import synth_url_log, url_dedup
+
+    dd = url_dedup(synth_url_log(SF_DIR)).to_pandas()
+    # every 5th doc has a same-canonical messy variant → n_urls == 2,
+    # and its latest_ts is the messy (+1h) capture
+    two = dd[dd["n_urls"] == 2]
+    assert len(two) > 0
+    one = dd[dd["canonical_url"].str.endswith("/page/00000005")]
+    assert int(one["n_urls"].iloc[0]) == 2
+    # the ?rev=2 variants canonicalize to their own URL (gclid stripped)
+    assert (dd["canonical_url"].str.contains(r"\?rev=2")).any()
+    assert not dd["canonical_url"].str.contains("gclid|utm_|#").any()
