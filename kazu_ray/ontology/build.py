@@ -246,6 +246,11 @@ def _resources_have_case_conflicts(resources: list[_Resource]) -> bool:
             continue
         for source in (r.syns, r.alt_syns):
             for text, (case_sensitive, confidence) in source.items():
+                if confidence == int(MentionConfidence.IGNORE):
+                    # IGNORE synonyms are inactive for NER and excluded
+                    # from conflict analysis (active_ner_synonyms,
+                    # kazu/data/__init__.py:922-926)
+                    continue
                 if case_sensitive:
                     cs_lookup.setdefault(text, set()).add(confidence)
                 else:

@@ -1,0 +1,135 @@
+"""Test-time import shims for trivially-absent reference dependencies.
+
+The reference's pure-Python algorithm modules (span finder, synonym
+generation, autocuration, curation merge) sit behind ``kazu.data``,
+which imports ``bson`` and ``cattrs`` for *serialization only*. Neither
+library is in this container, and the differential tests never
+serialize — so these minimal stand-ins satisfy the imports and nothing
+else. ``unstructure``/``structure`` raise if ever actually called,
+guaranteeing a test can't silently rely on shimmed serialization.
+
+Used ONLY by tests importing ``/root/reference`` for differential
+checks; the engine itself never touches this module.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+
+def install_shims() -> None:
+    if "bson" not in sys.modules:
+        bson = types.ModuleType("bson")
+
+        class ObjectId:
+            _counter = 0
+
+            def __init__(self, *args):
+                ObjectId._counter += 1
+                self._v = ObjectId._counter
+
+            def __eq__(self, other):
+                return isinstance(other, ObjectId) and other._v == self._v
+
+            def __hash__(self):
+                return hash(("shim-oid", self._v))
+
+            def __str__(self):
+                return f"{self._v:024d}"
+
+        bson.ObjectId = ObjectId
+        json_util = types.ModuleType("bson.json_util")
+        json_util.default = lambda v: {"$oid": str(v)}
+        json_util.object_hook = lambda v: v
+        bson.json_util = json_util
+        sys.modules["bson"] = bson
+        sys.modules["bson.json_util"] = json_util
+
+    if "cachetools" not in sys.modules:
+        cachetools = types.ModuleType("cachetools")
+
+        class LFUCache(dict):
+            def __init__(self, maxsize=128, *a, **k):
+                super().__init__()
+
+        cachetools.LFUCache = LFUCache
+        sys.modules["cachetools"] = cachetools
+
+    if "cattrs" not in sys.modules:
+        def _refuse(*a, **k):
+            raise NotImplementedError(
+                "cattrs is shimmed for import only; differential tests must "
+                "not exercise reference (de)serialization"
+            )
+
+        class _Converter:
+            def register_unstructure_hook(self, *a, **k):
+                pass
+
+            def register_structure_hook(self, *a, **k):
+                pass
+
+            unstructure = staticmethod(_refuse)
+            structure = staticmethod(_refuse)
+
+        cattrs = types.ModuleType("cattrs")
+        preconf = types.ModuleType("cattrs.preconf")
+        preconf_json = types.ModuleType("cattrs.preconf.json")
+        preconf_json.make_converter = lambda **k: _Converter()
+        preconf_json.JsonConverter = _Converter
+        strategies = types.ModuleType("cattrs.strategies")
+        gen = types.ModuleType("cattrs.gen")
+        gen.make_dict_unstructure_fn = lambda *a, **k: _refuse
+        gen.make_dict_structure_fn = lambda *a, **k: _refuse
+        gen.override = lambda **k: None
+        cattrs.preconf = preconf
+        preconf.json = preconf_json
+        cattrs.strategies = strategies
+        cattrs.gen = gen
+        cattrs.Converter = _Converter
+        sys.modules["cattrs"] = cattrs
+        sys.modules["cattrs.preconf"] = preconf
+        sys.modules["cattrs.preconf.json"] = preconf_json
+        sys.modules["cattrs.strategies"] = strategies
+        sys.modules["cattrs.gen"] = gen
+
+    if "transformers" not in sys.modules:
+        # reached only through `from transformers import BatchEncoding,
+        # PreTrainedTokenizerBase` style type imports in kazu.utils.utils;
+        # the differential tests never tokenize
+        transformers = types.ModuleType("transformers")
+
+        class _Placeholder:
+            def __init__(self, *a, **k):
+                raise NotImplementedError("transformers is shimmed for import only")
+
+        transformers.BatchEncoding = _Placeholder
+        transformers.PreTrainedTokenizerBase = _Placeholder
+        file_utils = types.ModuleType("transformers.file_utils")
+        file_utils.PaddingStrategy = _Placeholder
+        tok_base = types.ModuleType("transformers.tokenization_utils_base")
+        tok_base.TruncationStrategy = _Placeholder
+        transformers.file_utils = file_utils
+        transformers.tokenization_utils_base = tok_base
+        sys.modules["transformers"] = transformers
+        sys.modules["transformers.file_utils"] = file_utils
+        sys.modules["transformers.tokenization_utils_base"] = tok_base
+
+    if "rapidfuzz" not in sys.modules:
+        def _no_fuzz(*a, **k):
+            raise NotImplementedError("rapidfuzz is shimmed for import only")
+
+        rapidfuzz = types.ModuleType("rapidfuzz")
+        fuzz = types.ModuleType("rapidfuzz.fuzz")
+        process = types.ModuleType("rapidfuzz.process")
+        for mod in (fuzz, process):
+            mod.__getattr__ = lambda name: _no_fuzz
+        rapidfuzz.fuzz = fuzz
+        rapidfuzz.process = process
+        sys.modules["rapidfuzz"] = rapidfuzz
+        sys.modules["rapidfuzz.fuzz"] = fuzz
+        sys.modules["rapidfuzz.process"] = process
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")

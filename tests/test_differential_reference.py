@@ -139,3 +139,238 @@ def test_parity_random_strings():
         strings.append("".join(rng.choice(alphabet) for _ in range(n)))
     n = _assert_parity(strings, classes=["gene", "disease", "anatomy", "company", None])
     assert n >= 6000
+
+
+# ---------------------------------------------------------------------------
+# autocuration differential (reference module unlocked via test-time
+# shims for its serialization-only bson/cattrs imports — see ref_shims)
+# ---------------------------------------------------------------------------
+
+
+def _load_reference_autocuration():
+    from tests.ref_shims import install_shims
+
+    install_shims()
+    import kazu.ontology_preprocessing.autocuration as ref_ac
+    from kazu.data import (
+        MentionConfidence,
+        OntologyStringBehaviour,
+        OntologyStringResource,
+        Synonym,
+    )
+
+    return ref_ac, MentionConfidence, OntologyStringBehaviour, OntologyStringResource, Synonym
+
+
+AUTOCURATION_BANK = [
+    {"EGFR", "EGFR gene"},
+    {"eGFR"},
+    {"ASPIRIN"},
+    {"TP53"},
+    {"breast cancer", "breast carcinoma"},
+    {"flu"},
+    {"a"},
+    {"x" * 61},
+    {"BRCA1", "BRCA-1"},
+    {"the disease"},
+    {"NSCLC"},
+    {"p27"},
+    {"acute lymphoblastic leukemia"},
+    {"IL6", "interleukin 6"},
+    {"CANCER"},
+]
+
+
+@pytest.mark.parametrize("entity_class", ["disease", "drug", "gene"])
+def test_autocuration_differential_vs_reference(entity_class, tmp_path):
+    """Drive the reference AutoCurator (kazu/ontology_preprocessing/
+    autocuration.py) with the same per-class action chain the engine
+    uses (conf/autocurator semantics) over a shared synonym bank and
+    assert identical per-surface (case_sensitive, confidence) flags and
+    resource behaviour."""
+    ref_ac, RefConf, RefBehaviour, RefResource, RefSynonym = _load_reference_autocuration()
+
+    from kazu_ray.ontology.build import COMMON_WORDS, _Resource, autocurate
+
+    words_file = tmp_path / "common_words.txt"
+    words_file.write_text("\n".join(sorted(COMMON_WORDS)) + "\n")
+
+    chain = [ref_ac.SymbolicToCaseSensitiveAction(entity_class)]
+    if entity_class in ("disease", "drug"):
+        chain.append(ref_ac.LikelyAcronym())
+    chain.append(ref_ac.IsCommmonWord(str(words_file)))
+    if entity_class == "disease":
+        chain.append(ref_ac.multiword)
+    chain += [
+        ref_ac.MinLength(),
+        ref_ac.MaxLength(),
+        ref_ac.initial_lowercase_then_upper_to_case_sensitive,
+    ]
+    if entity_class == "drug":
+        chain.append(ref_ac.is_upper_case_word_to_case_insensitive)
+    curator = ref_ac.AutoCurator(chain)
+
+    for texts in AUTOCURATION_BANK:
+        ref_resource = RefResource(
+            original_synonyms=frozenset(
+                RefSynonym(
+                    text=t, case_sensitive=False, mention_confidence=RefConf.PROBABLE
+                )
+                for t in texts
+            ),
+            behaviour=RefBehaviour.ADD_FOR_NER_AND_LINKING,
+        )
+        (ref_out,) = list(curator({ref_resource}))
+
+        ours = autocurate(_Resource("norm", set(texts)), entity_class)
+
+        assert ours.behaviour == ref_out.behaviour.name, (entity_class, texts)
+        ref_flags = {
+            s.text: (s.case_sensitive, int(s.mention_confidence))
+            for s in ref_out.original_synonyms
+        }
+        our_flags = {t: (v[0], v[1]) for t, v in ours.syns.items()}
+        assert our_flags == ref_flags, (entity_class, texts)
+
+
+def _load_reference_curation():
+    from tests.ref_shims import install_shims
+
+    install_shims()
+    from kazu.data import (
+        MentionConfidence,
+        OntologyStringBehaviour,
+        OntologyStringResource,
+        Synonym,
+    )
+    from kazu.ontology_preprocessing.curation_utils import (
+        AutofixStrategy,
+        OntologyStringConflictAnalyser,
+    )
+
+    return (
+        OntologyStringConflictAnalyser,
+        AutofixStrategy,
+        MentionConfidence,
+        OntologyStringBehaviour,
+        OntologyStringResource,
+        Synonym,
+    )
+
+
+def test_case_conflict_predicate_differential_vs_reference():
+    """Exhaustive differential of the case/confidence conflict predicate
+    (curation_utils.py:580-636) over every (case_sensitivity,
+    confidence) combination of two single-synonym resources sharing a
+    lowered surface, plus DROP-behaviour exclusion."""
+    (
+        Analyser,
+        _Strategy,
+        RefConf,
+        RefBehaviour,
+        RefResource,
+        RefSynonym,
+    ) = _load_reference_curation()
+
+    from itertools import product
+
+    from kazu_ray.ontology.build import _Resource, _resources_have_case_conflicts
+
+    confs = [RefConf.HIGHLY_LIKELY, RefConf.PROBABLE, RefConf.POSSIBLE, RefConf.IGNORE]
+
+    def ref_resource(text, cs, conf, behaviour=None):
+        return RefResource(
+            original_synonyms=frozenset(
+                [RefSynonym(text=text, case_sensitive=cs, mention_confidence=conf)]
+            ),
+            behaviour=behaviour or RefBehaviour.ADD_FOR_NER_AND_LINKING,
+        )
+
+    def our_resource(text, cs, conf, behaviour="ADD_FOR_NER_AND_LINKING"):
+        r = _Resource("norm", {text})
+        r.syns[text] = [cs, int(conf)]
+        r.behaviour = behaviour
+        return r
+
+    n_checked = n_conflicted = 0
+    for (cs1, conf1), (cs2, conf2) in product(product([True, False], confs), repeat=2):
+        ref_set = {ref_resource("EGFR", cs1, conf1), ref_resource("egfr", cs2, conf2)}
+        ref_verdict = Analyser._resource_set_has_case_conflicts(ref_set)
+        ours = [
+            our_resource("EGFR", cs1, conf1),
+            our_resource("egfr", cs2, conf2),
+        ]
+        our_verdict = _resources_have_case_conflicts(ours)
+        assert our_verdict == ref_verdict, (cs1, conf1, cs2, conf2)
+        n_checked += 1
+        n_conflicted += ref_verdict
+    assert n_checked == 64 and 0 < n_conflicted < 64
+
+    # non-NER behaviours are excluded from the predicate on both sides
+    ref_set = {
+        ref_resource("EGFR", False, RefConf.PROBABLE, RefBehaviour.DROP_FOR_LINKING),
+        ref_resource("egfr", False, RefConf.POSSIBLE),
+    }
+    ours = [
+        our_resource("EGFR", False, RefConf.PROBABLE, "DROP_FOR_LINKING"),
+        our_resource("egfr", False, RefConf.POSSIBLE),
+    ]
+    assert _resources_have_case_conflicts(ours) == Analyser._resource_set_has_case_conflicts(ref_set)
+
+
+def test_case_conflict_autofix_differential_vs_reference():
+    """OPTIMISTIC autofix differential (curation_utils.py:345-423):
+    conflicted resource groups get min case-sensitivity and per-surface
+    max confidence on both sides."""
+    (
+        Analyser,
+        Strategy,
+        RefConf,
+        RefBehaviour,
+        RefResource,
+        RefSynonym,
+    ) = _load_reference_curation()
+
+    from kazu_ray.ontology.build import _Resource, autofix_case_conflicts
+
+    def ref_resource(text, cs, conf):
+        return RefResource(
+            original_synonyms=frozenset(
+                [RefSynonym(text=text, case_sensitive=cs, mention_confidence=conf)]
+            ),
+            behaviour=RefBehaviour.ADD_FOR_NER_AND_LINKING,
+        )
+
+    def our_resource(text, cs, conf):
+        r = _Resource(text.lower(), {text})
+        r.syns[text] = [cs, int(conf)]
+        return r
+
+    bank = [
+        ("EGFR", True, RefConf.PROBABLE),
+        ("egfr", False, RefConf.PROBABLE),
+        ("Egfr", True, RefConf.POSSIBLE),
+        ("p53", False, RefConf.PROBABLE),  # clean singleton, untouched
+    ]
+
+    ref_resources = {ref_resource(*row) for row in bank}
+    conflict_sets, _clean = Analyser.check_for_case_conflicts_across_resources(ref_resources)
+    assert conflict_sets, "bank must actually conflict"
+    analyser = Analyser("disease", autofix=Strategy.OPTIMISTIC)
+    fixed = analyser.autofix_resources(conflict_sets)
+    ref_flags = {
+        s.text: (s.case_sensitive, int(s.mention_confidence))
+        for r in fixed
+        for s in r.original_synonyms
+    }
+
+    ours = [our_resource(*row) for row in bank]
+    ours, n_fixed = autofix_case_conflicts(ours)
+    assert n_fixed == 1
+    our_flags = {
+        t: (v[0], v[1]) for r in ours for t, v in r.syns.items() if t.lower() == "egfr"
+    }
+    assert our_flags == ref_flags
+    # the clean resource keeps its original flags on our side
+    (p53,) = [r for r in ours if "p53" in r.syns]
+    assert p53.syns["p53"] == [False, int(RefConf.PROBABLE)]
