@@ -406,13 +406,14 @@ def merge_human_and_auto_resources(
         default = auto_by_syn_norm.get(syn_norm)
         if default is not None:
             working[syn_norm] = resource
-            if set(resource.syns) != set(default.syns) or (
-                resource.alt_syns and set(resource.alt_syns) != set(default.alt_syns)
+            if set(resource.syns) != set(default.syns) or set(resource.alt_syns) != set(
+                default.alt_syns
             ):
                 discrepancies.append(syn_norm)
             if (
                 resource.behaviour == default.behaviour
                 and resource.syns == default.syns
+                and resource.alt_syns == default.alt_syns
             ):
                 superfluous.append(syn_norm)
         elif additional:

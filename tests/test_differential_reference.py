@@ -374,3 +374,112 @@ def test_case_conflict_autofix_differential_vs_reference():
     # the clean resource keeps its original flags on our side
     (p53,) = [r for r in ours if "p53" in r.syns]
     assert p53.syns["p53"] == [False, int(RefConf.PROBABLE)]
+
+
+def test_curation_merge_differential_vs_reference():
+    """Human/auto curation merge differential (curation_utils.py:638-701):
+    override, superfluous, discrepancy, additional_to_source and
+    obsolete outcomes must agree with the reference merge."""
+    (
+        Analyser,
+        _Strategy,
+        RefConf,
+        RefBehaviour,
+        RefResource,
+        RefSynonym,
+    ) = _load_reference_curation()
+    from kazu.data import EquivalentIdSet
+
+    from kazu_ray.lang import normalizer
+    from kazu_ray.ontology.build import _Resource, merge_human_and_auto_resources
+
+    cls = "disease"
+
+    def ref_resource(text, conf=None, alt=(), ids=None):
+        return RefResource(
+            original_synonyms=frozenset(
+                [
+                    RefSynonym(
+                        text=text,
+                        case_sensitive=False,
+                        mention_confidence=conf or RefConf.PROBABLE,
+                    )
+                ]
+            ),
+            behaviour=RefBehaviour.ADD_FOR_NER_AND_LINKING,
+            alternative_synonyms=frozenset(
+                RefSynonym(text=a, case_sensitive=False, mention_confidence=RefConf.PROBABLE)
+                for a in alt
+            ),
+            associated_id_sets=(
+                frozenset([EquivalentIdSet(ids_and_source=frozenset([(ids, "SRC")]))])
+                if ids
+                else None
+            ),
+        )
+
+    def our_resource(text, conf=None, alt=()):
+        r = _Resource(normalizer.normalize(text, cls), {text}, set(alt))
+        r.syns[text] = [False, int(conf or RefConf.PROBABLE)]
+        return r
+
+    # auto set: four terms, one with alternative synonyms
+    auto_specs = [
+        ("asthma", None, ()),
+        ("lung cancer", None, ("lung cancers",)),
+        ("influenza", None, ()),
+        ("measles", None, ()),
+    ]
+    # human set: superfluous exact copy (asthma), discrepancy via alt
+    # mismatch (lung cancer, no alts recorded), override with a new
+    # confidence (influenza), additional new term (carrying ids), and an
+    # obsolete curation for a term the source no longer produces
+    human_specs = [
+        ("asthma", None, (), None),
+        ("lung cancer", None, (), None),
+        ("influenza", RefConf.POSSIBLE, (), None),
+        ("kawasaki disease", None, (), "MONDO:1"),
+        ("dropsy", None, (), None),
+    ]
+
+    ref_auto = {ref_resource(t, c, a) for t, c, a in auto_specs}
+    ref_human = {ref_resource(t, c, a, ids) for t, c, a, ids in human_specs}
+    report = Analyser(cls).merge_human_and_auto_resources(ref_human, ref_auto)
+
+    our_auto = {r.syn_norm: r for r in (our_resource(t, c, a) for t, c, a in auto_specs)}
+    our_human = [
+        (our_resource(t, c, a), ids is not None) for t, c, a, ids in human_specs
+    ]
+    working, our_report = merge_human_and_auto_resources(our_human, our_auto)
+
+    # effective surfaces agree
+    ref_effective = {
+        s.text for r in report.effective_resources for s in r.original_synonyms
+    }
+    our_effective = {t for r in working.values() for t in r.syns}
+    assert our_effective == ref_effective
+    # outcome sets agree
+    assert {
+        s.text for r in report.obsolete_resources for s in r.original_synonyms
+    } == {"dropsy"}
+    assert our_report["obsolete"] == [normalizer.normalize("dropsy", cls)]
+    assert {
+        s.text for r in report.superfluous_resources for s in r.original_synonyms
+    } == {"asthma"}
+    assert our_report["superfluous"] == [normalizer.normalize("asthma", cls)]
+    ref_discrepant = {
+        s.text
+        for human_r, _default in report.resources_with_discrepancies
+        for s in human_r.original_synonyms
+    }
+    assert ref_discrepant == {"lung cancer"}
+    assert our_report["discrepancies"] == [normalizer.normalize("lung cancer", cls)]
+    # the human override (not the auto default) is the effective resource
+    eff = working[normalizer.normalize("influenza", cls)]
+    assert eff.syns["influenza"][1] == int(RefConf.POSSIBLE)
+    ref_eff = {
+        s.text: int(s.mention_confidence)
+        for r in report.effective_resources
+        for s in r.original_synonyms
+    }
+    assert ref_eff["influenza"] == int(RefConf.POSSIBLE)
