@@ -606,6 +606,20 @@ def _domain_counts(sf_dir: str):
     return domain_counts(rd.read_parquet(oracle_dir))
 
 
+def _split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment by md5(doc_id) bucket —
+    reproducible split sizes per split, checked against the identical
+    SQL rule."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from kazu_ray.ops.sample import train_val_test_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    assigned = train_val_test_split(ds, "doc_id")
+    return assigned.groupby(["split", "lang"]).aggregate(Count(alias_name="n"))
+
+
 def _incremental_sessions(sf_dir: str):
     """Per-user session counts via the STATEFUL bucket-actor path
     (ops/streaming.py) — the incremental state machine the Dataset API
@@ -647,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _langid,
         "quality_filtered_docs": _quality_filtered_docs,
         "sampled_docs": _sampled_docs,
+        "split_counts": _split_assign,
         "vocabulary": _vocabulary,
         "decontaminate": _decontaminate,
         "pii_scrubbed": _pii_scrubbed,
@@ -733,6 +748,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             GROUP BY word
+        """,
+        "split_counts": """
+            WITH assigned AS (
+                SELECT lang,
+                       CASE WHEN b < 10 THEN 'test'
+                            WHEN b < 20 THEN 'val'
+                            ELSE 'train' END AS split
+                FROM (SELECT lang,
+                             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT) % 100 AS b
+                      FROM documents)
+            )
+            SELECT split, lang, count(*) AS n FROM assigned GROUP BY split, lang
         """,
         "sampled_docs": """
             SELECT doc_id, lang FROM documents

@@ -53,3 +53,24 @@ def training_order_shuffle(ds, seed: int = 42):
     never pay it; only the final training-export does. Deterministic for
     a fixed seed and input."""
     return ds.random_shuffle(seed=seed)
+
+
+def train_val_test_split(ds, key_col: str, val_percent: int = 10, test_percent: int = 10):
+    """Deterministic three-way split: md5(key) bucket < ``test_percent``
+    → test; < ``test_percent + val_percent`` → val; else train. One
+    pass, no shuffle, reproducible across runs and engines (the DuckDB
+    oracle computes the same rule), and resumable — a re-run assigns
+    every row to the same split. Returns the input with a ``split``
+    column; filter per split downstream (each split filter is a
+    narrow map, so writing the three outputs costs three streaming
+    passes over pruned columns, never a shuffle)."""
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        buckets = [_bucket(str(v)) for v in batch[key_col].to_pylist()]
+        split = [
+            "test" if b < test_percent else "val" if b < test_percent + val_percent else "train"
+            for b in buckets
+        ]
+        return batch.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
