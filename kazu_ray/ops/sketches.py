@@ -14,6 +14,7 @@ Deterministic (md5-based hashing, no seeds).
 from __future__ import annotations
 
 import hashlib
+import json
 
 import numpy as np
 import pyarrow as pa
@@ -88,3 +89,88 @@ def approx_distinct_words(docs_ds, p: int = 12) -> float:
             yield from t.split(" ")
 
     return approx_distinct(docs_ds, words_of, p)
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) with ``d`` rows of
+    ``w`` counters — the mergeable scale path for heavy hitters when an
+    exact word-count ``groupby`` (ops/text.vocabulary) would shuffle a
+    10^9-term vocabulary. Estimates overcount only (min over rows), so
+    a candidate top-k from per-batch exact partials re-scored through
+    the merged sketch never *misses* a true heavy hitter's weight.
+
+    Deterministic: row hashes are md5 over ``(row_index, value)``;
+    counters serialize to bytes so one sketch per batch flows through
+    the shuffle, not the values.
+    """
+
+    def __init__(self, d: int = 4, w: int = 16384, counts: np.ndarray | None = None):
+        self.d = d
+        self.w = w
+        self.counts = counts if counts is not None else np.zeros((d, w), dtype=np.int64)
+
+    def _indices(self, value: str) -> list[int]:
+        return [
+            int(hashlib.md5(f"{row}:{value}".encode()).hexdigest()[:8], 16) % self.w
+            for row in range(self.d)
+        ]
+
+    def add(self, value: str, count: int = 1) -> None:
+        for row, idx in enumerate(self._indices(value)):
+            self.counts[row, idx] += count
+
+    def estimate(self, value: str) -> int:
+        return int(
+            min(self.counts[row, idx] for row, idx in enumerate(self._indices(value)))
+        )
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        return CountMinSketch(self.d, self.w, self.counts + other.counts)
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, d: int = 4, w: int = 16384) -> "CountMinSketch":
+        return cls(d, w, np.frombuffer(data, dtype=np.int64).reshape(d, w).copy())
+
+
+def approx_heavy_hitters(docs_ds, k: int = 20, d: int = 4, w: int = 16384):
+    """Approximate top-k words: each batch emits ONE serialized CMS plus
+    its exact per-batch top-``k`` candidates (a word in the global top-k
+    must be in some batch's local top-k when batches are large relative
+    to k — the standard candidates+sketch argument); the driver merges
+    the tiny sketch set and re-scores the candidate union. Returns a
+    pandas frame (word, est_count) sorted desc. The all-to-all moves
+    d×w counters per block instead of the vocabulary."""
+    import pandas as pd
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        cms = CountMinSketch(d, w)
+        local: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for word in text.split(" "):
+                if word:
+                    local[word] = local.get(word, 0) + 1
+        for word, n in local.items():
+            cms.add(word, n)
+        top = sorted(local.items(), key=lambda kv: (-kv[1], kv[0]))[: k * 4]
+        return pa.table(
+            {
+                "sketch": pa.array([cms.to_bytes()], type=pa.binary()),
+                "candidates": pa.array([json.dumps([wd for wd, _ in top])], type=pa.string()),
+            }
+        )
+
+    rows = docs_ds.map_batches(
+        sketch_batch, batch_format="pyarrow", batch_size=4096
+    ).take_all()
+    merged = CountMinSketch(d, w)
+    candidates: set[str] = set()
+    for row in rows:
+        merged = merged.merge(CountMinSketch.from_bytes(row["sketch"], d, w))
+        candidates.update(json.loads(row["candidates"]))
+    scored = sorted(
+        ((wd, merged.estimate(wd)) for wd in candidates), key=lambda kv: (-kv[1], kv[0])
+    )[:k]
+    return pd.DataFrame(scored, columns=["word", "est_count"])

@@ -366,3 +366,49 @@ def test_url_dedup_keeps_latest_capture(ray_session):
     # the ?rev=2 variants canonicalize to their own URL (gclid stripped)
     assert (dd["canonical_url"].str.contains(r"\?rev=2")).any()
     assert not dd["canonical_url"].str.contains("gclid|utm_|#").any()
+
+
+def test_cms_overcount_only_and_merge():
+    from kazu_ray.ops.sketches import CountMinSketch
+
+    import random
+
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(300)]
+    true_counts = {w: rng.randint(1, 50) for w in words}
+    a, b = CountMinSketch(), CountMinSketch()
+    for i, (w, n) in enumerate(true_counts.items()):
+        (a if i % 2 == 0 else b).add(w, n)
+    merged = a.merge(b)
+    for w, n in true_counts.items():
+        est = merged.estimate(w)
+        assert est >= n  # CMS never undercounts
+        assert est <= n + 60  # and collisions stay bounded at this load
+    # serialization round-trip preserves estimates
+    rt = CountMinSketch.from_bytes(merged.to_bytes())
+    assert all(rt.estimate(w) == merged.estimate(w) for w in words)
+
+
+def test_approx_heavy_hitters_match_exact_top(ray_session):
+    """The CMS+candidates top-k must contain the exact top words with
+    exact-equal counts for clear heavy hitters."""
+    import ray.data as rd
+
+    from kazu_ray.ops.sketches import approx_heavy_hitters
+    from kazu_ray.ops.text import vocabulary
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    approx = approx_heavy_hitters(ds, k=10)
+    exact = (
+        vocabulary(rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"]))
+        .to_pandas()
+        .sort_values(["n", "word"], ascending=[False, True])
+        .head(10)
+    )
+    exact_map = dict(zip(exact["word"], exact["n"]))
+    got_map = dict(zip(approx["word"], approx["est_count"]))
+    # every exact heavy hitter is found; CMS estimate ≥ truth always,
+    # and for dominant words the overcount is negligible at this width
+    for w, n in exact_map.items():
+        assert w in got_map, w
+        assert n <= got_map[w] <= n * 1.05 + 5
