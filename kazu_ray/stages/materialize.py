@@ -331,6 +331,24 @@ def write_annotated(docs_ds, out_dir: str) -> dict:
     return {"out_dir": out_dir, "failed": failed_count}
 
 
+def read_annotated(out_dir: str):
+    """Load a :func:`write_annotated` store back as a Dataset — the
+    reference's ``Document.from_json`` round-trip
+    (``kazu/data/__init__.py:559-565``) re-expressed over the
+    partitioned Parquet layout. A downstream-only re-run (recompute
+    triples, re-aggregate, export) starts here and never pays the
+    NER/linking stages again; partition dirs stream as ordinary blocks.
+    """
+    import glob
+
+    import ray.data as rd
+
+    paths = sorted(glob.glob(os.path.join(out_dir, "docs", "part=*", "docs.parquet")))
+    if not paths:
+        raise FileNotFoundError(f"no annotated partitions under {out_dir}/docs")
+    return rd.read_parquet(paths)
+
+
 def lookup_triples(out_dir: str, subj: str, num_parts: int | None = None):
     """Point lookup in the materialized triple store.
 

@@ -501,3 +501,35 @@ def test_write_annotated_failed_branch_partitioned(ray_session, cache_dir, tmp_p
     assert total == 2
     manifests = glob.glob(str(tmp_path / "out" / "failed" / "_manifests" / "*.json"))
     assert manifests
+
+
+def test_annotated_store_roundtrip_recomputes_triples(ray_session, tmp_path):
+    """write_annotated → read_annotated must round-trip losslessly: the
+    triples exploded from the stored annotations equal the pipeline's
+    direct triples — downstream-only re-runs never pay NER again."""
+    from kazu_ray.pipelines.kg import annotated_docs, broadcast_store
+    from kazu_ray.stages.materialize import (
+        explode_triples,
+        read_annotated,
+        write_annotated,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store_ref = broadcast_store()
+    docs = annotated_docs(sf, store_ref=store_ref)
+    direct = (
+        explode_triples(annotated_docs(sf, store_ref=store_ref))
+        .to_pandas()
+        .sort_values(["doc_id", "subj", "pred", "obj", "sent_idx"])
+        .reset_index(drop=True)
+    )
+    out = str(tmp_path / "store")
+    write_annotated(docs, out)
+    roundtrip = (
+        explode_triples(read_annotated(out))
+        .to_pandas()
+        .sort_values(["doc_id", "subj", "pred", "obj", "sent_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(roundtrip) == len(direct) > 0
+    assert roundtrip.equals(direct)
