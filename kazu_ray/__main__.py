@@ -42,7 +42,12 @@ def cmd_run(args) -> None:
     from kazu_ray.pipelines.kg import broadcast_store, triples_dataset
     from kazu_ray.stages.materialize import materialize_triples
 
-    store_ref = broadcast_store()
+    cache_dir = None
+    if getattr(args, "pack", None):
+        from kazu_ray.state.pack import load_pack
+
+        cache_dir = load_pack(args.pack)
+    store_ref = broadcast_store(cache_dir)
     if args.by_shard:
         from kazu_ray.pipelines.resumable import run_resumable
         from kazu_ray.sources.corpus import ensure_pages_parquet
@@ -98,6 +103,26 @@ def cmd_build_caches(args) -> None:
     print(ensure_default_caches(args.cache_dir))
 
 
+def cmd_pack(args) -> None:
+    if args.acceptance:
+        _ray_session()
+    from kazu_ray.state.pack import build_pack
+
+    manifest = build_pack(
+        args.out, cache_dir=args.cache_dir, run_acceptance=args.acceptance
+    )
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "files": len(manifest["files"]),
+                "ontology_version": manifest["ontology_version"],
+                "acceptance": (manifest["acceptance"] or {}).get("passed"),
+            }
+        )
+    )
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="kazu_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -110,6 +135,8 @@ def main(argv=None) -> None:
     p.add_argument("--by-shard", action="store_true",
                    help="checkpoint the whole pipeline per input shard")
     p.add_argument("--pages-dir", default=None)
+    p.add_argument("--pack", default=None,
+                   help="run with caches from a model pack (verified on load)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("annotate", help="annotated docs + failure side channel")
@@ -126,6 +153,13 @@ def main(argv=None) -> None:
     p = sub.add_parser("build-caches", help="(re)build ontology caches")
     p.add_argument("--cache-dir", default=None)
     p.set_defaults(fn=cmd_build_caches)
+
+    p = sub.add_parser("pack", help="archive caches as a verified model pack")
+    p.add_argument("--out", required=True)
+    p.add_argument("--cache-dir", default=None)
+    p.add_argument("--acceptance", action="store_true",
+                   help="gate the pack on the e2e acceptance P/R scorer")
+    p.set_defaults(fn=cmd_pack)
 
     args = parser.parse_args(argv)
     args.fn(args)

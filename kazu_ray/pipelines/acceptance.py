@@ -106,3 +106,37 @@ def check_acceptance(
             if s["n_gold"] and s[metric] < bar:
                 failures.append(f"{cls}.{metric}={s[metric]:.3f} < {bar}")
     return failures
+
+
+def acceptance_scores(
+    cache_dir: str | None = None,
+    sf_dir: str = "/root/testdata/sf0.001",
+    default_threshold: float = 0.95,
+) -> dict:
+    """Run the full Ray pipeline with the given caches and score it
+    against the single-process oracle — the model-pack acceptance gate
+    (the reference's ``run_acceptance_tests`` model-pack option,
+    ``build_and_test_model_packs.py``). Returns ``{"passed", "failures",
+    "scores"}``."""
+    from kazu_ray.pipelines.kg import annotated_docs, broadcast_store
+    from kazu_ray.pipelines.oracle import oracle_run
+    from kazu_ray.stages.materialize import explode_entities
+
+    gold_ents, _, _ = oracle_run(sf_dir, cache_dir=cache_dir)
+    store_ref = broadcast_store(cache_dir)
+    ents = explode_entities(annotated_docs(sf_dir, store_ref=store_ref)).to_pandas()
+
+    gold = gold_ents.rename(columns={"url": "doc_id"}).assign(
+        mapping_source=gold_ents.canonical_id.str.split(":").str[0],
+        mapping_idx=gold_ents.canonical_id.str.split(":").str[1],
+        mapping_label="",
+    )
+    scores = score_entities(gold, ents.assign(mapping_label=""))
+    failures = check_acceptance(scores, default_threshold=default_threshold)
+    return {
+        "passed": bool(scores) and not failures,
+        "failures": failures,
+        "scores": {
+            cls: {k: round(float(v), 4) for k, v in s.items()} for cls, s in scores.items()
+        },
+    }

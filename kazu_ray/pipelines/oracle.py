@@ -24,9 +24,14 @@ from kazu_ray.stages.fused import AnnotateStage
 from kazu_ray.state.store import ensure_default_caches
 
 
-def oracle_run(sf_dir: str, limit: int | None = None, with_model_ner: bool = True):
+def oracle_run(
+    sf_dir: str,
+    limit: int | None = None,
+    with_model_ner: bool = True,
+    cache_dir: str | None = None,
+):
     """Returns (entities_df, triples_df, text_hashes_df)."""
-    cache_dir = ensure_default_caches()
+    cache_dir = ensure_default_caches(cache_dir)
     stage = AnnotateStage(cache_dir, with_model_ner=with_model_ner)
 
     pages = pages_pandas(sf_dir, limit=limit)

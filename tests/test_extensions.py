@@ -533,3 +533,53 @@ def test_annotated_store_roundtrip_recomputes_triples(ray_session, tmp_path):
     )
     assert len(roundtrip) == len(direct) > 0
     assert roundtrip.equals(direct)
+
+
+def test_model_pack_roundtrip_and_verification(ray_session, tmp_path):
+    """Model-pack build/load parity (build_and_test_model_packs.py):
+    archive carries per-file sha256 + ontology version; load verifies
+    both and the extracted caches drive the pipeline."""
+    import json as _json
+
+    from kazu_ray.state.pack import build_pack, load_pack
+    from kazu_ray.state.store import ensure_default_caches
+
+    pack_path = str(tmp_path / "model.pack.tgz")
+    manifest = build_pack(pack_path)
+    assert manifest["files"], "pack must carry cache tables"
+
+    extracted = load_pack(pack_path, dest_dir=str(tmp_path / "x1"))
+    # the extracted dir is a complete cache dir: ensure_default_caches
+    # accepts it without rebuilding
+    assert ensure_default_caches(extracted) == extracted
+
+    # corruption is detected file-by-file
+    import tarfile
+
+    victim = sorted(manifest["files"])[0]
+    with open(str(tmp_path / "x1" / victim), "ab") as f:
+        f.write(b"corrupt")
+    from kazu_ray.state.pack import _sha256_file
+
+    assert _sha256_file(str(tmp_path / "x1" / victim)) != manifest["files"][victim]
+
+    bad_dir = str(tmp_path / "x2")
+    load_pack(pack_path, dest_dir=bad_dir)  # fresh extract still fine
+    with open(f"{bad_dir}/{victim}", "ab") as f:
+        f.write(b"corrupt")
+    import pytest as _pytest
+
+    # re-verify against the manifest catches the corruption
+    with open(f"{bad_dir}/pack_manifest.json") as f:
+        m2 = _json.load(f)
+    assert _sha256_file(f"{bad_dir}/{victim}") != m2["files"][victim]
+
+
+def test_model_pack_acceptance_gate(ray_session, tmp_path):
+    """--acceptance packs are gated on the e2e P/R scorer and record the
+    scores in the manifest."""
+    from kazu_ray.state.pack import build_pack
+
+    manifest = build_pack(str(tmp_path / "gated.tgz"), run_acceptance=True)
+    assert manifest["acceptance"]["passed"] is True
+    assert manifest["acceptance"]["scores"], "per-class scores recorded"
