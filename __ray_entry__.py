@@ -669,6 +669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_prior_view": lambda sf_dir: __import__(
             "kazu_ray.ops.joins", fromlist=["asof_join_events"]
         ).asof_join_events(sf_dir),
+        "interval_join_views": lambda sf_dir: __import__(
+            "kazu_ray.ops.joins", fromlist=["interval_join_events"]
+        ).interval_join_events(sf_dir),
         "doc_chunks": _doc_chunks,
         "repetition_stats": _repetition_stats,
         # dedup
@@ -725,6 +728,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON c.user_id = v.user_id AND c.ts > v.ts
+        """,
+        "interval_join_views": """
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.event_id AS ref_event_id, v.ts AS ref_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id
+             AND v.ts > c.ts - INTERVAL 5 MINUTE
+             AND v.ts <= c.ts
         """,
         "monthly_order_revenue": """
             SELECT date_trunc('month', o_orderdate) AS month,

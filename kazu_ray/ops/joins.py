@@ -113,3 +113,76 @@ def asof_join_events(sf_dir: str, probe_type: str = "click", ref_type: str = "vi
         return merged
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def interval_join_events(
+    sf_dir: str,
+    window_minutes: int = 5,
+    probe_type: str = "click",
+    ref_type: str = "view",
+):
+    """Range (interval) join: every (probe, reference) event pair for
+    the same user with the reference inside the probe's trailing window
+    ``(probe.ts - window, probe.ts]``.
+
+    Partitioning: one shuffle keyed by user (``groupby(user_id)``);
+    inside each group a vectorized two-pointer sweep over the ts-sorted
+    sides emits the pairs — per-group cost O(n log n + output), never
+    the O(n·m) cross product. The key shuffle is the documented
+    assumption: a single user's events must fit a worker (true by
+    construction for bounded per-user activity; salt by time-bucket
+    if a user can exceed that). Returns
+    (event_id, user_id, ts, ref_event_id, ref_ts).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    window = pd.Timedelta(minutes=window_minutes)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "ref_event_id": pd.Series(dtype="int64"),
+            "ref_ts": pd.Series(dtype="datetime64[us]"),
+        }
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        probes = g[g.event_type == probe_type].sort_values(["ts", "event_id"])
+        refs = g[g.event_type == ref_type].sort_values(["ts", "event_id"])
+        if probes.empty or refs.empty:
+            return empty.copy()
+        ref_ts = refs["ts"].to_numpy()
+        # for each probe: refs in (probe.ts - window, probe.ts]
+        lo = np.searchsorted(ref_ts, (probes["ts"] - window).to_numpy(), side="right")
+        hi = np.searchsorted(ref_ts, probes["ts"].to_numpy(), side="right")
+        counts = hi - lo
+        if counts.sum() == 0:
+            return empty.copy()
+        probe_idx = np.repeat(np.arange(len(probes)), counts)
+        ref_idx = np.concatenate(
+            [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
+        )
+        p = probes.iloc[probe_idx]
+        r = refs.iloc[ref_idx]
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy(),
+                "user_id": p["user_id"].to_numpy(),
+                "ts": p["ts"].to_numpy(),
+                "ref_event_id": r["event_id"].to_numpy(),
+                "ref_ts": r["ts"].to_numpy(),
+            }
+        )
+
+    import ray.data as _rd
+
+    joined = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    # anchor the schema so a zero-pair result still compares against SQL
+    return _rd.from_pandas(empty).union(joined)
