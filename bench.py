@@ -177,7 +177,11 @@ def scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             KAZU_BENCH_ONLY="kg",
             KAZU_BENCH_PASSES="2",
-            KAZU_BENCH_PAGES_MULT=os.environ.get("KAZU_BENCH_PAGES_MULT", "60"),
+            # 600k docs: the efficiency number is corpus-size sensitive
+            # (per-run fixed costs weigh ~10% on the fast leg at 300k,
+            # ~5% at 600k); the north-rule regime is steady-state, so
+            # measure at the largest corpus the pair finishes quickly
+            KAZU_BENCH_PAGES_MULT=os.environ.get("KAZU_BENCH_PAGES_MULT", "120"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
