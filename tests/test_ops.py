@@ -412,3 +412,40 @@ def test_approx_heavy_hitters_match_exact_top(ray_session):
     for w, n in exact_map.items():
         assert w in got_map, w
         assert n <= got_map[w] <= n * 1.05 + 5
+
+
+def test_ddsketch_relative_error_and_merge(ray_session):
+    """DDSketch quantiles stay inside the alpha relative-error bound vs
+    exact, and merging partial sketches equals one whole sketch."""
+    import numpy as np
+    import ray.data as rd
+
+    from kazu_ray.ops.sketches import DDSketch, approx_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = rng.lognormal(mean=3.0, sigma=1.2, size=20000)
+    a, b = DDSketch(), DDSketch()
+    a.add_many(vals[:9000]); b.add_many(vals[9000:])
+    whole = DDSketch(); whole.add_many(vals)
+    merged = a.merge(b)
+    for q in (0.5, 0.9, 0.99):
+        exact = np.quantile(vals, q)
+        est = merged.quantile(q)
+        assert abs(est - exact) / exact < 0.021, (q, est, exact)
+        assert merged.quantile(q) == whole.quantile(q)
+    # serialization round-trip
+    rt = DDSketch.from_bytes(merged.to_bytes())
+    assert rt.quantile(0.5) == merged.quantile(0.5)
+
+    # distributed path over the lineitem price column vs exact
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_extendedprice"])
+    approx = approx_quantiles(ds, "l_extendedprice", qs=(0.5, 0.95))
+    prices = pq.read_table(f"{sf}/lineitem.parquet", columns=["l_extendedprice"])[
+        "l_extendedprice"
+    ].to_numpy()
+    for q, est in approx.items():
+        exact = np.quantile(prices, q)
+        assert abs(est - exact) / exact < 0.021, (q, est, exact)
