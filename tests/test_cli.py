@@ -43,3 +43,17 @@ def test_cli_run_lookup_resume(tmp_path):
 def test_cli_build_caches():
     out = _run("build-caches")
     assert out[-1].startswith("/tmp/kazu_ray_cache/")
+
+
+def test_cli_pack_and_run_with_pack(tmp_path):
+    pack = str(tmp_path / "model.tgz")
+    r = json.loads(_run("pack", "--out", pack)[-1])
+    assert r["files"] > 0 and os.path.exists(pack)
+    store = str(tmp_path / "store")
+    r2 = json.loads(
+        _run(
+            "run", "--sf-dir", "/root/testdata/sf0.001", "--out", store,
+            "--num-parts", "4", "--pack", pack,
+        )[-1]
+    )
+    assert r2["rows"] > 0

@@ -129,3 +129,66 @@ def test_synonym_generators_reference_semantics():
     assert "increase in AST" in got
     assert "AST increasing" in got
     assert "increased in AST" in got
+
+
+def test_url_canonicalization_idempotent_hypothesis():
+    """canon(canon(x)) == canon(x) over generated URL-ish strings."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kazu_ray.ops.web import _canonical_series
+
+    seg = st.text(
+        alphabet="abcXYZ019-._~", min_size=0, max_size=8
+    )
+
+    @st.composite
+    def urls(draw):
+        scheme = draw(st.sampled_from(["http", "https", "HTTP"]))
+        host = draw(st.sampled_from(["Example.ORG", "a.b.c", "x"]))
+        path = "/".join(draw(st.lists(seg, max_size=3)))
+        q = "&".join(
+            draw(
+                st.lists(
+                    st.sampled_from(
+                        ["utm_source=x", "gclid=1", "id=7", "a=b", "fbclid=z"]
+                    ),
+                    max_size=4,
+                )
+            )
+        )
+        frag = draw(st.sampled_from(["", "#f", "#x?y=1"]))
+        url = f"{scheme}://{host}/{path}"
+        if q:
+            url += "?" + q
+        return url + frag
+
+    @given(st.lists(urls(), min_size=1, max_size=20))
+    @settings(max_examples=200, deadline=None)
+    def check(batch):
+        s = pd.Series(batch)
+        once = _canonical_series(s)
+        twice = _canonical_series(once)
+        assert list(once) == list(twice)
+        # no tracking params or fragments survive
+        assert not once.str.contains("utm_|gclid=|fbclid=|#", regex=True).any()
+
+    check()
+
+
+def test_bucket_ids_chunking_invariance():
+    """bucket assignment must not depend on Arrow chunk layout — a
+    repartition or block split cannot move a key to another bucket."""
+    import pyarrow as pa
+
+    from kazu_ray.functions.hashing import bucket_ids, bucket_of
+
+    vals = [f"key{i}" for i in range(100)]
+    flat = pa.chunked_array([pa.array(vals)])
+    chunked = pa.chunked_array([pa.array(vals[:33]), pa.array(vals[33:71]), pa.array(vals[71:])])
+    a = bucket_ids(flat, 16).tolist()
+    b = bucket_ids(chunked, 16).tolist()
+    assert a == b
+    # the point-lookup path agrees with the column path
+    assert a == [bucket_of(v, 16) for v in vals]
