@@ -104,8 +104,17 @@ def install_shims() -> None:
             def __init__(self, *a, **k):
                 raise NotImplementedError("transformers is shimmed for import only")
 
-        transformers.BatchEncoding = _Placeholder
-        transformers.PreTrainedTokenizerBase = _Placeholder
+        for name in (
+            "BatchEncoding",
+            "PreTrainedTokenizerBase",
+            "AutoConfig",
+            "AutoTokenizer",
+            "AutoModel",
+            "AutoModelForTokenClassification",
+            "DataCollatorWithPadding",
+            "PreTrainedModel",
+        ):
+            setattr(transformers, name, _Placeholder)
         file_utils = types.ModuleType("transformers.file_utils")
         file_utils.PaddingStrategy = _Placeholder
         tok_base = types.ModuleType("transformers.tokenization_utils_base")
@@ -115,6 +124,63 @@ def install_shims() -> None:
         sys.modules["transformers"] = transformers
         sys.modules["transformers.file_utils"] = file_utils
         sys.modules["transformers.tokenization_utils_base"] = tok_base
+
+    if "torch" not in sys.modules:
+        # the reference span finder uses exactly two tensor ops —
+        # torch.argmax(x, dim) and torch.argwhere(x) — on small per-word
+        # matrices; numpy implements both with identical semantics
+        # (np int scalars support .item() like torch's), so the shim is
+        # computationally faithful, not import-only
+        import numpy as _np
+
+        torch = types.ModuleType("torch")
+        torch.Tensor = _np.ndarray
+        torch.argmax = lambda t, dim=None: _np.argmax(t, axis=dim)
+        torch.argwhere = lambda t: _np.argwhere(t)
+
+        def _no_torch(*a, **k):
+            raise NotImplementedError(
+                "torch is shimmed for the two span-finder ops only"
+            )
+
+        torch.cosine_similarity = _no_torch
+        torch.softmax = _no_torch
+        torch.no_grad = _no_torch
+
+        class _TorchPlaceholder:
+            def __init__(self, *a, **k):
+                raise NotImplementedError(
+                    "torch is shimmed for the two span-finder ops only"
+                )
+
+            # generic-subscript support so `class X(Dataset[T])` imports
+            def __class_getitem__(cls, item):
+                return cls
+
+        utils = types.ModuleType("torch.utils")
+        utils_data = types.ModuleType("torch.utils.data")
+        utils_data.DataLoader = _TorchPlaceholder
+        utils_data.Dataset = _TorchPlaceholder
+        utils_data.IterableDataset = _TorchPlaceholder
+        utils.data = utils_data
+        torch.utils = utils
+        nn = types.ModuleType("torch.nn")
+        nn.Module = _TorchPlaceholder
+        torch.nn = nn
+        sys.modules["torch"] = torch
+        sys.modules["torch.utils"] = utils
+        sys.modules["torch.utils.data"] = utils_data
+        sys.modules["torch.nn"] = nn
+
+    if "tokenizers" not in sys.modules:
+        tokenizers = types.ModuleType("tokenizers")
+
+        class _Encoding:
+            def __init__(self, *a, **k):
+                raise NotImplementedError("tokenizers is shimmed for import only")
+
+        tokenizers.Encoding = _Encoding
+        sys.modules["tokenizers"] = tokenizers
 
     if "rapidfuzz" not in sys.modules:
         def _no_fuzz(*a, **k):
@@ -131,5 +197,47 @@ def install_shims() -> None:
         sys.modules["rapidfuzz.fuzz"] = fuzz
         sys.modules["rapidfuzz.process"] = process
 
+    if "rdflib" not in sys.modules:
+        class _RdfPlaceholder:
+            def __init__(self, *a, **k):
+                raise NotImplementedError("rdflib is shimmed for import only")
+
+            def __class_getitem__(cls, item):
+                return cls
+
+        rdflib = types.ModuleType("rdflib")
+        for name in ("Graph", "URIRef", "Literal", "Namespace", "BNode"):
+            setattr(rdflib, name, _RdfPlaceholder)
+        paths = types.ModuleType("rdflib.paths")
+        paths.Path = _RdfPlaceholder
+        term = types.ModuleType("rdflib.term")
+        term.Node = _RdfPlaceholder
+        rdflib.paths = paths
+        rdflib.term = term
+        query = types.ModuleType("rdflib.query")
+        query.ResultRow = _RdfPlaceholder
+        rdflib.query = query
+        sys.modules["rdflib"] = rdflib
+        sys.modules["rdflib.paths"] = paths
+        sys.modules["rdflib.term"] = term
+        sys.modules["rdflib.query"] = query
+
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+
+
+def load_reference_module(alias: str, relpath: str):
+    """Load one reference module FILE directly, bypassing package
+    ``__init__`` chains that import spacy/torch-model steps the shims
+    can't (and shouldn't) fake. The module's own ``from kazu.x import``
+    lines still resolve through the real package."""
+    import importlib.util
+
+    install_shims()
+    if alias in sys.modules:
+        return sys.modules[alias]
+    spec = importlib.util.spec_from_file_location(alias, f"/root/reference/{relpath}")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[alias] = mod
+    spec.loader.exec_module(mod)
+    return mod

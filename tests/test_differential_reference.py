@@ -483,3 +483,100 @@ def test_curation_merge_differential_vs_reference():
         for s in r.original_synonyms
     }
     assert ref_eff["influenza"] == int(RefConf.POSSIBLE)
+
+
+# ---------------------------------------------------------------------------
+# span-finder differential: the ported BIO/multilabel state machines vs
+# the reference's (torch shimmed with numpy — semantically identical for
+# the two tensor ops the reference uses)
+# ---------------------------------------------------------------------------
+
+
+def _gen_word_sequence(rng, n_labels, multilabel=False):
+    """Random (text, words-as-dicts) with adversarial structure: variable
+    tokens per word, occasional span-breaking separators, and skewed
+    label draws so B/I runs, repeated-B nesting and O breaks all occur."""
+    n_words = rng.randint(3, 14)
+    words = []
+    text = ""
+    for wid in range(n_words):
+        sep = rng.choice([" ", " ", " ", "(", ")", ";", ""]) if wid else ""
+        text += sep
+        start = len(text)
+        n_tok = rng.randint(1, 3)
+        toks, offs = [], []
+        for t in range(n_tok):
+            tok = rng.choice(["ab", "x", "kin", "ase", "12"])
+            offs.append((len(text), len(text) + len(tok)))
+            text += tok
+            toks.append(tok)
+        if multilabel:
+            conf = rng.choice([-1.0, 1.0], size=(n_tok, n_labels), p=[0.55, 0.45])
+        else:
+            conf = rng.dirichlet(np.ones(n_labels) * 0.35, size=n_tok)
+        words.append(
+            dict(
+                token_ids=list(range(n_tok)),
+                tokens=toks,
+                token_confidences=conf,
+                token_offsets=offs,
+                word_char_start=start,
+                word_char_end=len(text) - 1,
+                word_id=wid,
+            )
+        )
+    return text, words
+
+
+import numpy as np
+
+
+def _spans_sig(spans):
+    return sorted(
+        (s.clazz, tuple(w.word_id for w in s.tok_words)) for s in spans
+    )
+
+
+def test_simple_span_finder_differential_vs_reference():
+    """SimpleSpanFinder (BIO state machine incl. nested repeated-B copy
+    and span-breaking chars) must produce identical spans to the
+    reference over 300 random adversarial sequences."""
+    from tests.ref_shims import load_reference_module
+
+    ref_twp = load_reference_module(
+        "ref_twp", "kazu/steps/ner/tokenized_word_processor.py"
+    )
+
+    from kazu_ray.stages import token_ner as ours
+
+    id2label = {0: "O", 1: "B-gene", 2: "I-gene", 3: "B-drug", 4: "I-drug"}
+    rng = np.random.RandomState(1234)
+    for case in range(300):
+        text, words = _gen_word_sequence(rng, n_labels=5)
+        ref_words = [ref_twp.TokenizedWord(**w) for w in words]
+        our_words = [ours.TokenizedWord(**w) for w in words]
+        ref_spans = ref_twp.SimpleSpanFinder(text, id2label)(ref_words)
+        our_spans = ours.SimpleSpanFinder(text, id2label)(our_words)
+        assert _spans_sig(our_spans) == _spans_sig(ref_spans), (case, text)
+
+
+def test_multilabel_span_finder_differential_vs_reference():
+    """MultilabelSpanFinder: per-class span tracking over heavisided
+    multi-label confidences, identical to the reference."""
+    from tests.ref_shims import load_reference_module
+
+    ref_twp = load_reference_module(
+        "ref_twp", "kazu/steps/ner/tokenized_word_processor.py"
+    )
+
+    from kazu_ray.stages import token_ner as ours
+
+    id2label = {0: "O", 1: "gene", 2: "drug"}
+    rng = np.random.RandomState(99)
+    for case in range(300):
+        text, words = _gen_word_sequence(rng, n_labels=3, multilabel=True)
+        ref_words = [ref_twp.TokenizedWord(**w) for w in words]
+        our_words = [ours.TokenizedWord(**w) for w in words]
+        ref_spans = ref_twp.MultilabelSpanFinder(text, id2label)(ref_words)
+        our_spans = ours.MultilabelSpanFinder(text, id2label)(our_words)
+        assert _spans_sig(our_spans) == _spans_sig(ref_spans), (case, text)
