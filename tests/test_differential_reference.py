@@ -580,3 +580,84 @@ def test_multilabel_span_finder_differential_vs_reference():
         ref_spans = ref_twp.MultilabelSpanFinder(text, id2label)(ref_words)
         our_spans = ours.MultilabelSpanFinder(text, id2label)(our_words)
         assert _spans_sig(our_spans) == _spans_sig(ref_spans), (case, text)
+
+
+def test_numeric_list_splitter_differential_vs_reference():
+    """SplitOnNumericalListPatternWithPrefix is pure Python — run the
+    actual reference class (spacy_pipeline stubbed out of the module's
+    import path) against our port over an adversarial bank and compare
+    resulting (match, spans) sets."""
+    import sys
+    import types
+
+    from tests.ref_shims import install_shims, load_reference_module
+
+    install_shims()
+    # the module imports SpacyPipelines (conjunction rule only) and
+    # spacy.tokens.Doc at module level; neither touches the numeric rule
+    if "kazu.utils.spacy_pipeline" not in sys.modules:
+        sp = types.ModuleType("kazu.utils.spacy_pipeline")
+
+        class _SpacyPipelines:
+            def __init__(self, *a, **k):
+                raise NotImplementedError("spacy unavailable")
+
+        sp.SpacyPipelines = _SpacyPipelines
+        sys.modules["kazu.utils.spacy_pipeline"] = sp
+    if "spacy" not in sys.modules:
+        spacy = types.ModuleType("spacy")
+        tokens = types.ModuleType("spacy.tokens")
+
+        class Doc:  # type stub only
+            pass
+
+        tokens.Doc = Doc
+        spacy.tokens = tokens
+        sys.modules["spacy"] = spacy
+        sys.modules["spacy.tokens"] = tokens
+
+    ref_epp = load_reference_module("ref_epp", "kazu/steps/ner/entity_post_processing.py")
+    from kazu.data import Entity
+
+    from kazu_ray.stages.postner import split_numeric_list
+
+    bank = [
+        ("BRCA1/2/3", "BRCA1/2/3 are oncogenes", 0),
+        ("BRCA1/2", "we studied BRCA1/2 here", 11),
+        ("HER2/neu", "HER2/neu amplification", 0),       # non-digit tail part skipped
+        ("TGF1/5/xx/7", "TGF1/5/xx/7 pathway", 0),       # mixed parts
+        ("ABC/2", "ABC/2 test", 0),                       # no trailing digit → prefix rule off
+        ("p53", "p53 alone", 0),                          # no pattern → no splits
+        ("IL1/2", "IL1/2 receptors", 0),
+        ("CYP2D6/7/8", "CYP2D6/7/8 variants", 0),
+    ]
+    for match, text, start in bank:
+        ref_ent = Entity.load_contiguous_entity(
+            start=start,
+            end=start + len(match),
+            namespace="t",
+            entity_class="gene",
+            match=match,
+        )
+        ref_out = ref_epp.SplitOnNumericalListPatternWithPrefix()(ref_ent, text)
+        ref_sig = sorted(
+            (e.match, tuple((s.start, s.end) for s in sorted(e.spans, key=lambda s: s.start)))
+            for e in ref_out
+        )
+        our_ent = {
+            "start": start,
+            "end": start + len(match),
+            "namespace": "t",
+            "entity_class": "gene",
+            "match": match,
+        }
+        our_out = split_numeric_list(our_ent, text)
+        our_sig = sorted(
+            (e["match"], tuple(tuple(sp) for sp in sorted(e["spans"])))
+            for e in our_out
+        )
+        assert our_sig == ref_sig, (match, our_sig, ref_sig)
+        if match == "BRCA1/2/3":
+            # non-vacuity: the canonical case splits into exactly
+            # BRCA1, BRCA2, BRCA3 on both sides
+            assert [m for m, _ in ref_sig] == ["BRCA1", "BRCA2", "BRCA3"]
