@@ -661,3 +661,120 @@ def test_numeric_list_splitter_differential_vs_reference():
             # non-vacuity: the canonical case splits into exactly
             # BRCA1, BRCA2, BRCA3 on both sides
             assert [m for m, _ in ref_sig] == ["BRCA1", "BRCA2", "BRCA3"]
+
+
+def test_merge_overlapping_differential_vs_reference():
+    """MergeOverlappingEntsStep differential: random overlapping entity
+    layouts (mappings presence, span lengths, class preference ranks,
+    mention confidences, non-contiguous exclusions) must yield the same
+    surviving entities from our sweep-line merge and the reference step."""
+    import sys
+    import types
+
+    from tests.ref_shims import install_shims, load_reference_module
+
+    install_shims()
+    if "kazu.steps" not in sys.modules:
+        # stand-in for the package __init__ (it imports spacy-dependent
+        # steps); the merge step needs only the base class + decorator
+        steps_pkg = types.ModuleType("kazu.steps")
+
+        class Step:
+            pass
+
+        steps_pkg.Step = Step
+        steps_pkg.document_iterating_step = lambda f: f  # direct per-doc call
+        sys.modules["kazu.steps"] = steps_pkg
+
+    ref_mo = load_reference_module("ref_mo", "kazu/steps/other/merge_overlapping_ents.py")
+    from kazu.data import (
+        CharSpan,
+        Document,
+        Entity,
+        Mapping,
+        MentionConfidence,
+        StringMatchConfidence,
+    )
+
+    from kazu_ray.stages.docproc import ENT_CLASS_PREFERRED_ORDER, merge_overlapping
+
+    step = ref_mo.MergeOverlappingEntsStep(
+        ent_class_preferred_order=list(ENT_CLASS_PREFERRED_ORDER)
+    )
+    classes = ["disease", "drug", "gene", "unranked_class"]
+    confs = [
+        MentionConfidence.HIGHLY_LIKELY,
+        MentionConfidence.PROBABLE,
+        MentionConfidence.POSSIBLE,
+    ]
+    rng = np.random.RandomState(7)
+    text = "x" * 80
+
+    def make_mapping():
+        return Mapping(
+            default_label="L",
+            source="S",
+            parser_name="P",
+            idx="ID:1",
+            string_match_strategy="t",
+            string_match_confidence=StringMatchConfidence.HIGHLY_LIKELY,
+        )
+
+    for case in range(200):
+        n = rng.randint(2, 9)
+        ref_ents, our_ents = [], []
+        for k in range(n):
+            start = int(rng.randint(0, 60))
+            end = start + int(rng.randint(1, 15))
+            cls_ = classes[rng.randint(len(classes))]
+            conf = confs[rng.randint(len(confs))]
+            has_mapping = bool(rng.randint(2))
+            non_contig = rng.random() < 0.15
+            if non_contig:
+                spans = frozenset(
+                    [CharSpan(start=start, end=start + 2), CharSpan(start=end + 2, end=end + 4)]
+                )
+                ent = Entity(
+                    spans=spans,
+                    namespace="t",
+                    entity_class=cls_,
+                    match=text[start:end],
+                    mention_confidence=conf,
+                )
+                our_spans = [(start, start + 2), (end + 2, end + 4)]
+            else:
+                ent = Entity.load_contiguous_entity(
+                    start=start,
+                    end=end,
+                    namespace="t",
+                    entity_class=cls_,
+                    match=text[start:end],
+                    mention_confidence=conf,
+                )
+                our_spans = [(start, end)]
+            if has_mapping:
+                ent.mappings.add(make_mapping())
+            ref_ents.append(ent)
+            our_ents.append(
+                {
+                    "start": ent.start,
+                    "end": ent.end,
+                    "spans": our_spans,
+                    "entity_class": cls_,
+                    "confidence": int(conf),
+                    "mappings": [{"idx": "ID:1"}] if has_mapping else [],
+                    "match": text[start:end],
+                }
+            )
+        doc = Document.create_simple_document(text)
+        doc.sections[0].entities = ref_ents
+        step(doc)
+        ref_sig = sorted(
+            (e.start, e.end, e.entity_class, int(e.mention_confidence))
+            for e in doc.sections[0].entities
+        )
+        our_sig = sorted(
+            (e["start"], e["end"], e["entity_class"], e["confidence"])
+            for e in merge_overlapping(our_ents)
+        )
+        assert our_sig == ref_sig, (case, our_sig, ref_sig)
