@@ -314,6 +314,16 @@ def strip_mapping_uris():
         for e in ents:
             for m in e["mappings"]:
                 m["idx"] = _strip(m["idx"])
+            # the reference's Entity.mappings is a SET of frozen
+            # dataclasses: mappings made identical by the strip collapse
+            seen: set = set()
+            deduped = []
+            for m in e["mappings"]:
+                key = tuple(sorted(m.items()))
+                if key not in seen:
+                    seen.add(key)
+                    deduped.append(m)
+            e["mappings"] = deduped
         return ents
 
     return action

@@ -778,3 +778,175 @@ def test_merge_overlapping_differential_vs_reference():
             for e in merge_overlapping(our_ents)
         )
         assert our_sig == ref_sig, (case, our_sig, ref_sig)
+
+
+def test_cleanup_actions_differential_vs_reference():
+    """Cleanup ladder differential: AMBIGUOUS-mapping drop → unmapped
+    low-confidence entity drop → min-len / match-set / class filters →
+    URI strip → parser-rank mapping selection, applied in the same order
+    on both sides over randomized docs."""
+    import sys
+    import types
+
+    from tests.ref_shims import install_shims, load_reference_module
+
+    install_shims()
+    if "kazu.steps" not in sys.modules:
+        steps_pkg = types.ModuleType("kazu.steps")
+
+        class Step:
+            pass
+
+        steps_pkg.Step = Step
+        steps_pkg.document_iterating_step = lambda f: f
+        sys.modules["kazu.steps"] = steps_pkg
+
+    ref_cl = load_reference_module("ref_cleanup", "kazu/steps/other/cleanup.py")
+    from kazu.data import (
+        DisambiguationConfidence,
+        Document,
+        Entity,
+        Mapping,
+        MentionConfidence,
+        StringMatchConfidence,
+    )
+
+    from kazu_ray.stages.docproc import (
+        cleanup,
+        drop_by_min_len,
+        drop_entity_class_not_in,
+        drop_if_match_in_set,
+        drop_mappings_by_parser_rank,
+        strip_mapping_uris,
+    )
+
+    rng = np.random.RandomState(21)
+    classes = ["disease", "drug", "gene"]
+    parsers = ["meddra", "mondo"]
+    idxs = [
+        "http://purl.obolibrary.org/obo/MONDO_0004979",
+        "MONDO_0005148",
+        "https://example.org/a/b/CHEMBL25",
+        "CHEMBL112",
+    ]
+    matches = ["asthma", "x", "flu", "aspirin", "p53", "badterm"]
+    disamb = [DisambiguationConfidence.AMBIGUOUS, DisambiguationConfidence.PROBABLE, None]
+    confs = [MentionConfidence.HIGHLY_LIKELY, MentionConfidence.PROBABLE, MentionConfidence.POSSIBLE]
+
+    rank_cfg = {"disease": ["meddra", "mondo"], "drug": ["mondo", "meddra"]}
+    drop_set = {"gene": {"badterm"}}
+    required = {"disease", "drug", "gene"}
+
+    ref_actions = [
+        ref_cl.MappingFilterCleanupAction(
+            [
+                ref_cl.DropMappingsByConfidenceMappingFilter(
+                    string_match_ranks_to_drop=(),
+                    disambiguation_ranks_to_drop=(DisambiguationConfidence.AMBIGUOUS,),
+                )
+            ]
+        ),
+        ref_cl.EntityFilterCleanupAction([ref_cl.DropUnmappedEntityFilter()]),
+        ref_cl.EntityFilterCleanupAction(
+            [
+                ref_cl.DropByMinLenFilter(min_len=2),
+                ref_cl.DropEntityIfMatchInSetFilter(drop_set),
+                ref_cl.DropEntityIfClassNotMatchedFilter(required),
+            ]
+        ),
+        ref_cl.StripMappingURIsAction(),
+        ref_cl.DropMappingsByParserNameRankAction(rank_cfg),
+    ]
+    our_extra = [
+        drop_by_min_len(2),
+        drop_if_match_in_set(drop_set),
+        drop_entity_class_not_in(required),
+        strip_mapping_uris(),
+        drop_mappings_by_parser_rank(rank_cfg),
+    ]
+
+    for case in range(150):
+        n = rng.randint(1, 7)
+        ref_ents, our_ents = [], []
+        text = "y" * 40
+        for k in range(n):
+            start = int(rng.randint(0, 30))
+            match = matches[rng.randint(len(matches))]
+            cls_ = classes[rng.randint(len(classes))]
+            conf = confs[rng.randint(len(confs))]
+            n_map = rng.randint(0, 3)
+            ref_maps, our_maps = set(), []
+            for _ in range(n_map):
+                d = disamb[rng.randint(len(disamb))]
+                parser = parsers[rng.randint(len(parsers))]
+                idx = idxs[rng.randint(len(idxs))]
+                ref_maps.add(
+                    Mapping(
+                        default_label="L",
+                        source="S",
+                        parser_name=parser,
+                        idx=idx,
+                        string_match_strategy="t",
+                        string_match_confidence=StringMatchConfidence.HIGHLY_LIKELY,
+                        disambiguation_confidence=d,
+                    )
+                )
+                m = {
+                    "idx": idx,
+                    "parser_name": parser,
+                    # ours encodes AMBIGUOUS as 0 (model.py); None
+                    # (never disambiguated) stays distinct from PROBABLE
+                    "disambiguation_confidence": (
+                        0
+                        if d is DisambiguationConfidence.AMBIGUOUS
+                        else (50 if d is DisambiguationConfidence.PROBABLE else -1)
+                    ),
+                }
+                # reference mappings live in a set — exact duplicates
+                # never exist pre-cleanup; mirror that on our side
+                if m not in our_maps:
+                    our_maps.append(m)
+            ent = Entity.load_contiguous_entity(
+                start=start,
+                end=start + len(match),
+                namespace="t",
+                entity_class=cls_,
+                match=match,
+                mention_confidence=conf,
+            )
+            ent.mappings = ref_maps
+            ref_ents.append(ent)
+            our_ents.append(
+                {
+                    "start": start,
+                    "end": start + len(match),
+                    "entity_class": cls_,
+                    "match": match,
+                    "confidence": int(conf),
+                    "mappings": our_maps,
+                }
+            )
+        doc = Document.create_simple_document(text)
+        doc.sections[0].entities = ref_ents
+        for action in ref_actions:
+            action.cleanup(doc)
+        ref_sig = sorted(
+            (
+                e.start,
+                e.entity_class,
+                e.match,
+                tuple(sorted((m.parser_name, m.idx) for m in e.mappings)),
+            )
+            for e in doc.sections[0].entities
+        )
+        ours = cleanup(our_ents, extra_actions=our_extra)
+        our_sig = sorted(
+            (
+                e["start"],
+                e["entity_class"],
+                e["match"],
+                tuple(sorted((m["parser_name"], m["idx"]) for m in e["mappings"])),
+            )
+            for e in ours
+        )
+        assert our_sig == ref_sig, (case, our_sig, ref_sig)
