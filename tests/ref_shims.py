@@ -197,6 +197,22 @@ def install_shims() -> None:
         sys.modules["rapidfuzz.fuzz"] = fuzz
         sys.modules["rapidfuzz.process"] = process
 
+    if "scipy" not in sys.modules:
+        class _SciPlaceholder:
+            def __init__(self, *a, **k):
+                raise NotImplementedError("scipy is shimmed for import only")
+
+            def __class_getitem__(cls, item):
+                return cls
+
+        scipy = types.ModuleType("scipy")
+        sparse = types.ModuleType("scipy.sparse")
+        sparse.csr_matrix = _SciPlaceholder
+        sparse.vstack = _SciPlaceholder
+        scipy.sparse = sparse
+        sys.modules["scipy"] = scipy
+        sys.modules["scipy.sparse"] = sparse
+
     if "rdflib" not in sys.modules:
         class _RdfPlaceholder:
             def __init__(self, *a, **k):

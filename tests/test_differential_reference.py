@@ -955,3 +955,124 @@ def test_cleanup_actions_differential_vs_reference():
             for e in ours
         )
         assert our_sig == ref_sig, (case, our_sig, ref_sig)
+
+
+def test_disambiguation_strategies_differential_vs_reference():
+    """DefinedElsewhereInDocument + PreferDefaultLabelMatch strategy
+    differential: same id-set filtering as the reference classes, driven
+    end-to-end (reference: populated MetadataDatabase + Document with
+    mapped entities; ours: the engine's store/doc-context shapes)."""
+    import sys
+    import types
+
+    from tests.ref_shims import install_shims, load_reference_module
+
+    install_shims()
+    # strategies.py imports DEFAULT_LABEL from ontology_preprocessing.base
+    # (whose import chain needs spacy) and two TF-IDF scorers from
+    # context_scoring (not exercised here) — provide stand-ins
+    if "kazu.ontology_preprocessing.base" not in sys.modules:
+        base = types.ModuleType("kazu.ontology_preprocessing.base")
+        base.DEFAULT_LABEL = "default_label"  # constants.py:3
+        sys.modules["kazu.ontology_preprocessing.base"] = base
+    if "kazu.steps.linking.post_processing.disambiguation.context_scoring" not in sys.modules:
+        cs = types.ModuleType("kazu.steps.linking.post_processing.disambiguation.context_scoring")
+
+        class _Scorer:
+            def __init__(self, *a, **k):
+                raise NotImplementedError
+
+        cs.TfIdfScorer = _Scorer
+        cs.GildaTfIdfScorer = _Scorer
+        sys.modules[
+            "kazu.steps.linking.post_processing.disambiguation.context_scoring"
+        ] = cs
+
+    ref_ds = load_reference_module(
+        "ref_disamb", "kazu/steps/linking/post_processing/disambiguation/strategies.py"
+    )
+    from kazu.data import (
+        DisambiguationConfidence,
+        Document,
+        Entity,
+        EquivalentIdSet,
+        Mapping,
+        MentionConfidence,
+        StringMatchConfidence,
+    )
+    from kazu.database.in_memory_db import MetadataDatabase
+
+    from kazu_ray.lang import normalizer
+    from kazu_ray.stages.mapping import DefinedElsewhereStrategy, PreferDefaultLabelStrategy
+
+    parser = "test_parser"
+    id_sets = {
+        EquivalentIdSet(frozenset([("MONDO:1", "MONDO"), ("MONDO:2", "MONDO")])),
+        EquivalentIdSet(frozenset([("MEDDRA:9", "MEDDRA")])),
+    }
+    our_id_sets = {
+        frozenset([("MONDO:1", "MONDO"), ("MONDO:2", "MONDO")]),
+        frozenset([("MEDDRA:9", "MEDDRA")]),
+    }
+
+    # --- DefinedElsewhere: MONDO:2 is mapped elsewhere in the doc
+    doc = Document.create_simple_document("some text")
+    ent = Entity.load_contiguous_entity(
+        start=0, end=4, namespace="t", entity_class="disease", match="some"
+    )
+    ent.mappings.add(
+        Mapping(
+            default_label="L",
+            source="MONDO",
+            parser_name=parser,
+            idx="MONDO:2",
+            string_match_strategy="t",
+            string_match_confidence=StringMatchConfidence.HIGHLY_LIKELY,
+        )
+    )
+    doc.sections[0].entities = [ent]
+    ref_strat = ref_ds.DefinedElsewhereInDocumentDisambiguationStrategy(
+        DisambiguationConfidence.HIGHLY_LIKELY
+    )
+    ref_strat.prepare(doc)
+    ref_out = ref_strat.disambiguate(id_sets, doc, parser)
+    ref_sig = sorted(sorted(s.ids_and_source) for s in ref_out)
+
+    class _Doc:
+        def mapped_ids(self):
+            return {(parser, "MONDO", "MONDO:2")}
+
+    our_out = DefinedElsewhereStrategy()(our_id_sets, _Doc(), parser, "some", "SOME")
+    our_sig = sorted(sorted(s) for s in our_out)
+    assert our_sig == ref_sig == [[("MONDO:2", "MONDO")]]
+
+    # --- PreferDefaultLabel: only MONDO:1's default label normalises to
+    # the match norm
+    MetadataDatabase().add_parser(
+        parser,
+        "disease",
+        {
+            "MONDO:1": {"default_label": "asthma"},
+            "MONDO:2": {"default_label": "hay fever"},
+            "MEDDRA:9": {"default_label": "asthma NOS"},
+        },
+    )
+    ref_pd = ref_ds.PreferDefaultLabelMatchDisambiguationStrategy(
+        DisambiguationConfidence.HIGHLY_LIKELY
+    )
+    norm = normalizer.normalize("asthma", "disease")
+    ref_out2 = ref_pd.disambiguate(id_sets, doc, parser, ent_match="asthma", ent_match_norm=norm)
+    ref_sig2 = sorted(sorted(s.ids_and_source) for s in ref_out2)
+
+    store = types.SimpleNamespace(
+        parser_entity_class={parser: "disease"},
+        default_label=lambda p, idx: {
+            "MONDO:1": "asthma",
+            "MONDO:2": "hay fever",
+            "MEDDRA:9": "asthma NOS",
+        }[idx],
+    )
+    our_doc = types.SimpleNamespace(runner=types.SimpleNamespace(store=store))
+    our_out2 = PreferDefaultLabelStrategy()(our_id_sets, our_doc, parser, "asthma", norm)
+    our_sig2 = sorted(sorted(s) for s in our_out2)
+    assert our_sig2 == ref_sig2 == [[("MONDO:1", "MONDO")]]
