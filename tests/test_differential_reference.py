@@ -1076,3 +1076,134 @@ def test_disambiguation_strategies_differential_vs_reference():
     our_out2 = PreferDefaultLabelStrategy()(our_id_sets, our_doc, parser, "asthma", norm)
     our_sig2 = sorted(sorted(s) for s in our_out2)
     assert our_sig2 == ref_sig2 == [[("MONDO:1", "MONDO")]]
+
+
+def test_mapping_strategies_differential_vs_reference():
+    """filter_candidates differential for the four string-matching
+    mapping strategies (ExactMatch, SymbolMatch, SynNormIsSubString,
+    StrongMatch ± symbolic_only) over randomized candidate pools —
+    surviving synonym_norm sets must be identical."""
+    from tests.ref_shims import install_shims, load_reference_module
+
+    install_shims()
+    import sys
+    import types
+
+    if "kazu.ontology_preprocessing.base" not in sys.modules:
+        base = types.ModuleType("kazu.ontology_preprocessing.base")
+        base.DEFAULT_LABEL = "default_label"
+        sys.modules["kazu.ontology_preprocessing.base"] = base
+    if "kazu.steps.linking.post_processing.disambiguation.context_scoring" not in sys.modules:
+        cs = types.ModuleType("kazu.steps.linking.post_processing.disambiguation.context_scoring")
+
+        class _Scorer:
+            def __init__(self, *a, **k):
+                raise NotImplementedError
+
+        cs.TfIdfScorer = _Scorer
+        cs.GildaTfIdfScorer = _Scorer
+        sys.modules[
+            "kazu.steps.linking.post_processing.disambiguation.context_scoring"
+        ] = cs
+    # mapping_strategies imports DisambiguationStrategy from the real
+    # disambiguation module (loadable), so load the target directly
+    load_reference_module(
+        "ref_disamb", "kazu/steps/linking/post_processing/disambiguation/strategies.py"
+    )
+    sys.modules.setdefault(
+        "kazu.steps.linking.post_processing.disambiguation.strategies",
+        sys.modules["ref_disamb"],
+    )
+    ref_ms = load_reference_module(
+        "ref_ms", "kazu/steps/linking/post_processing/mapping_strategies/strategies.py"
+    )
+    from kazu.data import (
+        EquivalentIdAggregationStrategy,
+        EquivalentIdSet,
+        LinkingCandidate,
+        LinkingMetrics,
+        StringMatchConfidence,
+    )
+
+    from kazu_ray.model import AssociatedIdSets as _A  # noqa: F401 (shape check)
+    from kazu_ray import model as our_model
+    from kazu_ray.stages import mapping as our_mapping
+
+    rng = np.random.RandomState(5)
+    norms = ["TESTIN", "MAPK8", "MAP K8", "EGFR", "AB", "KINASE ALPHA", "T"]
+    match_norms = ["TESTIN GENE", "MAPK8", "MAP K8", "EGFR PROTEIN", "KINASE ALPHA", "AB"]
+
+    def ref_candidate(norm, symbolic):
+        return LinkingCandidate(
+            raw_synonyms=frozenset([norm]),
+            synonym_norm=norm,
+            parser_name="p",
+            is_symbolic=symbolic,
+            associated_id_sets=frozenset(
+                [EquivalentIdSet(frozenset([(f"ID:{norm}", "S")]))]
+            ),
+            aggregated_by=EquivalentIdAggregationStrategy.UNAMBIGUOUS,
+        )
+
+    def our_candidate(norm, symbolic):
+        return our_model.LinkingCandidate(
+            synonym_norm=norm,
+            parser_name="p",
+            raw_synonyms=frozenset([norm]),
+            is_symbolic=symbolic,
+            mapping_types=frozenset(),
+            associated_id_sets=frozenset(
+                [frozenset([(f"ID:{norm}", "S")])]
+            ),
+        )
+
+    PROB = StringMatchConfidence.PROBABLE
+    pairs = [
+        (
+            lambda: ref_ms.ExactMatchMappingStrategy(PROB),
+            lambda: our_mapping.ExactMatchMappingStrategy("PROBABLE"),
+        ),
+        (
+            lambda: ref_ms.SymbolMatchMappingStrategy(PROB),
+            lambda: our_mapping.SymbolMatchMappingStrategy("PROBABLE"),
+        ),
+        (
+            lambda: ref_ms.SynNormIsSubStringMappingStrategy(PROB),
+            lambda: our_mapping.SynNormIsSubStringMappingStrategy("PROBABLE"),
+        ),
+        (
+            lambda: ref_ms.StrongMatchMappingStrategy(PROB),
+            lambda: our_mapping.StrongMatchMappingStrategy("PROBABLE"),
+        ),
+        (
+            lambda: ref_ms.StrongMatchMappingStrategy(PROB, symbolic_only=True),
+            lambda: our_mapping.StrongMatchMappingStrategy("PROBABLE", symbolic_only=True),
+        ),
+    ]
+
+    n_nonempty = 0
+    for case in range(250):
+        k = rng.randint(1, 6)
+        chosen = rng.choice(len(norms), size=k, replace=False)
+        ref_cands, our_cands = {}, {}
+        for ci in chosen:
+            norm = norms[ci]
+            symbolic = bool(rng.randint(2))
+            exact = bool(rng.randint(2))
+            score = None if rng.random() < 0.3 else float(rng.randint(70, 101))
+            ref_cands[ref_candidate(norm, symbolic)] = LinkingMetrics(
+                search_score=score, exact_match=exact
+            )
+            our_cands[our_candidate(norm, symbolic)] = (exact, score)
+        match_norm = match_norms[rng.randint(len(match_norms))]
+        for ref_mk, our_mk in pairs:
+            ref_strat, our_strat = ref_mk(), our_mk()
+            ref_out = ref_strat.filter_candidates("m", match_norm, None, ref_cands, "p")
+            our_out = our_strat.filter_candidates("m", match_norm, None, our_cands, "p")
+            ref_keys = sorted(c.synonym_norm for c in ref_out)
+            our_keys = sorted(c.synonym_norm for c in our_out)
+            assert our_keys == ref_keys, (
+                case, type(ref_strat).__name__, match_norm, our_keys, ref_keys,
+            )
+            n_nonempty += bool(ref_keys)
+    assert n_nonempty > 100  # the comparison is not vacuous
