@@ -84,7 +84,7 @@ def cmd_annotate(args) -> None:
 
     store_ref = broadcast_store()
     docs = annotated_docs(args.sf_dir, store_ref=store_ref, multiplier=args.multiplier)
-    result = write_annotated(docs, args.out)
+    result = write_annotated(docs, args.out, num_parts=args.num_parts)
     print(json.dumps(result))
     ray.shutdown()
 
@@ -143,6 +143,8 @@ def main(argv=None) -> None:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--out", required=True)
     p.add_argument("--multiplier", type=int, default=1)
+    p.add_argument("--num-parts", type=int, default=16,
+                   help="resume/parallelism unit of the docs store")
     p.set_defaults(fn=cmd_annotate)
 
     p = sub.add_parser("lookup", help="point query over a triple store")

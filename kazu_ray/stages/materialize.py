@@ -289,7 +289,7 @@ def load_manifests(out_dir: str) -> list[dict]:
     return out
 
 
-def write_annotated(docs_ds, out_dir: str) -> dict:
+def write_annotated(docs_ds, out_dir: str, num_parts: int = 16) -> dict:
     """Annotated-corpus sink with a failure side-channel.
 
     Mirrors the reference's JSON doc sink + ``FailedDocsFileHandler``
@@ -310,11 +310,14 @@ def write_annotated(docs_ds, out_dir: str) -> dict:
         lambda t: t.filter(pc.not_equal(t["processing_exception"], "")),
         batch_format="pyarrow",
     )
+    # num_parts is the resume/parallelism unit: size it so one
+    # partition's docs fit a worker (CLI exposes --num-parts; at crawl
+    # scale use thousands)
     materialize_partitioned(
         ok,
         os.path.join(out_dir, "docs"),
         key_col="doc_id",
-        num_parts=16,
+        num_parts=num_parts,
         file_name="docs.parquet",
     )
     # failed docs route through the same partitioned, manifest-tracked
@@ -324,7 +327,7 @@ def write_annotated(docs_ds, out_dir: str) -> dict:
         failed,
         os.path.join(out_dir, "failed"),
         key_col="doc_id",
-        num_parts=4,
+        num_parts=max(num_parts // 4, 1),
         file_name="failed.parquet",
     )
     failed_count = sum(m["row_count"] for m in failed_manifests)
