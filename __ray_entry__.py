@@ -684,6 +684,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_cosine": _topk_cosine,
         "ivf_topk_cosine": _ivf_topk_cosine,
         "embedding_label_stats": _embedding_label_centroids,
+        "embedding_quantized": lambda sf_dir: __import__("ray.data", fromlist=["read_parquet"])
+        .read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(
+            __import__(
+                "kazu_ray.ops.simsearch", fromlist=["quantize_embeddings_batch"]
+            ).quantize_embeddings_batch,
+            batch_format="pyarrow",
+        ),
         # multimodal plumbing
         "media_features": _media_features,
         # relational / streaming-shaped
@@ -855,6 +863,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
             FROM gaps GROUP BY user_id
+        """,
+        "embedding_quantized": """
+            WITH m AS (SELECT vec_id, embedding,
+                              list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                                  AS max_abs
+                       FROM embeddings)
+            SELECT vec_id, u.d - 1 AS dim,
+                   CASE WHEN max_abs = 0 THEN 0
+                        ELSE floor(u.x::DOUBLE * 127 / max_abs + 0.5)::BIGINT END AS q,
+                   max_abs
+            FROM (SELECT vec_id, max_abs,
+                         unnest(list_transform(embedding, (x, d) -> {'x': x, 'd': d})) AS u
+                  FROM m)
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

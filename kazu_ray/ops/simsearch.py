@@ -172,3 +172,32 @@ def ivf_near_dup_pairs(
     from kazu_ray.ops.dedup import _anchor_pairs_schema
 
     return _anchor_pairs_schema(pairs)
+
+
+def quantize_embeddings_batch(batch: pa.Table) -> pa.Table:
+    """Symmetric int8 quantization, flattened to (vec_id, dim, q) rows
+    plus the per-vector scale — the storage-compression step of an
+    embedding pipeline (4× smaller index, matmul in int8 downstream).
+
+    Deterministic cross-engine rule: all math in float64,
+    ``q = floor(x * 127 / max_abs + 0.5)`` (explicit half-up — numpy's
+    round() is half-even, DuckDB's is half-away, so neither is used).
+    Zero vectors quantize to all-zero with scale 0.
+    """
+    import pyarrow.compute as pc
+
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    n, d = mat.shape
+    max_abs = np.abs(mat).max(axis=1)
+    safe = np.where(max_abs == 0, 1.0, max_abs)
+    q = np.floor(mat * 127.0 / safe[:, None] + 0.5).astype(np.int64)
+    q[max_abs == 0] = 0
+    return pa.table(
+        {
+            "vec_id": pa.array(np.repeat(ids, d), type=pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d), n), type=pa.int64()),
+            "q": pa.array(q.reshape(-1), type=pa.int64()),
+            "max_abs": pa.array(np.repeat(max_abs, d), type=pa.float64()),
+        }
+    )
