@@ -147,6 +147,71 @@ def node_degrees(triples_ds):
     )
 
 
+class _PartitionWriter:
+    """One output partition's accumulator: receives hash-bucketed
+    sub-tables from the scatter, then sorts, writes atomically and
+    manifests its partition. Runs as a Ray actor (one per pending
+    partition); plain-Python here so the write logic is unit-testable."""
+
+    def __init__(self, part, out_dir, manifest_dir, key_col, sort_cols, content_cols, file_name):
+        self.part = part
+        self.out_dir = out_dir
+        self.manifest_dir = manifest_dir
+        self.key_col = key_col
+        self.sort_cols = sort_cols
+        self.content_cols = content_cols
+        self.file_name = file_name
+        self.tables: list[pa.Table] = []
+
+    def add(self, table: pa.Table) -> int:
+        self.tables.append(table)
+        return table.num_rows
+
+    def finalize(self) -> dict:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        table = (
+            pa.concat_tables(self.tables) if self.tables else None
+        )
+        self.tables = []
+        if table is not None and self.sort_cols:
+            table = table.sort_by([(c, "ascending") for c in self.sort_cols])
+        part_dir = os.path.join(self.out_dir, f"part={self.part}")
+        content_hash = hashlib.sha256()
+        n_rows = 0
+        min_key = max_key = None
+        if table is not None and table.num_rows:
+            os.makedirs(part_dir, exist_ok=True)
+            tmp = os.path.join(part_dir, f".tmp.{self.file_name}")
+            pq.write_table(table, tmp)
+            os.replace(tmp, os.path.join(part_dir, self.file_name))
+            n_rows = table.num_rows
+            keep = list(dict.fromkeys(self.content_cols))
+            if keep:
+                # vectorized content hash: cast → tab-join → newline-suffix
+                str_cols = [pc.cast(table[c], pa.string()) for c in keep]
+                lines = pc.binary_join_element_wise(
+                    *str_cols, "\t", null_handling="replace", null_replacement="None"
+                )
+                lines = pc.binary_join_element_wise(lines, "", "\n")
+                content_hash.update(lines.to_pandas().str.cat().encode())
+            mm = pc.min_max(table[self.key_col])
+            min_key, max_key = mm["min"].as_py(), mm["max"].as_py()
+        manifest = {
+            "partition_id": self.part,
+            "row_count": n_rows,
+            "min_key": min_key,
+            "max_key": max_key,
+            "sha256": content_hash.hexdigest(),
+        }
+        tmp_manifest = os.path.join(self.manifest_dir, f".{self.part}.json.tmp")
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_manifest, os.path.join(self.manifest_dir, f"{self.part}.json"))
+        return manifest
+
+
 def materialize_partitioned(
     ds,
     out_dir: str,
@@ -196,50 +261,46 @@ def materialize_partitioned(
 
     content_cols = hash_cols or ([key_col] + (sort_cols or []))
 
-    def _write_partition(group):
-        import pandas as pd
+    # The exchange: a hash SCATTER to one writer actor per pending
+    # partition, not Dataset.groupby — Ray Data's groupby shuffles via a
+    # global range-partition SORT of every row (measured 38 s for 3.25M
+    # triple rows on 32 CPUs, vs ~2 s of actual useful work); rows here
+    # only need co-location by hash bucket, never a total order. Each
+    # map task splits its batch by bucket (vectorized) and ships the
+    # sub-tables to the writers through the object store; writers
+    # accumulate, then sort/write/manifest their own partition in
+    # parallel. The documented capacity assumption is unchanged from the
+    # groupby form: one partition's rows fit one worker — size num_parts
+    # accordingly (thousands at crawl scale).
+    import ray as _ray
 
-        part = int(group["__part"].iloc[0])
-        if sort_cols:
-            group = group.sort_values(sort_cols)
-        table = pa.Table.from_pandas(group.drop(columns=["__part"]), preserve_index=False)
-        part_dir = os.path.join(out_dir, f"part={part}")
-        os.makedirs(part_dir, exist_ok=True)
-        tmp = os.path.join(part_dir, f".tmp.{file_name}")
-        pq.write_table(table, tmp)
-        os.replace(tmp, os.path.join(part_dir, file_name))
+    # num_cpus=0: writers spend their life waiting on adds; reserving a
+    # CPU per writer would deadlock the scatter whenever num_parts
+    # exceeds the CPU count (every add targets a never-scheduled actor)
+    writer_cls = _ray.remote(num_cpus=0)(_PartitionWriter)
+    writers = {
+        p: writer_cls.remote(
+            p, out_dir, manifest_dir, key_col, sort_cols, content_cols, file_name
+        )
+        for p in pending
+    }
+
+    def _scatter(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        content_hash = hashlib.sha256()
-        keep = list(dict.fromkeys(content_cols))
-        if keep and table.num_rows:
-            # vectorized: cast → tab-join columns → newline-suffix, then
-            # hash the concatenated lines in one update (no per-row loop)
-            str_cols = [pc.cast(table[c], pa.string()) for c in keep]
-            lines = pc.binary_join_element_wise(
-                *str_cols, "\t", null_handling="replace", null_replacement="None"
-            )
-            lines = pc.binary_join_element_wise(lines, "", "\n")
-            content_hash.update(lines.to_pandas().str.cat().encode())
-        keys = table[key_col].to_pylist()
-        manifest = {
-            "partition_id": part,
-            "row_count": table.num_rows,
-            "min_key": min(keys) if keys else None,
-            "max_key": max(keys) if keys else None,
-            "sha256": content_hash.hexdigest(),
-        }
-        tmp_manifest = os.path.join(manifest_dir, f".{part}.json.tmp")
-        with open(tmp_manifest, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp_manifest, os.path.join(manifest_dir, f"{part}.json"))
-        return pd.DataFrame({"partition_id": [part], "row_count": [table.num_rows]})
+        refs = []
+        for p in pc.unique(batch["__part"]).to_pylist():
+            sub = batch.filter(pc.equal(batch["__part"], p)).drop(["__part"])
+            refs.append(writers[p].add.remote(sub))
+        # wait for acceptance: backpressure so a slow writer bounds the
+        # feeder instead of unbounded in-flight sub-tables
+        _ray.get(refs)
+        return pa.table({"rows": pa.array([batch.num_rows], type=pa.int64())})
 
-    # groupby(__part) is the single all-to-all exchange; num_parts bounds
-    # its fan-out and the partition dirs are the resume unit
-    with_part.groupby("__part").map_groups(
-        _write_partition, batch_format="pandas"
-    ).materialize()
+    with_part.map_batches(_scatter, batch_format="pyarrow").count()
+    _ray.get([w.finalize.remote() for w in writers.values()])
+    for w in writers.values():
+        _ray.kill(w)
 
     written = {
         int(f.split(".")[0]) for f in os.listdir(manifest_dir) if f.endswith(".json")
