@@ -31,53 +31,88 @@ def hash_join(left, right, on: str, num_partitions: int = 16, join_type: str = "
     )
 
 
-def bucketed_hash_join(left, right, on: str, num_buckets: int = 16):
-    """Explicit partitioned inner hash join: one shuffle keyed by
-    ``hash(on) %% num_buckets``, then a pandas merge per bucket.
+class _BucketMerger:
+    """One join bucket's accumulator: receives hash-co-located sub-tables
+    of both sides, merges on demand. Runs as a Ray actor."""
 
-    The two sides are unioned into one stream, so their schemas are
-    harmonized first (each side padded with typed nulls for the other
-    side's columns); non-key column names must be disjoint.
-    """
+    def __init__(self, on: str, empty_joined: pa.Table):
+        self.on = on
+        self.empty_joined = empty_joined
+        self.left: list[pa.Table] = []
+        self.right: list[pa.Table] = []
+
+    def add(self, side: str, table: pa.Table) -> int:
+        (self.left if side == "l" else self.right).append(table)
+        return table.num_rows
+
+    def merge(self) -> pa.Table:
+        if not self.left or not self.right:
+            return self.empty_joined  # no inner rows from this bucket
+        l = pa.concat_tables(self.left).to_pandas()
+        r = pa.concat_tables(self.right).to_pandas()
+        self.left = self.right = []
+        joined = pa.Table.from_pandas(l.merge(r, on=self.on), preserve_index=False)
+        return joined.cast(self.empty_joined.schema)
+
+
+def bucketed_hash_join(left, right, on: str, num_buckets: int = 16):
+    """Explicit partitioned inner hash join: both sides hash-SCATTER to
+    one merger actor per bucket, each bucket pandas-merges in parallel,
+    and the merged buckets stream back as a Dataset
+    (``from_arrow_refs`` — zero extra copy).
+
+    Not ``Dataset.groupby``: Ray Data shuffles a groupby through a
+    global range-partition SORT (measured 35 s for a 600k × 150k join at
+    sf0.1 where the scatter form takes a few seconds); a hash join needs
+    co-location only. ``num_buckets`` is the skew knob — size it so the
+    hottest key's rows on both sides fit one actor, or pre-salt hot
+    keys. Non-key column names must be disjoint (pandas merge suffix
+    ambiguity is refused, like the reference)."""
+    import ray as _ray
+    import ray.data as rd
+
     lschema = left.schema()
     rschema = right.schema()
-    lcols = dict(zip(lschema.names, lschema.types))
-    rcols = dict(zip(rschema.names, rschema.types))
-    overlap = (set(lcols) & set(rcols)) - {on}
+    overlap = (set(lschema.names) & set(rschema.names)) - {on}
     if overlap:
         raise ValueError(f"non-key columns must be disjoint, overlap: {overlap}")
-    combined = {**lcols, **rcols}
 
-    def tag(side: str, own: dict):
-        def _tag(batch: pa.Table) -> pa.Table:
-            from kazu_ray.functions.hashing import bucket_ids
-
-            buckets = bucket_ids(batch[on], num_buckets)
-            cols = {}
-            for name, typ in combined.items():
-                if name in own:
-                    cols[name] = batch[name]
-                else:
-                    cols[name] = pa.nulls(batch.num_rows, type=typ)
-            cols["__bucket"] = pa.array(buckets, type=pa.int32())
-            cols["__side"] = pa.array([side] * batch.num_rows, type=pa.string())
-            return pa.table(cols)
-
-        return _tag
-
-    tagged = left.map_batches(tag("l", lcols), batch_format="pyarrow").union(
-        right.map_batches(tag("r", rcols), batch_format="pyarrow")
+    lcols = dict(zip(lschema.names, lschema.types))
+    rcols = {n: t for n, t in zip(rschema.names, rschema.types) if n != on}
+    empty_joined = pa.table(
+        {n: pa.array([], type=t) for n, t in {**lcols, **rcols}.items()}
     )
 
-    lkeep = [on] + [c for c in lcols if c != on]
-    rkeep = [on] + [c for c in rcols if c != on]
+    merger_cls = _ray.remote(num_cpus=0)(_BucketMerger)
+    mergers = [merger_cls.remote(on, empty_joined) for _ in range(num_buckets)]
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lrows = g[g["__side"] == "l"][lkeep]
-        rrows = g[g["__side"] == "r"][rkeep]
-        return lrows.merge(rrows, on=on)
+    def feeder(side: str):
+        def _feed(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+            from kazu_ray.functions.hashing import bucket_ids
+
+            buckets = pa.array(bucket_ids(batch[on], num_buckets), type=pa.int32())
+            refs = []
+            for b in pc.unique(buckets).to_pylist():
+                sub = batch.filter(pc.equal(buckets, b))
+                refs.append(mergers[b].add.remote(side, sub))
+            _ray.get(refs)  # backpressure
+            return pa.table({"rows": pa.array([batch.num_rows], type=pa.int64())})
+
+        return _feed
+
+    left.map_batches(feeder("l"), batch_format="pyarrow").count()
+    right.map_batches(feeder("r"), batch_format="pyarrow").count()
+    # merged buckets stay in the object store (one ref per bucket) and
+    # stream into the result Dataset — no driver materialization; wait
+    # for the merge tasks to complete so the actors can be reaped (task
+    # results outlive their actor)
+    merged_refs = [m.merge.remote() for m in mergers]
+    _ray.wait(merged_refs, num_returns=len(merged_refs), fetch_local=False)
+    for m in mergers:
+        _ray.kill(m)
+    return rd.from_arrow_refs(merged_refs)
 
 
 def asof_join_events(sf_dir: str, probe_type: str = "click", ref_type: str = "view"):
