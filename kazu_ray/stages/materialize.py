@@ -467,23 +467,32 @@ def node_doc_counts_salted(triples_ds, salt: int = 8):
         df = pd.concat(frames, ignore_index=True).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def distinct_per_subkey(g):
+    def distinct_per_bucket(table: pa.Table) -> pa.Table:
+        # one vectorized pandas groupby over EVERY (node, salt) group in
+        # the bucket — replaces per-group map_groups dispatch
         import pandas as pd
 
-        return pd.DataFrame(
-            {
-                "node": [g["node"].iloc[0]],
-                "n_docs_partial": [g["doc_id"].nunique()],
-            }
+        df = table.to_pandas()
+        out = (
+            df.groupby(["node", "salt"], as_index=False)
+            .agg(n_docs_partial=("doc_id", "nunique"))[["node", "n_docs_partial"]]
         )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import scatter_groups
 
     salted = triples_ds.map_batches(add_salt, batch_format="pyarrow")
-    partials = salted.repartition(shuffle_parts()).groupby(["node", "salt"]).map_groups(
-        distinct_per_subkey, batch_format="pandas"
+    # stage-1 exchange: hash scatter on (node, salt) — co-location only,
+    # no range-sort (see ops/exchange.py); a hub node's rows still split
+    # across its k salt sub-keys, which hash to different buckets
+    empty = pa.table(
+        {"node": pa.array([], type=pa.string()), "n_docs_partial": pa.array([], type=pa.int64())}
+    )
+    partials = scatter_groups(
+        salted, ["node", "salt"], shuffle_parts(), distinct_per_bucket, empty
     )
     # second phase: one row per (node, salt) — far smaller fan-in
-    return partials.repartition(max(shuffle_parts() // 2, 4)).groupby("node").aggregate(
+    return partials.groupby("node").aggregate(
         Sum("n_docs_partial", alias_name="n_docs")
     )
