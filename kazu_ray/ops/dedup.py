@@ -194,10 +194,20 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16, coarse
         rows = sorted(out)
         return pd.DataFrame(rows, columns=["id_a", "id_b"])
 
-    pairs = (
-        band_rows.map_batches(add_coarse, batch_format="pyarrow")
-        .groupby("coarse")
-        .map_groups(_pairs, batch_format="pandas")
+    from kazu_ray.ops.exchange import scatter_groups
+
+    def pairs_bucket(table: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_pairs(table.to_pandas()), preserve_index=False)
+
+    # hash scatter, not Dataset.groupby: co-location of the coarse keys
+    # is all the banding needs, and the groupby form paid a global
+    # range-sort over every exploded band row (see ops/exchange.py)
+    pairs = scatter_groups(
+        band_rows.map_batches(add_coarse, batch_format="pyarrow"),
+        ["coarse"],
+        coarse,
+        pairs_bucket,
+        _EMPTY_PAIRS,
     )
     # NOTE: a pair found in multiple coarse buckets appears multiple
     # times; consumers dedupe (pairs_to_table / set-compare in tests) —
@@ -250,6 +260,11 @@ class _ShingleSemiJoin:
                 "shingles": pa.array(sh, type=pa.large_string()),
             }
         )
+
+
+_EMPTY_PAIRS = pa.table(
+    {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+)
 
 
 def _anchor_pairs_schema(pairs_ds):
@@ -551,10 +566,18 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32, sh_d
             )
         return pd.DataFrame(sorted(out), columns=["id_a", "id_b"])
 
-    pairs = (
-        sh.map_batches(explode_chunks, batch_format="pyarrow")
-        .groupby("coarse")
-        .map_groups(_pairs, batch_format="pandas")
+    from kazu_ray.ops.exchange import scatter_groups
+
+    def pairs_bucket(table: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_pairs(table.to_pandas()), preserve_index=False)
+
+    # hash scatter instead of the range-sort groupby (ops/exchange.py)
+    pairs = scatter_groups(
+        sh.map_batches(explode_chunks, batch_format="pyarrow"),
+        ["coarse"],
+        coarse,
+        pairs_bucket,
+        _EMPTY_PAIRS,
     )
     # duplicates across coarse buckets possible; consumers dedupe
     # (see minhash_candidate_pairs note)
