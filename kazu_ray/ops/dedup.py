@@ -194,20 +194,15 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16, coarse
         rows = sorted(out)
         return pd.DataFrame(rows, columns=["id_a", "id_b"])
 
-    from kazu_ray.ops.exchange import scatter_groups
-
-    def pairs_bucket(table: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(_pairs(table.to_pandas()), preserve_index=False)
-
-    # hash scatter, not Dataset.groupby: co-location of the coarse keys
-    # is all the banding needs, and the groupby form paid a global
-    # range-sort over every exploded band row (see ops/exchange.py)
-    pairs = scatter_groups(
-        band_rows.map_batches(add_coarse, batch_format="pyarrow"),
-        ["coarse"],
-        coarse,
-        pairs_bucket,
-        _EMPTY_PAIRS,
+    # exchange choice, measured (see ops/exchange.py): the groupby form
+    # is faster below ~10^6 exchanged rows (0.7 s vs the scatter's ~2 s
+    # actor-spawn + RPC floor on this corpus's 80k band rows); above
+    # that, or on wide rows, switch to scatter_groups like the triple
+    # store and the bucketed join do
+    pairs = (
+        band_rows.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(_pairs, batch_format="pandas")
     )
     # NOTE: a pair found in multiple coarse buckets appears multiple
     # times; consumers dedupe (pairs_to_table / set-compare in tests) —
@@ -566,18 +561,13 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32, sh_d
             )
         return pd.DataFrame(sorted(out), columns=["id_a", "id_b"])
 
-    from kazu_ray.ops.exchange import scatter_groups
-
-    def pairs_bucket(table: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(_pairs(table.to_pandas()), preserve_index=False)
-
-    # hash scatter instead of the range-sort groupby (ops/exchange.py)
-    pairs = scatter_groups(
-        sh.map_batches(explode_chunks, batch_format="pyarrow"),
-        ["coarse"],
-        coarse,
-        pairs_bucket,
-        _EMPTY_PAIRS,
+    # groupby, not scatter_groups: below ~10^6 exchanged rows the sort
+    # groupby beats the scatter's actor-spawn + RPC floor (measured —
+    # see the note in minhash_candidate_pairs and ops/exchange.py)
+    pairs = (
+        sh.map_batches(explode_chunks, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(_pairs, batch_format="pandas")
     )
     # duplicates across coarse buckets possible; consumers dedupe
     # (see minhash_candidate_pairs note)

@@ -20,6 +20,13 @@ bucket fits, or salt hot keys upstream. Actors take ``num_cpus=0`` so
 Used by the triple-store materializer and the bucketed hash join in
 their specialized forms; this module is the generic group-aggregate
 shape.
+
+Crossover, measured on this box: the scatter carries a ~2 s fixed floor
+(actor spawn + one sync RPC round per feed batch), so BELOW roughly
+10^6 narrow exchanged rows the sort groupby wins (0.7 s vs 2.4 s on the
+80k-row minhash banding exchange) and the near-dup ops keep it; at
+3.25M wide triple rows the scatter is 38 s → ~3 s. Pick per operator by
+expected exchange size, not dogma.
 """
 
 from __future__ import annotations
