@@ -257,11 +257,6 @@ class _ShingleSemiJoin:
         )
 
 
-_EMPTY_PAIRS = pa.table(
-    {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
-)
-
-
 def _anchor_pairs_schema(pairs_ds):
     """Union with an explicit empty (id_a, id_b) block so a zero-pair
     result still reports the correct schema (map_groups on an empty
