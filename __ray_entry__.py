@@ -1040,7 +1040,9 @@ def oracle_sql() -> dict[str, str]:
                            ELSE u END AS canonical_url,
                            warc_ts
                     FROM (SELECT u, warc_ts, split_part(u, '?', 1) AS base,
-                                 list_filter(string_split(split_part(u, '?', 2), '&'),
+                                 -- everything after the FIRST '?' (split_part
+                                 -- would stop at a second '?')
+                                 list_filter(string_split(regexp_replace(u, '^[^?]*\\?', ''), '&'),
                                      x -> NOT (starts_with(x, 'utm_')
                                                OR starts_with(x, 'fbclid=')
                                                OR starts_with(x, 'gclid='))) AS qkeep

@@ -22,9 +22,24 @@ import pyarrow as pa
 
 def bucket_ids(col, num_buckets: int) -> np.ndarray:
     """Per-row bucket assignment for an Arrow array/chunked array
-    (or anything numpy-coercible). Returns int32 ndarray."""
-    if isinstance(col, (pa.Array, pa.ChunkedArray)):
-        vals = col.to_pandas().to_numpy()
+    (or anything numpy-coercible). Returns int32 ndarray.
+
+    The hash path is chosen by the column's Arrow TYPE, never by batch
+    contents: a nullable int64 batch must not silently promote to
+    float64 (pandas NaN promotion) and hash the same key differently
+    from a null-free batch of the same column. Nulls co-locate under a
+    per-type sentinel — a placement choice, not a correctness one
+    (hash bucketing only needs equal values to land together).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        if pa.types.is_integer(col.type):
+            vals = col.cast(pa.int64()).fill_null(np.iinfo(np.int64).min).to_numpy()
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            vals = col.fill_null("").to_pandas().to_numpy()
+        else:
+            vals = col.to_pandas().to_numpy()
     else:
         vals = np.asarray(col)
     h = pd.util.hash_array(vals)

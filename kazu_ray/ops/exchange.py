@@ -12,14 +12,21 @@ vectorized across ALL of the bucket's groups at once, where map_groups
 pays per-group Python dispatch); results stream back as a Dataset
 through object-store refs, never the driver.
 
+Shared mechanics (:func:`feed_to_actors` / :func:`reaped_actors`) are
+also used by the triple-store materializer and the bucketed hash join:
+
+* **Retry safety**: actor adds are side effects, so feed tasks run with
+  ``max_retries=0`` — a dying feed worker FAILS the exchange loudly
+  instead of Ray re-running the task and silently double-delivering its
+  batch. Callers retry at the job level (the materializer resumes from
+  manifests; queries re-run).
+* **Leak safety**: accumulator actors (and their buffered tables) are
+  killed in a ``finally`` even when a feed or finalize raises.
+
 Capacity assumption (the same one ``map_groups`` carries, now explicit):
 one bucket's rows fit one worker — size ``num_buckets`` so the hottest
 bucket fits, or salt hot keys upstream. Actors take ``num_cpus=0`` so
 ``num_buckets`` may exceed the CPU count without deadlocking the feed.
-
-Used by the triple-store materializer and the bucketed hash join in
-their specialized forms; this module is the generic group-aggregate
-shape.
 
 Crossover, measured on this box: the scatter carries a ~2 s fixed floor
 (actor spawn + one sync RPC round per feed batch), so BELOW roughly
@@ -31,7 +38,57 @@ expected exchange size, not dogma.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pyarrow as pa
+
+
+@contextmanager
+def reaped_actors(actors):
+    """Kill the given actors on exit, success or failure — an exchange
+    abandoned by an exception must not leak accumulators holding every
+    buffered table until the driver exits."""
+    import ray as _ray
+
+    try:
+        yield actors
+    finally:
+        for a in actors:
+            _ray.kill(a, no_restart=True)
+
+
+def feed_to_actors(ds, n_buckets: int, assign_fn, add_fn) -> None:
+    """Drive ``ds`` through a scatter feed: ``assign_fn(batch)`` returns
+    an int32 Arrow array of bucket ids, ``add_fn(bucket_id, sub_table)``
+    ships one sub-table (returning an ObjectRef to wait on —
+    backpressure). Feed tasks run with ``max_retries=0``: actor adds
+    are not idempotent, so a retried task would double-deliver."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    def _feed(batch: pa.Table) -> pa.Table:
+        buckets = assign_fn(batch)
+        refs = []
+        for b in pc.unique(buckets).to_pylist():
+            refs.append(add_fn(b, batch.filter(pc.equal(buckets, b))))
+        _ray.get(refs)
+        return pa.table({"rows": pa.array([batch.num_rows], type=pa.int64())})
+
+    # extra kwargs to map_batches are forwarded as ray.remote options
+    ds.map_batches(_feed, batch_format="pyarrow", max_retries=0).count()
+
+
+def multi_key_buckets(batch: pa.Table, key_cols: list[str], num_buckets: int) -> pa.Array:
+    """Combined-key bucket assignment (polynomial mix of per-column
+    SipHash), dtype-stable per column type."""
+    import numpy as np
+
+    from kazu_ray.functions.hashing import bucket_ids
+
+    h = np.zeros(batch.num_rows, dtype="uint64")
+    for c in key_cols:
+        h = h * np.uint64(1000003) + bucket_ids(batch[c], 1 << 30).astype("uint64")
+    return pa.array((h % np.uint64(num_buckets)).astype("int32"))
 
 
 class _BucketAccumulator:
@@ -59,30 +116,18 @@ def scatter_groups(ds, key_cols: list[str], num_buckets: int, per_bucket_fn, emp
     every group in that bucket at once), return the results as a
     Dataset. ``empty`` fixes the output schema for zero-row buckets.
     """
-    import numpy as np
-    import pyarrow.compute as pc
     import ray as _ray
     import ray.data as rd
 
-    from kazu_ray.functions.hashing import bucket_ids
-
     acc_cls = _ray.remote(num_cpus=0)(_BucketAccumulator)
     actors = [acc_cls.remote(per_bucket_fn, empty) for _ in range(num_buckets)]
-
-    def _feed(batch: pa.Table) -> pa.Table:
-        h = np.zeros(batch.num_rows, dtype="uint64")
-        for c in key_cols:
-            h = h * np.uint64(1000003) + bucket_ids(batch[c], 1 << 30).astype("uint64")
-        buckets = pa.array((h % np.uint64(num_buckets)).astype("int32"))
-        refs = []
-        for b in pc.unique(buckets).to_pylist():
-            refs.append(actors[b].add.remote(batch.filter(pc.equal(buckets, b))))
-        _ray.get(refs)  # backpressure
-        return pa.table({"rows": pa.array([batch.num_rows], type=pa.int64())})
-
-    ds.map_batches(_feed, batch_format="pyarrow").count()
-    out_refs = [a.finalize.remote() for a in actors]
-    _ray.wait(out_refs, num_returns=len(out_refs), fetch_local=False)
-    for a in actors:
-        _ray.kill(a)
+    with reaped_actors(actors):
+        feed_to_actors(
+            ds,
+            num_buckets,
+            lambda batch: multi_key_buckets(batch, key_cols, num_buckets),
+            lambda b, sub: actors[b].add.remote(sub),
+        )
+        out_refs = [a.finalize.remote() for a in actors]
+        _ray.wait(out_refs, num_returns=len(out_refs), fetch_local=False)
     return rd.from_arrow_refs(out_refs)

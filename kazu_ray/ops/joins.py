@@ -83,35 +83,41 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 16):
         {n: pa.array([], type=t) for n, t in {**lcols, **rcols}.items()}
     )
 
+    from kazu_ray.ops.exchange import feed_to_actors, reaped_actors
+
     merger_cls = _ray.remote(num_cpus=0)(_BucketMerger)
     mergers = [merger_cls.remote(on, empty_joined) for _ in range(num_buckets)]
 
-    def feeder(side: str):
-        def _feed(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+    def assign(batch: pa.Table) -> pa.Array:
+        from kazu_ray.functions.hashing import bucket_ids
 
-            from kazu_ray.functions.hashing import bucket_ids
+        return pa.array(bucket_ids(batch[on], num_buckets), type=pa.int32())
 
-            buckets = pa.array(bucket_ids(batch[on], num_buckets), type=pa.int32())
-            refs = []
-            for b in pc.unique(buckets).to_pylist():
-                sub = batch.filter(pc.equal(buckets, b))
-                refs.append(mergers[b].add.remote(side, sub))
-            _ray.get(refs)  # backpressure
-            return pa.table({"rows": pa.array([batch.num_rows], type=pa.int64())})
+    with reaped_actors(mergers):
+        # both sides feed CONCURRENTLY (two Dataset executions on two
+        # driver threads): the mergers accept interleaved side-tagged
+        # adds, so exchange wall-clock is max(left, right), not the sum
+        from concurrent.futures import ThreadPoolExecutor
 
-        return _feed
-
-    left.map_batches(feeder("l"), batch_format="pyarrow").count()
-    right.map_batches(feeder("r"), batch_format="pyarrow").count()
-    # merged buckets stay in the object store (one ref per bucket) and
-    # stream into the result Dataset — no driver materialization; wait
-    # for the merge tasks to complete so the actors can be reaped (task
-    # results outlive their actor)
-    merged_refs = [m.merge.remote() for m in mergers]
-    _ray.wait(merged_refs, num_returns=len(merged_refs), fetch_local=False)
-    for m in mergers:
-        _ray.kill(m)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(
+                    feed_to_actors,
+                    ds_side,
+                    num_buckets,
+                    assign,
+                    lambda b, sub, _s=side: mergers[b].add.remote(_s, sub),
+                )
+                for side, ds_side in (("l", left), ("r", right))
+            ]
+            for f in futs:
+                f.result()
+        # merged buckets stay in the object store (one ref per bucket)
+        # and stream into the result Dataset — no driver
+        # materialization; wait for the merge tasks so the actors can be
+        # reaped (task results outlive their actor)
+        merged_refs = [m.merge.remote() for m in mergers]
+        _ray.wait(merged_refs, num_returns=len(merged_refs), fetch_local=False)
     return rd.from_arrow_refs(merged_refs)
 
 

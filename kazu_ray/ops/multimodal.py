@@ -73,12 +73,13 @@ class ImageDecodeStage:
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
         # deterministic pseudo-decode: leading payload bytes → feature
-        # vector. Defined on the raw bytes (not a re-hash) so an
-        # independent oracle can recompute it from a hex dump of the
-        # payload column.
-        return np.frombuffer(
-            payload[: self.FEATURE_DIM], dtype=np.uint8
-        ).astype(np.float32) / 255.0
+        # vector, zero-padded so a short/empty payload still yields a
+        # fixed-width vector (a ragged features column would break every
+        # downstream reshape). Defined on the raw bytes (not a re-hash)
+        # so an independent oracle can recompute it from a hex dump of
+        # the payload column.
+        head = payload[: self.FEATURE_DIM].ljust(self.FEATURE_DIM, b"\0")
+        return np.frombuffer(head, dtype=np.uint8).astype(np.float32) / 255.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:

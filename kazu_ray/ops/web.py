@@ -36,20 +36,24 @@ _HEAD_RE = r"^([^:/?#]+://[^/?#]+)"
 def _canonical_series(urls: pd.Series) -> pd.Series:
     s = urls.str.replace(r"#.*$", "", regex=True)
     m = s.str.extract(r"^(?P<head>[^:/?#]+://[^/?#]+)(?P<rest>.*)$")
-    # URLs without a scheme://host head pass through untouched
     has_head = m["head"].notna()
     out = s.copy()
-    canon = m.loc[has_head, "head"].str.lower() + m.loc[has_head, "rest"].fillna("")
-    # query-string rows only: drop tracking params (rare → per-row ok)
-    has_q = canon.str.contains("?", regex=False)
+    # lowercase applies to the scheme://host head only (when present)
+    out.loc[has_head] = (
+        m.loc[has_head, "head"].str.lower() + m.loc[has_head, "rest"].fillna("")
+    )
+    # fragment and tracking-param stripping apply to EVERY row, headed
+    # or not — the SQL oracle applies its '?' branch unconditionally and
+    # the two rule chains must agree on every input, not just the synth
+    # corpus (query-string rows are rare → per-row ok)
+    has_q = out.str.contains("?", regex=False)
 
     def strip_params(u: str) -> str:
         base, q = u.split("?", 1)
         keep = [p for p in q.split("&") if not p.startswith(_TRACKING_PREFIXES)]
         return base if not keep else base + "?" + "&".join(keep)
 
-    canon.loc[has_q] = canon.loc[has_q].map(strip_params)
-    out.loc[has_head] = canon
+    out.loc[has_q] = out.loc[has_q].map(strip_params)
     return out
 
 

@@ -147,6 +147,37 @@ def node_degrees(triples_ds):
     )
 
 
+# Version marker for the store's partition-hash rule: a lookup or a
+# resume against a store written under a DIFFERENT rule would silently
+# route keys to the wrong partitions. The marker makes that a loud
+# error instead.
+PARTITION_HASH_RULE = "siphash-v2"
+
+
+def _check_or_write_format(out_dir: str, has_existing_manifests: bool) -> None:
+    fmt_path = os.path.join(out_dir, "_format.json")
+    if os.path.exists(fmt_path):
+        with open(fmt_path) as f:
+            rule = json.load(f).get("partition_hash_rule")
+        if rule != PARTITION_HASH_RULE:
+            raise ValueError(
+                f"store at {out_dir} was written with partition-hash rule "
+                f"{rule!r}; this engine uses {PARTITION_HASH_RULE!r} — "
+                "rebuild the store (resuming would mix partition rules)"
+            )
+    elif has_existing_manifests:
+        raise ValueError(
+            f"store at {out_dir} predates partition-hash versioning; "
+            "rebuild it (its partitions were assigned under a different "
+            "hash rule than this engine computes)"
+        )
+    else:
+        tmp = fmt_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"partition_hash_rule": PARTITION_HASH_RULE}, f)
+        os.replace(tmp, fmt_path)
+
+
 class _PartitionWriter:
     """One output partition's accumulator: receives hash-bucketed
     sub-tables from the scatter, then sorts, writes atomically and
@@ -239,6 +270,7 @@ def materialize_partitioned(
     done_parts = {
         int(f.split(".")[0]) for f in os.listdir(manifest_dir) if f.endswith(".json")
     }
+    _check_or_write_format(out_dir, has_existing_manifests=bool(done_parts))
     pending = [p for p in range(num_parts) if p not in done_parts]
     if not pending:
         return load_manifests(out_dir)
@@ -265,18 +297,16 @@ def materialize_partitioned(
     # partition, not Dataset.groupby — Ray Data's groupby shuffles via a
     # global range-partition SORT of every row (measured 38 s for 3.25M
     # triple rows on 32 CPUs, vs ~2 s of actual useful work); rows here
-    # only need co-location by hash bucket, never a total order. Each
-    # map task splits its batch by bucket (vectorized) and ships the
-    # sub-tables to the writers through the object store; writers
-    # accumulate, then sort/write/manifest their own partition in
-    # parallel. The documented capacity assumption is unchanged from the
-    # groupby form: one partition's rows fit one worker — size num_parts
-    # accordingly (thousands at crawl scale).
+    # only need co-location by hash bucket, never a total order.
+    # Mechanics (retry-disabled feed, backpressure, leak-safe reaping)
+    # are shared with the other exchanges — see ops/exchange.py. The
+    # capacity assumption is unchanged from the groupby form: one
+    # partition's rows fit one worker — size num_parts accordingly
+    # (thousands at crawl scale).
     import ray as _ray
 
-    # num_cpus=0: writers spend their life waiting on adds; reserving a
-    # CPU per writer would deadlock the scatter whenever num_parts
-    # exceeds the CPU count (every add targets a never-scheduled actor)
+    from kazu_ray.ops.exchange import feed_to_actors, reaped_actors
+
     writer_cls = _ray.remote(num_cpus=0)(_PartitionWriter)
     writers = {
         p: writer_cls.remote(
@@ -284,23 +314,14 @@ def materialize_partitioned(
         )
         for p in pending
     }
-
-    def _scatter(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        refs = []
-        for p in pc.unique(batch["__part"]).to_pylist():
-            sub = batch.filter(pc.equal(batch["__part"], p)).drop(["__part"])
-            refs.append(writers[p].add.remote(sub))
-        # wait for acceptance: backpressure so a slow writer bounds the
-        # feeder instead of unbounded in-flight sub-tables
-        _ray.get(refs)
-        return pa.table({"rows": pa.array([batch.num_rows], type=pa.int64())})
-
-    with_part.map_batches(_scatter, batch_format="pyarrow").count()
-    _ray.get([w.finalize.remote() for w in writers.values()])
-    for w in writers.values():
-        _ray.kill(w)
+    with reaped_actors(list(writers.values())):
+        feed_to_actors(
+            with_part,
+            num_parts,
+            lambda batch: batch["__part"].combine_chunks(),
+            lambda p, sub: writers[p].add.remote(sub.drop(["__part"])),
+        )
+        _ray.get([w.finalize.remote() for w in writers.values()])
 
     written = {
         int(f.split(".")[0]) for f in os.listdir(manifest_dir) if f.endswith(".json")
@@ -427,6 +448,10 @@ def lookup_triples(out_dir: str, subj: str, num_parts: int | None = None):
 
     if num_parts is None:
         num_parts = len(load_manifests(out_dir))
+    if num_parts:
+        # refuse to probe a store whose partitions were assigned under a
+        # different hash rule — a wrong-rule lookup returns silent misses
+        _check_or_write_format(out_dir, has_existing_manifests=True)
     from kazu_ray.functions.hashing import bucket_of
 
     part = bucket_of(subj, num_parts)

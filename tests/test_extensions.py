@@ -583,3 +583,34 @@ def test_model_pack_acceptance_gate(ray_session, tmp_path):
     manifest = build_pack(str(tmp_path / "gated.tgz"), run_acceptance=True)
     assert manifest["acceptance"]["passed"] is True
     assert manifest["acceptance"]["scores"], "per-class scores recorded"
+
+
+def test_store_partition_hash_rule_guard(ray_session, tmp_path):
+    """A store written under a different (or pre-versioning) partition
+    hash rule must be refused loudly, not silently misread."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from kazu_ray.pipelines.kg import broadcast_store, triples_dataset
+    from kazu_ray.stages.materialize import lookup_triples, materialize_triples
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "store")
+    store_ref = broadcast_store()
+    materialize_triples(
+        triples_dataset(sf, store_ref=store_ref), out, num_parts=4
+    )
+    # tamper: claim a different hash rule
+    with open(f"{out}/_format.json", "w") as f:
+        _json.dump({"partition_hash_rule": "md5-v1"}, f)
+    with _pytest.raises(ValueError, match="partition-hash rule"):
+        lookup_triples(out, "CHEMBL:CHEMBL1020")
+    with _pytest.raises(ValueError, match="partition-hash rule"):
+        materialize_triples(triples_dataset(sf, store_ref=store_ref), out, num_parts=4)
+    # legacy store: manifests but no marker at all
+    import os as _os
+
+    _os.remove(f"{out}/_format.json")
+    with _pytest.raises(ValueError, match="predates"):
+        lookup_triples(out, "CHEMBL:CHEMBL1020")

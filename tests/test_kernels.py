@@ -192,3 +192,22 @@ def test_bucket_ids_chunking_invariance():
     assert a == b
     # the point-lookup path agrees with the column path
     assert a == [bucket_of(v, 16) for v in vals]
+
+
+def test_bucket_ids_dtype_stable_with_nulls():
+    """A nullable int batch must hash its non-null keys identically to a
+    null-free batch (pandas float64 NaN-promotion must not leak into the
+    hash), or a join/materialize splits a key across buckets."""
+    import pyarrow as pa
+
+    from kazu_ray.functions.hashing import bucket_ids
+
+    clean = pa.chunked_array([pa.array([1, 2, 3, 400000], type=pa.int64())])
+    with_null = pa.chunked_array([pa.array([1, None, 3, 400000], type=pa.int64())])
+    a = bucket_ids(clean, 64).tolist()
+    b = bucket_ids(with_null, 64).tolist()
+    assert a[0] == b[0] and a[2] == b[2] and a[3] == b[3]
+    # string nulls likewise co-locate deterministically
+    s1 = bucket_ids(pa.chunked_array([pa.array(["x", "y"])]), 64).tolist()
+    s2 = bucket_ids(pa.chunked_array([pa.array(["x", None])]), 64).tolist()
+    assert s1[0] == s2[0]
