@@ -158,3 +158,30 @@ def test_curated_cache_feeds_annotation(tmp_path):
     matches = {e["match"] for e in ents}
     assert "alpha sickness" in matches
     assert "beta fever" not in matches
+
+
+def test_add_for_linking_only_behaviour(tmp_path):
+    """ADD_FOR_LINKING_ONLY (the reference's third OntologyStringBehaviour,
+    kazu/data/__init__.py:675-684): the term stays a linking target but
+    contributes NO NER surface."""
+    cur = _write_curations(
+        tmp_path,
+        [
+            {
+                "original_synonyms": [{"text": "beta fever"}],
+                "behaviour": "ADD_FOR_LINKING_ONLY",
+            }
+        ],
+    )
+    meta, syns, ner = build_parser_caches(
+        _source_df(), "test_parser", "disease", "TEST", curations_path=cur
+    )
+    from kazu_ray.lang import normalizer
+
+    norm = normalizer.normalize("beta fever", "disease")
+    # still a linking candidate ...
+    assert norm in set(syns["synonym_norm"])
+    # ... but no NER surface for it
+    assert "beta fever" not in set(ner["term"] if "term" in ner.columns else ner.iloc[:, 2])
+    # the untouched resource keeps its NER surfaces
+    assert any("alpha" in t for t in (ner["term"] if "term" in ner.columns else ner.iloc[:, 2]))
