@@ -1207,3 +1207,159 @@ def test_mapping_strategies_differential_vs_reference():
             )
             n_nonempty += bool(ref_keys)
     assert n_nonempty > 100  # the comparison is not vacuous
+
+
+def test_disambiguation_ladder_differential_vs_reference():
+    """MappingStrategy.disambiguate_if_required ladder (mapping
+    strategies base, strategies.py:187-235): not-required short-circuit,
+    no-strategies AMBIGUOUS, strategy resolution with its confidence,
+    essential-unresolved empty set, and essential-resolved — identical
+    outcomes on both sides."""
+    import sys
+    import types
+
+    from tests.ref_shims import install_shims, load_reference_module
+
+    install_shims()
+    if "kazu.ontology_preprocessing.base" not in sys.modules:
+        base = types.ModuleType("kazu.ontology_preprocessing.base")
+        base.DEFAULT_LABEL = "default_label"
+        sys.modules["kazu.ontology_preprocessing.base"] = base
+    if "kazu.steps.linking.post_processing.disambiguation.context_scoring" not in sys.modules:
+        cs = types.ModuleType("kazu.steps.linking.post_processing.disambiguation.context_scoring")
+
+        class _Scorer:
+            def __init__(self, *a, **k):
+                raise NotImplementedError
+
+        cs.TfIdfScorer = _Scorer
+        cs.GildaTfIdfScorer = _Scorer
+        sys.modules[
+            "kazu.steps.linking.post_processing.disambiguation.context_scoring"
+        ] = cs
+    ref_disamb = load_reference_module(
+        "ref_disamb", "kazu/steps/linking/post_processing/disambiguation/strategies.py"
+    )
+    sys.modules.setdefault(
+        "kazu.steps.linking.post_processing.disambiguation.strategies", ref_disamb
+    )
+    ref_ms = load_reference_module(
+        "ref_ms", "kazu/steps/linking/post_processing/mapping_strategies/strategies.py"
+    )
+    from kazu.data import (
+        DisambiguationConfidence,
+        EquivalentIdAggregationStrategy,
+        EquivalentIdSet,
+        LinkingCandidate,
+        LinkingMetrics,
+        StringMatchConfidence,
+    )
+    from kazu.database.in_memory_db import MetadataDatabase
+
+    from kazu_ray import model as our_model
+    from kazu_ray.lang import normalizer
+    from kazu_ray.stages import mapping as our_mapping
+
+    parser = "ladder_parser"
+    MetadataDatabase().add_parser(
+        parser,
+        "disease",
+        {
+            "MONDO:10": {"default_label": "asthma"},
+            "MONDO:11": {"default_label": "hay fever"},
+            "MONDO:12": {"default_label": "eczema"},
+        },
+    )
+
+    def ref_cand(norm, idsets):
+        return LinkingCandidate(
+            raw_synonyms=frozenset([norm]),
+            synonym_norm=norm,
+            parser_name=parser,
+            is_symbolic=False,
+            associated_id_sets=frozenset(
+                EquivalentIdSet(frozenset(s)) for s in idsets
+            ),
+            aggregated_by=EquivalentIdAggregationStrategy.UNAMBIGUOUS,
+        )
+
+    def our_cand(norm, idsets):
+        return our_model.LinkingCandidate(
+            synonym_norm=norm,
+            parser_name=parser,
+            raw_synonyms=frozenset([norm]),
+            is_symbolic=False,
+            mapping_types=frozenset(),
+            associated_id_sets=frozenset(frozenset(s) for s in idsets),
+        )
+
+    store = types.SimpleNamespace(
+        parser_entity_class={parser: "disease"},
+        default_label=lambda p, idx: {
+            "MONDO:10": "asthma",
+            "MONDO:11": "hay fever",
+            "MONDO:12": "eczema",
+        }[idx],
+    )
+    from kazu.data import Document
+
+    ref_doc = Document.create_simple_document("irrelevant")
+    our_doc = types.SimpleNamespace(runner=types.SimpleNamespace(store=store))
+
+    norm = normalizer.normalize("asthma", "disease")
+
+    single = [[("MONDO:10", "MONDO")]]
+    multi = [[("MONDO:10", "MONDO")], [("MONDO:11", "MONDO")]]
+    unresolvable = [[("MONDO:11", "MONDO")], [("MONDO:12", "MONDO")]]
+
+    def ref_prefer():
+        return [
+            ref_disamb.PreferDefaultLabelMatchDisambiguationStrategy(
+                DisambiguationConfidence.HIGHLY_LIKELY
+            )
+        ]
+
+    def our_prefer():
+        return [our_mapping.PreferDefaultLabelStrategy()]
+
+    scenarios = [
+        # (idsets, essential, with_strategies)
+        (single, False, False),      # not required
+        (multi, False, False),       # no strategies → AMBIGUOUS, all sets
+        (multi, False, True),        # strategy resolves to MONDO:10
+        (unresolvable, True, True),  # essential, unresolved → empty
+        (multi, True, True),         # essential, resolved
+    ]
+    for idsets, essential, with_strats in scenarios:
+        ref_strat = ref_ms.ExactMatchMappingStrategy(
+            StringMatchConfidence.PROBABLE,
+            disambiguation_strategies=ref_prefer() if with_strats else None,
+            disambiguation_essential=essential,
+        )
+        our_strat = our_mapping.ExactMatchMappingStrategy(
+            "PROBABLE",
+            disamb_strategies=our_prefer() if with_strats else None,
+            disamb_essential=essential,
+        )
+        ref_c = {ref_cand(norm, idsets): LinkingMetrics(exact_match=True)}
+        our_c = {our_cand(norm, idsets): (True, None)}
+        r_sets, r_name, r_conf = ref_strat.disambiguate_if_required(
+            ref_c, ref_doc, parser, ent_match="asthma", ent_match_norm=norm
+        )
+        o_sets, o_name, o_conf = our_strat.disambiguate_if_required(
+            our_c, our_doc, parser, "asthma", norm
+        )
+        r_sig = sorted(sorted(s.ids_and_source) for s in r_sets)
+        o_sig = sorted(sorted(s) for s in o_sets)
+        assert o_sig == r_sig, (idsets, essential, with_strats, o_sig, r_sig)
+        # outcome labels align: not-required sentinel, strategy class
+        # name, or None
+        assert (o_name is None) == (r_name is None)
+        if r_name == ref_ms.MappingStrategy.DISAMBIGUATION_NOT_REQUIRED:
+            assert o_name == our_mapping.DISAMBIGUATION_NOT_REQUIRED
+        elif r_name is not None:
+            assert o_name == r_name  # both use the strategy class name
+        # AMBIGUOUS vs resolved-confidence vs None agree in kind
+        assert (o_conf is None) == (r_conf is None)
+        if r_conf is DisambiguationConfidence.AMBIGUOUS:
+            assert o_conf == our_mapping.AMBIG
