@@ -83,6 +83,19 @@ def cmd_annotate(args) -> None:
     from kazu_ray.stages.materialize import write_annotated
 
     store_ref = broadcast_store()
+    if args.by_shard:
+        from kazu_ray.pipelines.resumable import annotate_resumable
+        from kazu_ray.sources.corpus import ensure_pages_parquet
+
+        pages_dir = args.pages_dir or ensure_pages_parquet(
+            args.sf_dir, args.multiplier
+        )
+        result = annotate_resumable(
+            pages_dir, args.out, store_ref=store_ref, num_shards=args.num_parts
+        )
+        print(json.dumps({"out": args.out, **result}))
+        ray.shutdown()
+        return
     docs = annotated_docs(args.sf_dir, store_ref=store_ref, multiplier=args.multiplier)
     result = write_annotated(docs, args.out, num_parts=args.num_parts)
     print(json.dumps(result))
@@ -145,6 +158,9 @@ def main(argv=None) -> None:
     p.add_argument("--multiplier", type=int, default=1)
     p.add_argument("--num-parts", type=int, default=16,
                    help="resume/parallelism unit of the docs store")
+    p.add_argument("--by-shard", action="store_true",
+                   help="checkpoint the whole annotate pipeline per input shard")
+    p.add_argument("--pages-dir", default=None)
     p.set_defaults(fn=cmd_annotate)
 
     p = sub.add_parser("lookup", help="point query over a triple store")

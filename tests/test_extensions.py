@@ -614,3 +614,35 @@ def test_store_partition_hash_rule_guard(ray_session, tmp_path):
     _os.remove(f"{out}/_format.json")
     with _pytest.raises(ValueError, match="predates"):
         lookup_triples(out, "CHEMBL:CHEMBL1020")
+
+
+def test_annotate_shard_resume_roundtrip(ray_session, tmp_path):
+    """annotate --by-shard: per-shard resume of the full annotation
+    pipeline; the written shards load back and re-explode to the same
+    triples as the direct pipeline."""
+    from kazu_ray.pipelines.kg import annotated_docs, broadcast_store
+    from kazu_ray.pipelines.resumable import annotate_resumable
+    from kazu_ray.sources.corpus import ensure_pages_parquet
+    from kazu_ray.stages.materialize import explode_triples
+
+    import ray.data as rd
+
+    pages_dir = ensure_pages_parquet("/root/testdata/sf0.001", 1)
+    store_ref = broadcast_store()
+    out = str(tmp_path / "ann_shards")
+    r1 = annotate_resumable(pages_dir, out, store_ref=store_ref, num_shards=4)
+    assert r1["shards_run"] == r1["shards_total"] and r1["rows"] > 0
+    r2 = annotate_resumable(pages_dir, out, store_ref=store_ref, num_shards=4)
+    assert r2["shards_run"] == 0 and r2["shards_skipped"] == r1["shards_total"]
+    # the persisted annotations re-explode to the direct pipeline's triples
+    import glob
+
+    stored = rd.read_parquet(sorted(glob.glob(f"{out}/shard=*/*.parquet")))
+    roundtrip = explode_triples(stored).to_pandas()
+    direct = explode_triples(
+        annotated_docs("/root/testdata/sf0.001", store_ref=store_ref)
+    ).to_pandas()
+    key = ["doc_id", "subj", "pred", "obj", "sent_idx"]
+    assert sorted(map(tuple, roundtrip[key].values.tolist())) == sorted(
+        map(tuple, direct[key].values.tolist())
+    )
