@@ -449,3 +449,54 @@ def test_ddsketch_relative_error_and_merge(ray_session):
     for q, est in approx.items():
         exact = np.quantile(prices, q)
         assert abs(est - exact) / exact < 0.021, (q, est, exact)
+
+
+def test_scatter_groups_matches_local_groupby(ray_session):
+    """scatter_groups must produce exactly the rows a local pandas
+    groupby over the same data produces, for any key distribution —
+    including empty buckets, nulls and multi-key grouping."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.exchange import scatter_groups
+
+    rng = np.random.RandomState(3)
+    n = 20000
+    df = pd.DataFrame(
+        {
+            "k1": rng.randint(0, 50, n),
+            "k2": rng.choice(["a", "b", "c"], n),
+            "v": rng.randint(0, 1000, n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(16)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["k1", "k2"], as_index=False).agg(
+            s=("v", "sum"), c=("v", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    empty = pa.table(
+        {
+            "k1": pa.array([], type=pa.int64()),
+            "k2": pa.array([], type=pa.string()),
+            "s": pa.array([], type=pa.int64()),
+            "c": pa.array([], type=pa.int64()),
+        }
+    )
+    got = (
+        scatter_groups(ds, ["k1", "k2"], 8, per_bucket, empty)
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["k1", "k2"], as_index=False)
+        .agg(s=("v", "sum"), c=("v", "size"))
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
