@@ -671,7 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).asof_join_events(sf_dir),
         "interval_join_views": lambda sf_dir: __import__(
             "kazu_ray.ops.joins", fromlist=["interval_join_events"]
-        ).interval_join_events(sf_dir),
+        ).interval_join_events(sf_dir, window_minutes=120),
         "doc_chunks": _doc_chunks,
         "repetition_stats": _repetition_stats,
         # dedup
@@ -743,7 +743,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON c.user_id = v.user_id
-             AND v.ts > c.ts - INTERVAL 5 MINUTE
+             AND v.ts > c.ts - INTERVAL 120 MINUTE
              AND v.ts <= c.ts
         """,
         "monthly_order_revenue": """
