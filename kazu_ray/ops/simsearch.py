@@ -91,9 +91,18 @@ def ivf_topk_cosine(
     n_clusters: int = 16,
     nprobe: int = 4,
     sample_size: int = 2048,
+    n_assign: int = 2,
 ):
     """IVF search: centroids from a driver-side sample (small, one-off),
-    bucket-filtered brute force over the nprobe nearest buckets."""
+    bucket-filtered brute force over the nprobe nearest buckets.
+
+    ``n_assign=2`` (multi-probe on the INDEX side, like
+    :func:`ivf_near_dup_pairs`): each vector lands in its top-2 centroid
+    buckets, so a neighbor straddling a centroid boundary is still
+    visible to a probe of either side — recall rises for 2× index rows
+    in the probed region. The duplicate rows this creates are collapsed
+    after the (tiny) final top-k merge."""
+    import pandas as pd
     import pyarrow.compute as pc
 
     sample_tbl = embeddings_ds.limit(sample_size).to_pandas()
@@ -105,7 +114,7 @@ def ivf_topk_cosine(
     probe = np.argsort(-(centroids @ q))[:nprobe].astype(np.int32)
 
     bucketed = embeddings_ds.map_batches(
-        _BucketAssign, fn_constructor_args=(centroids,), batch_format="pyarrow",
+        _BucketAssign, fn_constructor_args=(centroids, n_assign), batch_format="pyarrow",
         concurrency=(1, 4),
     )
     probed = bucketed.map_batches(
@@ -114,7 +123,18 @@ def ivf_topk_cosine(
         ),
         batch_format="pyarrow",
     )
-    return topk_cosine(probed, query_vec, k)
+    # over-fetch 2k then dedupe: a vector assigned to two probed buckets
+    # appears twice with an identical cosine; the post-limit set is tiny
+    top = topk_cosine(probed, query_vec, k=2 * k)
+
+    def dedupe_head(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["cosine", "vec_id"], ascending=[False, True])
+            .drop_duplicates("vec_id")
+            .head(k)
+        )
+
+    return top.map_batches(dedupe_head, batch_format="pandas", batch_size=4 * k)
 
 
 def ivf_near_dup_pairs(

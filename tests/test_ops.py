@@ -60,7 +60,11 @@ def test_brute_force_vs_ivf_recall(ray_session):
     exact = e.queries()["topk_cosine"](SF_DIR).to_pandas()
     ivf = e.queries()["ivf_topk_cosine"](SF_DIR).to_pandas()
     recall = len(set(exact.vec_id) & set(ivf.vec_id)) / len(exact)
-    assert recall >= 0.5
+    # multi-probe assignment (n_assign=2): deterministic 0.70 here,
+    # 0.80 at sf0.01 (single-probe measured 0.70 there)
+    assert recall >= 0.7
+    # multi-probe must not leak duplicate ids into the top-k
+    assert not ivf.vec_id.duplicated().any() and len(ivf) == 10
     # the query vector itself must always top the exact list
     assert exact.iloc[0]["vec_id"] == 0
 
