@@ -1363,3 +1363,109 @@ def test_disambiguation_ladder_differential_vs_reference():
         assert (o_conf is None) == (r_conf is None)
         if r_conf is DisambiguationConfidence.AMBIGUOUS:
             assert o_conf == our_mapping.AMBIG
+
+
+def test_embedding_confirmation_strategy_differential_vs_reference():
+    """StrongMatchWithEmbeddingConfirmation (the 6th mapping strategy,
+    strategies.py:480-553): since the reference takes its
+    complex_string_scorer as a parameter, both sides run the ENGINE's
+    deterministic char-ngram scorer — making the differential exact,
+    including the one-candidate-per-id-set selection order."""
+    import sys
+    import types
+
+    from tests.ref_shims import install_shims, load_reference_module
+
+    install_shims()
+    if "kazu.ontology_preprocessing.base" not in sys.modules:
+        base = types.ModuleType("kazu.ontology_preprocessing.base")
+        base.DEFAULT_LABEL = "default_label"
+        sys.modules["kazu.ontology_preprocessing.base"] = base
+    if "kazu.steps.linking.post_processing.disambiguation.context_scoring" not in sys.modules:
+        cs = types.ModuleType("kazu.steps.linking.post_processing.disambiguation.context_scoring")
+
+        class _Scorer:
+            def __init__(self, *a, **k):
+                raise NotImplementedError
+
+        cs.TfIdfScorer = _Scorer
+        cs.GildaTfIdfScorer = _Scorer
+        sys.modules[
+            "kazu.steps.linking.post_processing.disambiguation.context_scoring"
+        ] = cs
+    ref_disamb = load_reference_module(
+        "ref_disamb", "kazu/steps/linking/post_processing/disambiguation/strategies.py"
+    )
+    sys.modules.setdefault(
+        "kazu.steps.linking.post_processing.disambiguation.strategies", ref_disamb
+    )
+    ref_ms = load_reference_module(
+        "ref_ms", "kazu/steps/linking/post_processing/mapping_strategies/strategies.py"
+    )
+    from kazu.data import (
+        EquivalentIdAggregationStrategy,
+        EquivalentIdSet,
+        LinkingCandidate,
+        LinkingMetrics,
+        StringMatchConfidence,
+    )
+
+    from kazu_ray import model as our_model
+    from kazu_ray.lang.similarity import label_similarity_scorer
+    from kazu_ray.stages import mapping as our_mapping
+
+    rng = np.random.RandomState(17)
+    surfaces = [
+        "neck disease", "heck disease", "beck syndrome", "neck disorder",
+        "cervical disease", "neck diseases",
+    ]
+
+    def ref_cand(norm, raws, idx):
+        return LinkingCandidate(
+            raw_synonyms=frozenset(raws),
+            synonym_norm=norm,
+            parser_name="p",
+            is_symbolic=False,
+            associated_id_sets=frozenset(
+                [EquivalentIdSet(frozenset([(idx, "S")]))]
+            ),
+            aggregated_by=EquivalentIdAggregationStrategy.UNAMBIGUOUS,
+        )
+
+    def our_cand(norm, raws, idx):
+        return our_model.LinkingCandidate(
+            synonym_norm=norm,
+            parser_name="p",
+            raw_synonyms=frozenset(raws),
+            is_symbolic=False,
+            mapping_types=frozenset(),
+            associated_id_sets=frozenset([frozenset([(idx, "S")])]),
+        )
+
+    ref_strat = ref_ms.StrongMatchWithEmbeddingConfirmationStringMatchingStrategy(
+        StringMatchConfidence.PROBABLE,
+        complex_string_scorer=label_similarity_scorer,
+    )
+    our_strat = our_mapping.StrongMatchWithEmbeddingConfirmationStrategy("PROBABLE")
+
+    n_nonempty = 0
+    for case in range(120):
+        k = rng.randint(1, 5)
+        picks = rng.choice(len(surfaces), size=k, replace=False)
+        ref_c, our_c = {}, {}
+        for j, ci in enumerate(picks):
+            surf = surfaces[ci]
+            raws = {surf} | ({surfaces[(ci + 1) % len(surfaces)]} if rng.randint(2) else set())
+            score = float(rng.randint(75, 101))
+            ref_c[ref_cand(surf.upper(), raws, f"ID:{ci}")] = LinkingMetrics(
+                search_score=score
+            )
+            our_c[our_cand(surf.upper(), raws, f"ID:{ci}")] = (False, score)
+        match = surfaces[rng.randint(len(surfaces))]
+        ref_out = ref_strat.filter_candidates(match, match.upper(), None, ref_c, "p")
+        our_out = our_strat.filter_candidates(match, match.upper(), None, our_c, "p")
+        ref_keys = sorted(c.synonym_norm for c in ref_out)
+        our_keys = sorted(c.synonym_norm for c in our_out)
+        assert our_keys == ref_keys, (case, match, our_keys, ref_keys)
+        n_nonempty += bool(ref_keys)
+    assert n_nonempty > 40
