@@ -3,9 +3,14 @@
 ``entry()`` runs the flagship KG pipeline at sf0.001. ``queries()``
 exposes one callable per implemented operator/pipeline (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives DuckDB equivalents where
-SQL can express the semantics (column names match exactly). KG-pipeline
-and sketch-based entries are rows-only checked here and gated against
-the single-process oracle in ``tests/test_pipeline_e2e.py`` instead.
+SQL can express the semantics (column names match exactly) — 40 of the
+43 queries, several via the written-artifact pattern (the query writes
+its input/output to a deterministic /tmp path so DuckDB recomputes the
+result independently). The 3 without oracles are non-SQL by nature:
+``kg_triples`` / ``kg_entities`` (NLP generators — gated on the
+single-process oracle's P/R in ``tests/test_pipeline_e2e.py``, and
+their downstream aggregates ARE SQL-checked via artifacts) and
+``ivf_topk_cosine`` (approximate — recall-gated vs exact in pytest).
 
 Ray is initialised by the driver before import; nothing here calls
 ``ray.init``/``ray.shutdown``.
