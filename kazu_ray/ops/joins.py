@@ -19,7 +19,6 @@ Both produce identical rows; oracle parity checks against DuckDB.
 
 from __future__ import annotations
 
-import hashlib
 
 import pandas as pd
 import pyarrow as pa
