@@ -7,14 +7,17 @@ explicit about partitioning:
 * :func:`hash_join` — native ``Dataset.join`` (hash-partitioned on the
   key; available in this Ray version) with an explicit
   ``num_partitions``.
-* :func:`bucketed_hash_join` — the portable explicit form
-  (ray_guide.md "Joins and lookups"): tag each side, add
-  ``bucket = hash(key) %% B`` to both, union, ``groupby(bucket)`` and
-  merge matching buckets pairwise inside ``map_groups``. B is the skew
-  knob: a hot key lands in one bucket, so size B so the hottest key's
-  rows fit a worker's heap, or pre-salt hot keys.
+* :func:`bucketed_hash_join` — the explicit form: both sides
+  hash-scatter to one merger actor per bucket (concurrent feeds,
+  ``ops/exchange.py`` mechanics), each bucket pandas-merges in
+  parallel, results stream back as a Dataset. B is the skew knob: a hot
+  key lands in one bucket, so size B so the hottest key's rows fit a
+  worker's heap, or pre-salt hot keys.
+* :func:`asof_join_events` / :func:`interval_join_events` — time-aware
+  joins as key-shuffled per-group merges (merge_asof / two-pointer
+  sweep).
 
-Both produce identical rows; oracle parity checks against DuckDB.
+All produce identical rows to DuckDB oracle parity checks.
 """
 
 from __future__ import annotations
