@@ -481,8 +481,10 @@ def hamming64(a: int, b: int) -> int:
 
 def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32, sh_ds=None):
     """SimHash near-dup pairs: by pigeonhole, two hashes within hamming
-    ≤ 3 share at least one of the four 16-bit chunks, so candidates are
-    generated per (chunk_idx, chunk_value) bucket and verified exactly.
+    ≤ 3 share at least one of the four 16-bit chunks (the bucketing is
+    thus recall-complete for any ``max_hamming`` ≤ 3; the verify
+    default is 2), so candidates are generated per (chunk_idx,
+    chunk_value) bucket and verified exactly.
     Same coarse-shuffle trick as minhash: shuffle on chunk_value %% 32,
     vectorized per-bucket pairing inside each coarse group.
 
