@@ -611,8 +611,9 @@ def connected_components(pairs_ds):
     small") the clustering itself is driver-side union-find over the
     collected pairs; everything upstream (shingle, minhash, banding,
     bucket-pair generation, dedupe) is distributed. For adversarial
-    graphs where pairs themselves are huge, switch to iterative
-    min-label propagation (a groupby(node).min(label) per round).
+    graphs where pairs themselves are huge, use
+    :func:`connected_components_distributed` (iterative min-label
+    propagation on Datasets — tested equal to this function).
     Returns a DataFrame of (doc_id, component=min doc_id in cluster).
     """
     import pandas as pd
@@ -635,3 +636,88 @@ def connected_components(pairs_ds):
             parent[hi] = lo
     rows = sorted((n, find(n)) for n in parent)
     return pd.DataFrame(rows, columns=["doc_id", "component"])
+
+
+def connected_components_distributed(pairs_ds, max_rounds: int = 50):
+    """The scale path :func:`connected_components`'s docstring promises:
+    iterative min-label propagation, fully on Datasets — for adversarial
+    graphs whose PAIR set itself is too large to collect.
+
+    Join-free formulation (this Ray version's ``Dataset.join`` chokes on
+    the schema-less empty blocks its own aggregates emit): each round
+    unions edge rows (node=src, dst) with label rows (node, label) and
+    one ``groupby(node).map_groups`` emits the node's current min label
+    to itself and every neighbor; a ``groupby.min`` then folds the
+    messages. Converged when the global label sum stops decreasing
+    (monotone and bounded). Rounds needed = component diameter —
+    near-dup clusters are short chains. Returns a Dataset of
+    (doc_id, component).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    edges_pd = pairs_ds.to_pandas() if not isinstance(pairs_ds, pd.DataFrame) else pairs_ds
+    # Arrow blocks throughout: a union of mixed pandas/Arrow block types
+    # breaks the shuffle's block builder in this Ray version
+    node_vals = pd.concat([edges_pd["id_a"], edges_pd["id_b"]], ignore_index=True).astype("int64")
+    dst_vals = pd.concat([edges_pd["id_b"], edges_pd["id_a"]], ignore_index=True).astype("int64")
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(node_vals, type=pa.int64()),
+                "dst": pa.array(dst_vals, type=pa.int64()),
+                "label": pa.nulls(len(node_vals), type=pa.int64()),
+            }
+        )
+    ).materialize()
+
+    uniq = node_vals.drop_duplicates()
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(uniq, type=pa.int64()),
+                "dst": pa.nulls(len(uniq), type=pa.int64()),
+                "label": pa.array(uniq, type=pa.int64()),
+            }
+        )
+    ).materialize()
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lbl = int(g["label"].dropna().min())
+        node = int(g["node"].iloc[0])
+        dsts = [int(d) for d in g["dst"].dropna()]
+        return pd.DataFrame(
+            {"node": dsts + [node], "label": [lbl] * (len(dsts) + 1)}
+        )
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        msgs = (
+            labels.union(edges)
+            .groupby("node")
+            .map_groups(propagate, batch_format="pandas")
+        )
+        new_labels = (
+            msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        )
+        cur = new_labels.sum("label")
+        # re-attach the dst=None column for the next round's union
+        labels = new_labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.compute.cast(t["node"], pa.int64()),
+                    "dst": pa.nulls(t.num_rows, type=pa.int64()),
+                    "label": pa.compute.cast(t["label"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )

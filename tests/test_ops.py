@@ -504,3 +504,28 @@ def test_scatter_groups_matches_local_groupby(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_distributed_components_match_union_find(ray_session):
+    """Min-label propagation (the distributed escape hatch) must equal
+    the driver union-find, including a long chain that needs several
+    propagation rounds."""
+    import pandas as pd
+
+    from kazu_ray.ops.dedup import connected_components, connected_components_distributed
+
+    # chain 1..8 (diameter 7) + isolated pair + triangle
+    pairs = pd.DataFrame(
+        {
+            "id_a": [1, 2, 3, 4, 5, 6, 7, 100, 200, 201, 200],
+            "id_b": [2, 3, 4, 5, 6, 7, 8, 101, 201, 202, 202],
+        }
+    )
+    want = connected_components(pairs).sort_values("doc_id").reset_index(drop=True)
+    got = (
+        connected_components_distributed(pairs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
