@@ -109,10 +109,16 @@ def _hash_params(num_perm: int, seed: int = 42):
 def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if not shingles:
         return np.zeros(len(a), dtype=np.uint64)
-    base = np.array(
-        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in shingles],
-        dtype=np.uint64,
-    ).astype(np.int64)
+    # one SipHash C kernel over the shingle set (stable across processes,
+    # like the bucket hashing in functions/hashing.py) — the previous
+    # md5-per-shingle Python loop was the dominant minhash cost
+    # no sort needed (the per-permutation min is order-independent);
+    # categorize=False skips a factorization pass that costs more than
+    # it saves on mostly-unique shingles (measured 46 ms vs 102 ms, and
+    # vs 63 ms for the md5 loop this replaces)
+    base = pd.util.hash_array(
+        np.fromiter(shingles, dtype=object, count=len(shingles)), categorize=False
+    ).view(np.int64)
     # (a*x + b) mod p per permutation, min over shingles — vectorized
     vals = (base[None, :] * a[:, None] + b[:, None]) % _MERSENNE
     return vals.min(axis=1).astype(np.uint64)
