@@ -646,3 +646,39 @@ def test_annotate_shard_resume_roundtrip(ray_session, tmp_path):
     assert sorted(map(tuple, roundtrip[key].values.tolist())) == sorted(
         map(tuple, direct[key].values.tolist())
     )
+
+
+def test_materialize_exchange_fails_loud_and_resumes(ray_session, tmp_path):
+    """A feed-stage failure must abort the materialize loudly (no silent
+    double-delivery, actors reaped by the finally), and a job-level
+    retry must complete from whatever partition manifests landed."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray
+    import ray.data as rd
+
+    from kazu_ray.stages.materialize import load_manifests, materialize_partitioned
+
+    rows = pa.table(
+        {
+            "key": pa.array([f"k{i}" for i in range(1000)]),
+            "v": pa.array(list(range(1000)), type=pa.int64()),
+        }
+    )
+    out = str(tmp_path / "store")
+
+    def poison(batch: pa.Table) -> pa.Table:
+        # deterministic failure on the block carrying k0 (a shared
+        # driver-side counter would not survive worker serialization)
+        if "k0" in batch["key"].to_pylist():
+            raise RuntimeError("planted feed failure")
+        return batch
+
+    poisoned = rd.from_arrow(rows).repartition(16).map_batches(poison, batch_format="pyarrow")
+    with _pytest.raises(Exception, match="planted feed failure"):
+        materialize_partitioned(poisoned, out, key_col="key", num_parts=4)
+    # job-level retry with a healthy pipeline completes the store
+    clean = rd.from_arrow(rows).repartition(16)
+    manifests = materialize_partitioned(clean, out, key_col="key", num_parts=4)
+    assert sum(m["row_count"] for m in manifests) == 1000
+    assert len(load_manifests(out)) == 4
