@@ -46,6 +46,36 @@ def stratified_sample_by_hash(ds, key_col: str, strata_col: str, rates: dict[str
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
+def bottom_k_by_hash(ds, key_col: str, k: int):
+    """Deterministic uniform k-row sample: keep the k rows with the
+    smallest SipHash(key) — a "bottom-k sketch". Unlike ``limit(k)``
+    (which takes the FIRST blocks and is arbitrarily biased when the
+    data is sorted or clustered by ingest order), the hash order is
+    independent of row order, so the sample is uniform over distinct
+    keys, reproducible across runs, and needs no prior ``count()``.
+
+    One streaming pass of per-batch partials (each batch contributes at
+    most k candidate rows) followed by a tiny sort+limit over ≤
+    k×n_blocks partial rows. Output keeps the input schema (the
+    internal hash column is dropped)."""
+    import pandas as pd
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from kazu_ray.functions.hashing import bucket_ids
+
+        h = bucket_ids(batch[key_col], 1 << 62).astype("int64")
+        import numpy as np
+
+        take = np.argsort(h, kind="stable")[:k]
+        out = batch.take(pa.array(take))
+        return out.append_column("__h", pa.array(h[take], type=pa.int64()))
+
+    sampled = ds.map_batches(_partial, batch_format="pyarrow").sort("__h").limit(k)
+    return sampled.map_batches(
+        lambda t: t.drop_columns(["__h"]), batch_format="pyarrow"
+    )
+
+
 def training_order_shuffle(ds, seed: int = 42):
     """Seeded global shuffle — the training-order randomization step of a
     data pipeline. This is a true all-to-all (``random_shuffle``), kept

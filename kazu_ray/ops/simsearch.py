@@ -39,6 +39,18 @@ def topk_cosine(embeddings_ds, query_vec, k: int = 10):
     return partials.sort("cosine", descending=True).limit(k)
 
 
+def _centroid_sample(embeddings_ds, sample_size: int) -> np.ndarray:
+    """Driver-side centroid-training sample, drawn with a deterministic
+    bottom-k-by-hash sketch (``ops/sample.py``) rather than ``limit()``:
+    ``limit`` takes the FIRST blocks, so on a corpus sorted or clustered
+    by ingest order the centroids would be biased toward the head and
+    recall would silently degrade at scale."""
+    from kazu_ray.ops.sample import bottom_k_by_hash
+
+    tbl = bottom_k_by_hash(embeddings_ds, "vec_id", sample_size).to_pandas()
+    return np.array(tbl["embedding"].tolist(), dtype=np.float64)
+
+
 def kmeans_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42):
     rng = np.random.RandomState(seed)
     sample = _normalize(sample.astype(np.float64))
@@ -105,9 +117,7 @@ def ivf_topk_cosine(
     import pandas as pd
     import pyarrow.compute as pc
 
-    sample_tbl = embeddings_ds.limit(sample_size).to_pandas()
-    sample = np.array(sample_tbl["embedding"].tolist(), dtype=np.float64)
-    centroids = kmeans_centroids(sample, n_clusters)
+    centroids = kmeans_centroids(_centroid_sample(embeddings_ds, sample_size), n_clusters)
 
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
@@ -161,9 +171,7 @@ def ivf_near_dup_pairs(
     import pandas as pd
     import pyarrow as pa
 
-    sample_tbl = embeddings_ds.limit(sample_size).to_pandas()
-    sample = np.array(sample_tbl["embedding"].tolist(), dtype=np.float64)
-    centroids = kmeans_centroids(sample, n_clusters)
+    centroids = kmeans_centroids(_centroid_sample(embeddings_ds, sample_size), n_clusters)
 
     bucketed = embeddings_ds.map_batches(
         _BucketAssign,

@@ -69,6 +69,50 @@ def test_brute_force_vs_ivf_recall(ray_session):
     assert exact.iloc[0]["vec_id"] == 0
 
 
+def test_ivf_recall_on_adversarially_ordered_corpus(ray_session):
+    """Centroid sampling must survive a worst-case row order where the
+    head of the dataset is a single tight cluster: a ``limit()``-based
+    sample would train every centroid on cluster 0 and recall for a
+    query near another cluster would collapse. The bottom-k-by-hash
+    sample is order-independent, so recall holds."""
+    import ray.data as rd
+
+    from kazu_ray.ops.simsearch import ivf_topk_cosine, topk_cosine
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(8, 16) * 4
+    rows = []
+    # ordered by label: first 512 rows all from cluster 0
+    for label in range(8):
+        pts = centers[label] + rng.randn(512, 16) * 0.05
+        for i, p in enumerate(pts):
+            rows.append({"vec_id": label * 512 + i, "embedding": p.tolist()})
+    ds = rd.from_items(rows).repartition(16)
+    query = centers[7] + rng.randn(16) * 0.01
+    exact = topk_cosine(ds, query, k=10).to_pandas()
+    ivf = ivf_topk_cosine(
+        ds, query, k=10, n_clusters=8, nprobe=2, sample_size=512
+    ).to_pandas()
+    recall = len(set(exact.vec_id) & set(ivf.vec_id)) / len(exact)
+    assert recall >= 0.7
+
+
+def test_bottom_k_by_hash_order_independent(ray_session):
+    """The same rows are sampled regardless of input row order."""
+    import ray.data as rd
+
+    from kazu_ray.ops.sample import bottom_k_by_hash
+
+    rows = [{"vec_id": i, "v": i * 2} for i in range(500)]
+    fwd = bottom_k_by_hash(rd.from_items(rows).repartition(8), "vec_id", 50).to_pandas()
+    rev = bottom_k_by_hash(
+        rd.from_items(rows[::-1]).repartition(8), "vec_id", 50
+    ).to_pandas()
+    assert set(fwd.vec_id) == set(rev.vec_id)
+    assert len(fwd) == 50
+    assert list(fwd.columns) == ["vec_id", "v"]
+
+
 def test_media_plumbing_stub(ray_session):
     import __ray_entry__ as e
 
