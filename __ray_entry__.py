@@ -202,25 +202,29 @@ def _minhash_pairs(sf_dir: str):
 
 def _near_dup_clusters(sf_dir: str):
     """Near-duplicate clusters: MinHash-LSH pairs (distributed) →
-    exact-Jaccard verify → connected components (driver union-find over
-    the provably-small pair set; see ops/dedup.connected_components for
-    the scale escape hatch). One row per clustered doc:
+    exact-Jaccard verify → connected components (size-dispatched:
+    driver union-find under the 200k-pair driver-memory bound,
+    distributed min-label propagation above). One row per clustered doc:
     (doc_id, component = min doc_id in its cluster). SQL oracle =
     recursive min-label propagation over the same Jaccard pair set."""
     import ray.data as rd
 
     from kazu_ray.ops.dedup import (
-        connected_components,
+        connected_components_auto,
         minhash_candidate_pairs,
         pairs_to_table,
         verify_pairs_jaccard_ds,
     )
+    import ray.data as _rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = pairs_to_table(
         verify_pairs_jaccard_ds(minhash_candidate_pairs(ds), ds, threshold=0.6)
     )
-    return connected_components(pairs.to_pandas())
+    # size-dispatched: driver union-find under the 200k-pair bound,
+    # distributed min-label propagation above it (KAZU_CC_MAX_DRIVER_PAIRS
+    # overrides; a test forces the distributed branch through this path)
+    return connected_components_auto(_rd.from_arrow(pairs))
 
 
 def _simhash_dups(sf_dir: str):

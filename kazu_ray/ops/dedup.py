@@ -437,6 +437,68 @@ def verify_pairs_jaccard_ds(
 # simhash
 # ---------------------------------------------------------------------------
 
+# named counter actor collecting simhash hot-bucket drops across the
+# map_groups workers — the drop is a RECALL CAP, so it must surface to
+# the driver as data, not only as per-worker log lines
+_SIMHASH_DROP_ACTOR = "kazu_ray_simhash_drop_stats"
+
+
+class _DropStats:
+    def __init__(self):
+        self.dropped_buckets = 0
+        self.dropped_member_rows = 0
+
+    def add(self, buckets: int, member_rows: int) -> None:
+        self.dropped_buckets += buckets
+        self.dropped_member_rows += member_rows
+
+    def get(self) -> dict:
+        return {
+            "dropped_buckets": self.dropped_buckets,
+            "dropped_member_rows": self.dropped_member_rows,
+        }
+
+    def reset(self) -> None:
+        self.dropped_buckets = 0
+        self.dropped_member_rows = 0
+
+
+def _drop_stats_actor():
+    import ray
+
+    return (
+        ray.remote(num_cpus=0)(_DropStats)
+        .options(name=_SIMHASH_DROP_ACTOR, get_if_exists=True)
+        .remote()
+    )
+
+
+def _report_simhash_drops(buckets: int, member_rows: int) -> None:
+    """Called from inside the per-group pair kernel (worker side)."""
+    import ray
+
+    if not ray.is_initialized():
+        return
+    # synchronous so the count is visible as soon as the dataset that
+    # produced it has been consumed (~32 coarse groups → negligible RPC)
+    ray.get(_drop_stats_actor().add.remote(buckets, member_rows))
+
+
+def simhash_drop_stats(reset: bool = False) -> dict:
+    """Driver-side read of the hot-bucket drop side-channel. Counts
+    accumulate from every :func:`simhash_near_dup_pairs` execution since
+    the last ``reset=True`` call (call with ``reset=True`` before
+    building a pipeline whose drops you want isolated)."""
+    import ray
+
+    if not ray.is_initialized():
+        return {"dropped_buckets": 0, "dropped_member_rows": 0}
+    actor = _drop_stats_actor()
+    out = ray.get(actor.get.remote())
+    if reset:
+        ray.get(actor.reset.remote())
+    return out
+
 
 # per-worker word→hash memo: the corpus vocabulary is Zipf-distributed,
 # so md5 is computed once per distinct word per worker, not per occurrence
@@ -534,10 +596,12 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32, sh_d
 
         out: set[tuple[int, int]] = set()
         n_dropped = 0
+        n_dropped_members = 0
         for _, sub in group.groupby(["chunk_idx", "chunk_val"]):
             if len(sub) > MAX_BUCKET:
                 # hot-bucket drop = recall cap; surface it per group
                 n_dropped += 1
+                n_dropped_members += len(sub)
                 continue
             if len(sub) < 2:
                 continue
@@ -558,6 +622,11 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32, sh_d
                 n_dropped,
                 MAX_BUCKET,
             )
+            # side-channel the recall cap to the driver ("no silent
+            # caps", COVERAGE.md): a template-heavy corpus dropping most
+            # of its buckets must be VISIBLE in the result, not only in
+            # scattered worker logs
+            _report_simhash_drops(n_dropped, n_dropped_members)
         if not out:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
@@ -644,6 +713,34 @@ def connected_components(pairs_ds):
     return pd.DataFrame(rows, columns=["doc_id", "component"])
 
 
+def connected_components_auto(pairs_ds, max_driver_pairs: int | None = None):
+    """Size-dispatched clustering — the wiring that makes the scale path
+    the DEFAULT rather than an escape hatch: count the candidate pairs
+    (tiny metadata pass; the pair set is already materialized by every
+    caller), and run driver union-find only while the count is within
+    the same driver-memory bound the Jaccard verifier uses
+    (``max_gather_pairs``); above it, dispatch to
+    :func:`connected_components_distributed` (min-label propagation on
+    Datasets, no driver gather). The two paths are tested equal.
+
+    ``max_driver_pairs`` defaults to 200_000, overridable via the
+    ``KAZU_CC_MAX_DRIVER_PAIRS`` env var (tests use it to force the
+    distributed branch through the driver query's own code path).
+    Returns a pandas DataFrame either way (the cluster table is one row
+    per clustered doc — small by the LSH pair contract; a truly huge
+    result should keep the Dataset form of the distributed path).
+    """
+    import os
+
+    if max_driver_pairs is None:
+        max_driver_pairs = int(os.environ.get("KAZU_CC_MAX_DRIVER_PAIRS", 200_000))
+    n_pairs = pairs_ds.count() if hasattr(pairs_ds, "count") else len(pairs_ds)
+    if n_pairs <= max_driver_pairs:
+        return connected_components(pairs_ds)
+    out = connected_components_distributed(pairs_ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def connected_components_distributed(pairs_ds, max_rounds: int = 50):
     """The scale path :func:`connected_components`'s docstring promises:
     iterative min-label propagation, fully on Datasets — for adversarial
@@ -661,34 +758,50 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 50):
     """
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    edges_pd = pairs_ds.to_pandas() if not isinstance(pairs_ds, pd.DataFrame) else pairs_ds
-    # Arrow blocks throughout: a union of mixed pandas/Arrow block types
-    # breaks the shuffle's block builder in this Ray version
-    node_vals = pd.concat([edges_pd["id_a"], edges_pd["id_b"]], ignore_index=True).astype("int64")
-    dst_vals = pd.concat([edges_pd["id_b"], edges_pd["id_a"]], ignore_index=True).astype("int64")
-    edges = rd.from_arrow(
-        pa.table(
-            {
-                "node": pa.array(node_vals, type=pa.int64()),
-                "dst": pa.array(dst_vals, type=pa.int64()),
-                "label": pa.nulls(len(node_vals), type=pa.int64()),
-            }
+    if isinstance(pairs_ds, pd.DataFrame):
+        pairs_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(pairs_ds["id_a"], type=pa.int64()),
+                    "id_b": pa.array(pairs_ds["id_b"], type=pa.int64()),
+                }
+            )
         )
-    ).materialize()
 
-    uniq = node_vals.drop_duplicates()
-    labels = rd.from_arrow(
-        pa.table(
-            {
-                "node": pa.array(uniq, type=pa.int64()),
-                "dst": pa.nulls(len(uniq), type=pa.int64()),
-                "label": pa.array(uniq, type=pa.int64()),
-            }
+    # Arrow blocks throughout: a union of mixed pandas/Arrow block types
+    # breaks the shuffle's block builder in this Ray version. Edge and
+    # initial-label construction are per-batch maps + one groupby — the
+    # pair set never touches the driver (this IS the above-driver-bound
+    # path, so a driver gather here would defeat it).
+    def _edges_batch(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["id_a"], pa.int64())
+        b = pc.cast(t["id_b"], pa.int64())
+        both = pa.concat_tables(
+            [pa.table({"node": a, "dst": b}), pa.table({"node": b, "dst": a})]
         )
-    ).materialize()
+        return both.append_column("label", pa.nulls(both.num_rows, type=pa.int64()))
+
+    edges = pairs_ds.map_batches(_edges_batch, batch_format="pyarrow").materialize()
+
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("node", alias_name="label"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pc.cast(t["node"], pa.int64()),
+                    "dst": pa.nulls(t.num_rows, type=pa.int64()),
+                    "label": pc.cast(t["label"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
         lbl = int(g["label"].dropna().min())

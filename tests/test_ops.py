@@ -573,3 +573,52 @@ def test_distributed_components_match_union_find(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_near_dup_clusters_query_via_distributed_path(ray_session, monkeypatch):
+    """Force the size dispatch in connected_components_auto to take the
+    distributed branch THROUGH the driver query itself, and require the
+    result to equal the driver-union-find run of the same query."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    want = e.queries()["near_dup_clusters"](SF_DIR)
+    monkeypatch.setenv("KAZU_CC_MAX_DRIVER_PAIRS", "0")
+    got = e.queries()["near_dup_clusters"](SF_DIR)
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True).astype("int64"),
+        want.sort_values("doc_id").reset_index(drop=True).astype("int64"),
+    )
+
+
+def test_simhash_hot_bucket_drop_is_reported(ray_session):
+    """Planted hot bucket (200 identical docs > MAX_BUCKET=128): the
+    recall cap must surface through the side-channel counter, not only
+    in worker logs ("no silent caps")."""
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import (
+        pairs_to_table,
+        simhash_drop_stats,
+        simhash_near_dup_pairs,
+    )
+
+    simhash_drop_stats(reset=True)
+    docs = [
+        {"doc_id": i, "text": "identical template boilerplate page " * 5}
+        for i in range(200)
+    ]
+    # distinct filler docs so the dataset isn't a single bucket
+    docs += [
+        {"doc_id": 1000 + i, "text": f"unique filler document number {i} with words {i*7}"}
+        for i in range(50)
+    ]
+    pairs = pairs_to_table(simhash_near_dup_pairs(rd.from_items(docs).repartition(4)))
+    stats = simhash_drop_stats()
+    # all four 16-bit chunks of the identical docs form hot buckets
+    assert stats["dropped_buckets"] >= 1
+    assert stats["dropped_member_rows"] >= 200
+    # and the dropped docs contributed no pairs
+    hot_ids = set(range(200))
+    assert not (set(pairs["id_a"].to_pylist()) & hot_ids)
