@@ -3,8 +3,8 @@
 ``entry()`` runs the flagship KG pipeline at sf0.001. ``queries()``
 exposes one callable per implemented operator/pipeline (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives DuckDB equivalents where
-SQL can express the semantics (column names match exactly) — 40 of the
-43 queries, several via the written-artifact pattern (the query writes
+SQL can express the semantics (column names match exactly) — 41 of the
+44 queries, several via the written-artifact pattern (the query writes
 its input/output to a deterministic /tmp path so DuckDB recomputes the
 result independently). The 3 without oracles are non-SQL by nature:
 ``kg_triples`` / ``kg_entities`` (NLP generators — gated on the
@@ -72,10 +72,78 @@ def _kg_triples(sf_dir: str):
 
 
 def _kg_entities(sf_dir: str):
+    """Exploded entity table. Like kg_triples, the table is written
+    (distributed, streaming) to a deterministic /tmp path so
+    ``kg_entity_stats`` can be recomputed by DuckDB from the same rows —
+    giving the entity side of the flagship pipeline a written-artifact
+    oracle instead of a rows-only check."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
     from kazu_ray.pipelines.kg import annotated_docs
     from kazu_ray.stages.materialize import explode_entities
 
-    return explode_entities(annotated_docs(sf_dir, store_ref=_store_ref()))
+    ents = explode_entities(annotated_docs(sf_dir, store_ref=_store_ref()))
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    oracle_dir = f"/tmp/kazu_ray_oracle/entities_{tag}"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    os.makedirs(oracle_dir, exist_ok=True)
+    ents.write_parquet(oracle_dir)
+    return rd.read_parquet(oracle_dir)
+
+
+def _kg_entity_stats(sf_dir: str):
+    """Aggregate projections of the entity artifact that DuckDB can
+    recompute independently: per (entity_class, namespace) — mention
+    count, span-length sum, mapped-mention count, distinct-doc count.
+    Shapes: one combiner-backed groupby for the row stats; the distinct
+    doc count is a two-phase (3-key distinct → 2-key count) aggregate;
+    the two tiny result sets merge on the driver."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ents = _kg_entities(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity_class": batch["entity_class"],
+                "namespace": batch["namespace"],
+                "doc_id": batch["doc_id"],
+                "span_len": pc.subtract(batch["end"], batch["start"]),
+                "mapped": pc.cast(pc.is_valid(batch["mapping_idx"]), pa.int64()),
+            }
+        )
+
+    proj = ents.map_batches(project, batch_format="pyarrow")
+    stats = (
+        proj.groupby(["entity_class", "namespace"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("span_len", alias_name="span_len_sum"),
+            Sum("mapped", alias_name="n_mapped"),
+        )
+        .to_pandas()
+    )
+    docs = (
+        proj.groupby(["entity_class", "namespace", "doc_id"])
+        .aggregate(Count(alias_name="_one"))
+        .map_batches(
+            lambda t: t.select(["entity_class", "namespace"]), batch_format="pyarrow"
+        )
+        .groupby(["entity_class", "namespace"])
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    out = stats.merge(docs, on=["entity_class", "namespace"])
+    out = out.astype(
+        {"n": "int64", "span_len_sum": "int64", "n_mapped": "int64", "n_docs": "int64"}
+    )
+    return out.sort_values(["entity_class", "namespace"]).reset_index(drop=True)
 
 
 def _kg_node_doc_counts(sf_dir: str):
@@ -661,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities,
         "kg_node_degrees": _kg_node_degrees,
         "kg_node_doc_counts": _kg_node_doc_counts,
+        "kg_entity_stats": _kg_entity_stats,
         "kg_text_hashes": _text_hashes,
         # text analysis (SQL-oracled)
         "doc_token_stats": _doc_token_stats,
@@ -1122,6 +1191,15 @@ def oracle_sql() -> dict[str, str]:
                  )
             SELECT node, count(*)::BIGINT AS degree
             FROM nodes GROUP BY node
+        """,
+        "kg_entity_stats": """
+            SELECT entity_class, namespace,
+                   count(*)::BIGINT AS n,
+                   sum("end" - "start")::BIGINT AS span_len_sum,
+                   sum(CASE WHEN mapping_idx IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_mapped,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM read_parquet('/tmp/kazu_ray_oracle/entities_sf0.01/*.parquet')
+            GROUP BY entity_class, namespace
         """,
         "kg_node_doc_counts": """
             WITH t AS (SELECT * FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
