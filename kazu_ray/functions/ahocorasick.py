@@ -107,12 +107,19 @@ class SpanMatcher:
     ``tests/test_ontology_and_ner.py``).
     """
 
-    __slots__ = ("_table", "_max_token_span", "_max_len", "_built")
+    __slots__ = ("_table", "_max_token_span", "_max_len", "_first", "_built")
 
     def __init__(self) -> None:
         self._table: dict[str, Any] = {}
         self._max_token_span = 1
         self._max_len = 0
+        # first-token prefilter: maps each key's FIRST token to the max
+        # character length of any key starting with it — most scan
+        # positions fail this single probe, skipping the whole inner
+        # k-loop (a match's first token must equal the doc token at the
+        # scan position: slice bounds are doc token boundaries, so the
+        # regex tokenization of the slice equals tokenizing the key)
+        self._first: dict[str, int] = {}
         self._built = False
 
     def add_word(self, key: str, value: Any) -> None:
@@ -122,8 +129,13 @@ class SpanMatcher:
         from kazu_ray.lang.tokens import tokenize
 
         for key in self._table:
-            self._max_token_span = max(self._max_token_span, len(tokenize(key)))
+            toks = tokenize(key)
+            self._max_token_span = max(self._max_token_span, len(toks))
             self._max_len = max(self._max_len, len(key))
+            if toks:
+                first = toks[0][0]
+                if len(key) > self._first.get(first, 0):
+                    self._first[first] = len(key)
         self._built = True
 
     def scan(self, lower_text: str, toks: list[tuple[str, int, int]]) -> Iterator[tuple[int, int, Any]]:
@@ -132,11 +144,15 @@ class SpanMatcher:
         document's (token, start, end) triples (original case; offsets
         are what matter)."""
         table = self._table
+        first = self._first
         max_span = self._max_token_span
-        max_len = self._max_len
         n = len(toks)
         for j in range(n):
             s = toks[j][1]
+            # per-first-token length bound doubles as the prefilter
+            max_len = first.get(lower_text[s : toks[j][2]])
+            if max_len is None:
+                continue
             for k in range(j, min(j + max_span, n)):
                 e = toks[k][2]
                 if e - s > max_len:

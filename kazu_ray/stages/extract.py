@@ -63,21 +63,19 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     in the stream and are filtered by the caller, matching
     ``kazu/pipeline/__init__.py:278-288``).
     """
-    texts_col = batch["text"]
-    htmls = batch["html"]
-    out_texts: list[str] = []
-    shas: list[bytes] = []
-    statuses: list[str] = []
-    for i in range(batch.num_rows):
-        t = texts_col[i].as_py()
-        if t is None:
-            t = html_to_text(htmls[i].as_py())
-        if len(t) >= SKIP_DOC_LEN:
-            statuses.append("doc_too_long")
-        else:
-            statuses.append("")
-        out_texts.append(t)
-        shas.append(hashlib.sha256(t.encode("utf-8")).digest())
+    # bulk to_pylist, not per-row Scalar indexing (a pyarrow Scalar per
+    # cell was the single largest cost of the whole headline pipeline:
+    # this stage is upstream of everything and touches every row)
+    out_texts = batch["text"].to_pylist()
+    null_rows = [i for i, t in enumerate(out_texts) if t is None]
+    if null_rows:
+        # decode html only for the rows that need it (~5% of the corpus)
+        null_htmls = batch["html"].take(pa.array(null_rows)).to_pylist()
+        for i, h in zip(null_rows, null_htmls):
+            out_texts[i] = html_to_text(h)
+    sha256 = hashlib.sha256
+    shas = [sha256(t.encode("utf-8")).digest() for t in out_texts]
+    statuses = ["" if len(t) < SKIP_DOC_LEN else "doc_too_long" for t in out_texts]
     return pa.table(
         {
             "doc_id": batch["url"],

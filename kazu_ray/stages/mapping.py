@@ -559,9 +559,15 @@ class MappingRunner:
     config ``cross_ref_managers: ~``) augments each created mapping with
     cross-knowledgebase mappings (``strategy_runner.py:324-333``)."""
 
+    _FAST_MEMO_MAX = 100_000
+
     def __init__(self, store: OntologyStore, xref_manager=None):
         self.store = store
         self.xref_manager = xref_manager
+        # cross-document fast-path memo (see _execute); same hit-rate
+        # rationale as the reference's LFU linking cache
+        # (kazu/utils/caching.py:96-127, cache size 50k)
+        self._fast_memo: dict[tuple, list | None] = {}
         # Gilda-style id-context vectors, gene parsers only (the gene
         # disambiguation ladder is the consumer): context string per id =
         # default label + synonyms referencing the id
@@ -630,29 +636,35 @@ class MappingRunner:
                     continue
                 self._execute(bucket, doc, table, key_memo)
 
-    def _try_fast_path(self, group, doc, class_strategies, default_strategies) -> bool:
-        """Resolve an entity group directly when the full ladder's outcome
-        is provably determined; returns True iff resolved."""
-        ref = group[0]
+    def _fast_path_mappings(self, ref, class_strategies, default_strategies):
+        """Mappings for an entity group whose full-ladder outcome is
+        provably determined by its candidates alone (no document
+        context), or ``None`` when the slow path is required.
+
+        Because the result depends only on (cands, match_norm,
+        entity_class, ladder) — all captured by the entity key + the
+        ladder table — it is memoized ACROSS documents per worker in
+        ``_execute`` (the corpus vocabulary is Zipfian, so the same
+        entity groups recur in most documents)."""
         cands = ref["cands"]
         # all exact-match candidates from exactly one parser
         if not cands or any(not c[2] for c in cands):
-            return False
+            return None
         parser = cands[0][0]
         if any(c[0] != parser for c in cands):
-            return False
+            return None
         strategies = class_strategies.get(ref["entity_class"], default_strategies)
         if not strategies or type(strategies[0]) is not ExactMatchMappingStrategy:
-            return False
+            return None
         first = strategies[0]
         candidates = self._candidates_of(ref)
         if len(candidates) != len(cands):
-            return False
+            return None
         id_sets = set()
         for cand in candidates:
             id_sets.update(cand.associated_id_sets)
         if len(id_sets) != 1:
-            return False
+            return None
         (id_set,) = id_sets
 
         store = self.store
@@ -661,7 +673,7 @@ class MappingRunner:
             if len(first.disamb_strategies) != 1 or not isinstance(
                 first.disamb_strategies[0], PreferDefaultLabelStrategy
             ):
-                return False
+                return None
             entity_class = store.parser_entity_class[parser]
             kept = sorted(
                 (idx, source)
@@ -672,7 +684,7 @@ class MappingRunner:
                 == ref["match_norm"]
             )
             if kept:
-                mappings = [
+                return [
                     make_mapping(
                         store, parser, idx, source,
                         "ExactMatchMappingStrategy", first.confidence,
@@ -680,46 +692,30 @@ class MappingRunner:
                     )
                     for idx, source in kept
                 ]
-            else:
-                # essential strategy fails → next ladder entry must be a
-                # plain non-essential Exact for the outcome to be known
-                if (
-                    len(strategies) < 2
-                    or type(strategies[1]) is not ExactMatchMappingStrategy
-                    or strategies[1].disamb_essential
-                ):
-                    return False
-                mappings = [
-                    make_mapping(
-                        store, parser, idx, source,
-                        "ExactMatchMappingStrategy", strategies[1].confidence,
-                        DISAMBIGUATION_NOT_REQUIRED, None,
-                    )
-                    for idx, source in sorted(id_set)
-                ]
-        else:
-            mappings = [
+            # essential strategy fails → next ladder entry must be a
+            # plain non-essential Exact for the outcome to be known
+            if (
+                len(strategies) < 2
+                or type(strategies[1]) is not ExactMatchMappingStrategy
+                or strategies[1].disamb_essential
+            ):
+                return None
+            return [
                 make_mapping(
                     store, parser, idx, source,
-                    "ExactMatchMappingStrategy", first.confidence,
+                    "ExactMatchMappingStrategy", strategies[1].confidence,
                     DISAMBIGUATION_NOT_REQUIRED, None,
                 )
                 for idx, source in sorted(id_set)
             ]
-
-        for mapping in mappings:
-            xrefs = (
-                self.xref_manager.create_xref_mappings(mapping)
-                if self.xref_manager is not None
-                else []
+        return [
+            make_mapping(
+                store, parser, idx, source,
+                "ExactMatchMappingStrategy", first.confidence,
+                DISAMBIGUATION_NOT_REQUIRED, None,
             )
-            for ent in group:
-                if mapping not in ent["mappings"]:
-                    ent["mappings"].append(dict(mapping))
-                for xref in xrefs:
-                    if xref not in ent["mappings"]:
-                        ent["mappings"].append(dict(xref))
-        return True
+            for idx, source in sorted(id_set)
+        ]
 
     def _execute(self, ents: list[dict], doc: DocContext, table, key_memo=None) -> None:
         """execute_hit_post_processing_strategies + per-group bookkeeping
@@ -744,13 +740,54 @@ class MappingRunner:
         # parser, single unambiguous EquivalentIdSet: the ladder outcome
         # is fully determined by its first one or two Exact strategies, so
         # resolve directly without running the strategy machinery.
+        # Memoized ACROSS documents per worker (keyed by entity key +
+        # ladder identity): the fast-path outcome never consults doc
+        # context, and the Zipfian mention vocabulary makes repeat keys
+        # the common case. The memo is bypassed when an xref_manager is
+        # configured (xrefs are created per mapping instance).
         # Equivalence with the slow path is enforced by
         # tests/test_mapping_and_docproc.py::test_fast_path_matches_slow_path.
+        memo = self._fast_memo if self.xref_manager is None else None
         slow_groups = []
         for group in groups:
-            resolved = self._try_fast_path(group, doc, class_strategies, default_strategies)
-            if not resolved:
+            ref = group[0]
+            if memo is not None:
+                # key covers EVERYTHING the fast path reads: entity_key
+                # alone omits the cands' exact flags / scores
+                memo_key = (
+                    ref["entity_class"],
+                    ref["match_norm"],
+                    tuple(map(tuple, ref["cands"])),
+                    id(table),
+                )
+                try:
+                    mappings = memo[memo_key]
+                except KeyError:
+                    mappings = self._fast_path_mappings(
+                        ref, class_strategies, default_strategies
+                    )
+                    if len(memo) >= self._FAST_MEMO_MAX:
+                        memo.clear()
+                    memo[memo_key] = mappings
+            else:
+                mappings = self._fast_path_mappings(
+                    ref, class_strategies, default_strategies
+                )
+            if mappings is None:
                 slow_groups.append(group)
+                continue
+            for mapping in mappings:
+                xrefs = (
+                    self.xref_manager.create_xref_mappings(mapping)
+                    if self.xref_manager is not None
+                    else []
+                )
+                for ent in group:
+                    if mapping not in ent["mappings"]:
+                        ent["mappings"].append(dict(mapping))
+                    for xref in xrefs:
+                        if xref not in ent["mappings"]:
+                            ent["mappings"].append(dict(xref))
         groups = slow_groups
 
         for i in range(max_index):

@@ -579,6 +579,12 @@ class DeterministicTransformerNer:
             words = self._assemble_words(tokens, label_ids)
             return self.processor(words, text, MODEL_NER_NAMESPACE)
         # sparse driver: word-level first (pieces only for labeled words)
+        if _GENE_WORD_RE.search(text) is None:
+            # conservative C-level prefilter: a word can only be labeled
+            # if the gene pattern occurs SOMEWHERE in the text (a
+            # fullmatch implies a search hit), so a miss skips the whole
+            # per-word walk; a non-word-aligned hit just falls through
+            return []
         texts_starts = ([], [])
         for m in _WORD_RE.finditer(text):
             texts_starts[0].append(m.group())

@@ -188,7 +188,7 @@ def test_fast_path_matches_slow_path(store):
     stage = AnnotateStage(cache_dir)
     pages = pages_pandas("/root/testdata/sf0.001", limit=200)
     slow_runner = MappingRunner(store)
-    slow_runner._try_fast_path = lambda *a, **k: False  # disable fast path
+    slow_runner._fast_path_mappings = lambda *a, **k: None  # disable fast path
     fast_runner = stage.runner
 
     for row in pages.itertuples(index=False):
