@@ -463,14 +463,28 @@ class _DropStats:
         self.dropped_member_rows = 0
 
 
+_DROP_ACTOR_HANDLE = None
+
+
 def _drop_stats_actor():
     import ray
 
-    return (
-        ray.remote(num_cpus=0)(_DropStats)
-        .options(name=_SIMHASH_DROP_ACTOR, get_if_exists=True)
-        .remote()
-    )
+    global _DROP_ACTOR_HANDLE
+    if _DROP_ACTOR_HANDLE is None:
+        # detached: the counter must outlive the (worker-side) scopes
+        # that create it mid-query — a ref-counted named actor dies as
+        # soon as its creating task's handle drops
+        _DROP_ACTOR_HANDLE = (
+            ray.remote(num_cpus=0)(_DropStats)
+            .options(
+                name=_SIMHASH_DROP_ACTOR,
+                get_if_exists=True,
+                lifetime="detached",
+                namespace="kazu_ray",
+            )
+            .remote()
+        )
+    return _DROP_ACTOR_HANDLE
 
 
 def _report_simhash_drops(buckets: int, member_rows: int) -> None:

@@ -182,9 +182,31 @@ class _PartitionWriter:
     """One output partition's accumulator: receives hash-bucketed
     sub-tables from the scatter, then sorts, writes atomically and
     manifests its partition. Runs as a Ray actor (one per pending
-    partition); plain-Python here so the write logic is unit-testable."""
+    partition); plain-Python here so the write logic is unit-testable.
 
-    def __init__(self, part, out_dir, manifest_dir, key_col, sort_cols, content_cols, file_name):
+    Memory-bounded: once the buffered bytes exceed ``spill_bytes``, the
+    buffer is sorted and written to disk as a sorted RUN file; finalize
+    then k-way-merges the runs streaming (heap over per-run batch
+    cursors) into the final partition file, so peak actor heap is
+    O(spill_bytes + merge batch), not O(partition). The content hash,
+    min/max keys and row count are computed over the merged stream in
+    sorted order, so manifests are identical to the in-memory path
+    (ties in ``sort_cols`` hash identically because the hashed columns
+    are a subset of key+sort columns for every store in this engine)."""
+
+    MERGE_BATCH_ROWS = 65_536
+
+    def __init__(
+        self,
+        part,
+        out_dir,
+        manifest_dir,
+        key_col,
+        sort_cols,
+        content_cols,
+        file_name,
+        spill_bytes: int | None = None,
+    ):
         self.part = part
         self.out_dir = out_dir
         self.manifest_dir = manifest_dir
@@ -193,42 +215,210 @@ class _PartitionWriter:
         self.content_cols = content_cols
         self.file_name = file_name
         self.tables: list[pa.Table] = []
+        if spill_bytes is None:
+            spill_bytes = int(
+                os.environ.get("KAZU_WRITER_SPILL_BYTES", 512 * 1024 * 1024)
+            )
+        self.spill_bytes = spill_bytes
+        self.buffered_bytes = 0
+        self.run_paths: list[str] = []
+
+    # -- buffering / spilling ------------------------------------------------
+
+    def _part_dir(self) -> str:
+        return os.path.join(self.out_dir, f"part={self.part}")
+
+    def _sorted_buffer(self) -> pa.Table | None:
+        if not self.tables:
+            return None
+        table = pa.concat_tables(self.tables)
+        self.tables = []
+        self.buffered_bytes = 0
+        if self.sort_cols:
+            table = table.sort_by([(c, "ascending") for c in self.sort_cols])
+        return table
+
+    def _spill(self) -> None:
+        import pyarrow.parquet as pq
+
+        run = self._sorted_buffer()
+        if run is None or not run.num_rows:
+            return
+        os.makedirs(self._part_dir(), exist_ok=True)
+        path = os.path.join(self._part_dir(), f".run.{len(self.run_paths)}.parquet")
+        pq.write_table(run, path)
+        self.run_paths.append(path)
 
     def add(self, table: pa.Table) -> int:
         self.tables.append(table)
+        self.buffered_bytes += table.nbytes
+        if self.buffered_bytes >= self.spill_bytes:
+            self._spill()
         return table.num_rows
+
+    # -- merge ---------------------------------------------------------------
+
+    def _merged_stream(self):
+        """Yield the partition's rows as Arrow tables in globally sorted
+        order, merging the spilled sorted runs + the residual buffer
+        without holding more than one batch per run in memory."""
+        import heapq
+
+        import pyarrow.parquet as pq
+
+        sources = []
+        for path in self.run_paths:
+            sources.append(
+                pq.ParquetFile(path).iter_batches(batch_size=self.MERGE_BATCH_ROWS)
+            )
+        residual = self._sorted_buffer()
+        if residual is not None and residual.num_rows:
+            sources.append(iter(residual.to_batches(self.MERGE_BATCH_ROWS)))
+        if not sources:
+            return
+        if len(sources) == 1:
+            for rb in sources[0]:
+                yield pa.Table.from_batches([rb])
+            return
+
+        sort_cols = self.sort_cols or []
+
+        class _Cursor:
+            __slots__ = ("it", "keys", "batch", "idx", "n")
+
+            def __init__(self, it):
+                self.it = it
+                self.batch = None
+                self.idx = 0
+                self.n = 0
+
+            def load_next(self) -> bool:
+                for rb in self.it:
+                    if rb.num_rows == 0:
+                        continue
+                    self.batch = rb
+                    self.idx = 0
+                    self.n = rb.num_rows
+                    self.keys = [
+                        tuple(col)
+                        for col in zip(
+                            *(rb.column(c).to_pylist() for c in sort_cols)
+                        )
+                    ] if sort_cols else [()] * rb.num_rows
+                    return True
+                return False
+
+        heap = []
+        cursors = []
+        for i, src in enumerate(sources):
+            cur = _Cursor(src)
+            if cur.load_next():
+                cursors.append(cur)
+                heapq.heappush(heap, (cur.keys[0], i))
+            else:
+                cursors.append(cur)
+
+        # heap merge emitting per-source contiguous slices (each pop
+        # consumes the full run of rows ≤ the next heap head, so the
+        # per-row Python cost amortizes away on mostly-disjoint runs)
+        emitted: list[pa.Table] = []
+        pending_start = None
+        pending_src = None
+        pending_len = 0
+        emitted_rows = 0
+
+        def _emit_pending():
+            nonlocal pending_start, pending_len, emitted_rows
+            if pending_len:
+                cur = cursors[pending_src]
+                emitted.append(
+                    pa.Table.from_batches(
+                        [cur.batch.slice(pending_start, pending_len)]
+                    )
+                )
+                emitted_rows += pending_len
+                pending_start, pending_len = None, 0
+
+        while heap:
+            _key, src = heapq.heappop(heap)
+            cur = cursors[src]
+            if pending_src != src:
+                _emit_pending()
+                pending_src = src
+                pending_start = cur.idx
+                pending_len = 0
+            # take as many consecutive rows from this source as stay
+            # <= the next heap head (run of locally-minimal rows)
+            limit = heap[0][0] if heap else None
+            idx = cur.idx
+            keys = cur.keys
+            n = cur.n
+            while idx < n and (limit is None or keys[idx] <= limit):
+                idx += 1
+            pending_len += idx - cur.idx
+            cur.idx = idx
+            if idx < n:
+                heapq.heappush(heap, (keys[idx], src))
+            else:
+                _emit_pending()
+                pending_src = None
+                if cur.load_next():
+                    heapq.heappush(heap, (cur.keys[0], src))
+            if emitted_rows + pending_len >= self.MERGE_BATCH_ROWS:
+                _emit_pending()
+                pending_src = None
+                yield pa.concat_tables(emitted)
+                emitted = []
+                emitted_rows = 0
+        _emit_pending()
+        if emitted:
+            yield pa.concat_tables(emitted)
+
+    # -- finalize ------------------------------------------------------------
 
     def finalize(self) -> dict:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        table = (
-            pa.concat_tables(self.tables) if self.tables else None
-        )
-        self.tables = []
-        if table is not None and self.sort_cols:
-            table = table.sort_by([(c, "ascending") for c in self.sort_cols])
-        part_dir = os.path.join(self.out_dir, f"part={self.part}")
+        part_dir = self._part_dir()
         content_hash = hashlib.sha256()
         n_rows = 0
         min_key = max_key = None
-        if table is not None and table.num_rows:
-            os.makedirs(part_dir, exist_ok=True)
-            tmp = os.path.join(part_dir, f".tmp.{self.file_name}")
-            pq.write_table(table, tmp)
+        keep = list(dict.fromkeys(self.content_cols))
+        writer = None
+        tmp = os.path.join(part_dir, f".tmp.{self.file_name}")
+        try:
+            for table in self._merged_stream():
+                if not table.num_rows:
+                    continue
+                if writer is None:
+                    os.makedirs(part_dir, exist_ok=True)
+                    writer = pq.ParquetWriter(tmp, table.schema)
+                writer.write_table(table)
+                n_rows += table.num_rows
+                if keep:
+                    # vectorized content hash: cast → tab-join → newline
+                    str_cols = [pc.cast(table[c], pa.string()) for c in keep]
+                    lines = pc.binary_join_element_wise(
+                        *str_cols, "\t", null_handling="replace", null_replacement="None"
+                    )
+                    lines = pc.binary_join_element_wise(lines, "", "\n")
+                    content_hash.update(lines.to_pandas().str.cat().encode())
+                mm = pc.min_max(table[self.key_col])
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                min_key = lo if min_key is None else min(min_key, lo)
+                max_key = hi if max_key is None else max(max_key, hi)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is not None:
             os.replace(tmp, os.path.join(part_dir, self.file_name))
-            n_rows = table.num_rows
-            keep = list(dict.fromkeys(self.content_cols))
-            if keep:
-                # vectorized content hash: cast → tab-join → newline-suffix
-                str_cols = [pc.cast(table[c], pa.string()) for c in keep]
-                lines = pc.binary_join_element_wise(
-                    *str_cols, "\t", null_handling="replace", null_replacement="None"
-                )
-                lines = pc.binary_join_element_wise(lines, "", "\n")
-                content_hash.update(lines.to_pandas().str.cat().encode())
-            mm = pc.min_max(table[self.key_col])
-            min_key, max_key = mm["min"].as_py(), mm["max"].as_py()
+        for path in self.run_paths:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        self.run_paths = []
         manifest = {
             "partition_id": self.part,
             "row_count": n_rows,
@@ -251,6 +441,7 @@ def materialize_partitioned(
     sort_cols: list[str] | None = None,
     hash_cols: list[str] | None = None,
     file_name: str = "data.parquet",
+    spill_bytes: int | None = None,
 ) -> list[dict]:
     """Generic resumable partitioned materialize.
 
@@ -299,10 +490,12 @@ def materialize_partitioned(
     # triple rows on 32 CPUs, vs ~2 s of actual useful work); rows here
     # only need co-location by hash bucket, never a total order.
     # Mechanics (retry-disabled feed, backpressure, leak-safe reaping)
-    # are shared with the other exchanges — see ops/exchange.py. The
-    # capacity assumption is unchanged from the groupby form: one
-    # partition's rows fit one worker — size num_parts accordingly
-    # (thousands at crawl scale).
+    # are shared with the other exchanges — see ops/exchange.py. Unlike
+    # the generic exchange accumulators, the writers are SPILL-CAPABLE:
+    # past ``spill_bytes`` of buffered rows a writer sorts and spills a
+    # run file, and finalize streams a k-way merge — so a partition
+    # larger than a worker's heap still materializes; num_parts tunes
+    # parallelism and file size, not a hard memory bound.
     import ray as _ray
 
     from kazu_ray.ops.exchange import feed_to_actors, reaped_actors
@@ -310,7 +503,8 @@ def materialize_partitioned(
     writer_cls = _ray.remote(num_cpus=0)(_PartitionWriter)
     writers = {
         p: writer_cls.remote(
-            p, out_dir, manifest_dir, key_col, sort_cols, content_cols, file_name
+            p, out_dir, manifest_dir, key_col, sort_cols, content_cols, file_name,
+            spill_bytes,
         )
         for p in pending
     }

@@ -203,6 +203,86 @@ def test_triple_store_point_lookup(ray_session, tmp_path):
     assert lookup_triples(out, "NOPE:NOPE").num_rows == 0
 
 
+def test_partition_writer_spill_path_equals_in_memory(tmp_path):
+    """The spill path (tiny spill_bytes → many sorted runs + k-way merge)
+    must produce the same file rows, manifest sha, min/max keys and row
+    count as the in-memory path on the same input."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kazu_ray.stages.materialize import _PartitionWriter
+
+    rng = np.random.RandomState(11)
+    batches = []
+    for _ in range(20):
+        n = 500
+        batches.append(
+            pa.table(
+                {
+                    "subj": pa.array([f"S:{rng.randint(0, 400):04d}" for _ in range(n)]),
+                    "pred": pa.array([f"p{rng.randint(0, 3)}" for _ in range(n)]),
+                    "obj": pa.array([f"O:{rng.randint(0, 400):04d}" for _ in range(n)]),
+                }
+            )
+        )
+
+    def run(base, spill_bytes):
+        out = str(tmp_path / base)
+        mdir = str(tmp_path / f"{base}_m")
+        import os
+
+        os.makedirs(out), os.makedirs(mdir)
+        w = _PartitionWriter(
+            0, out, mdir, "subj", ["subj", "pred", "obj"], ["subj", "pred", "obj"],
+            "t.parquet", spill_bytes=spill_bytes,
+        )
+        for b in batches:
+            w.add(b)
+        man = w.finalize()
+        tbl = pq.read_table(f"{out}/part=0/t.parquet")
+        return man, tbl
+
+    man_mem, tbl_mem = run("mem", spill_bytes=1 << 40)
+    man_spill, tbl_spill = run("spill", spill_bytes=20_000)  # forces many runs
+    assert man_spill["sha256"] == man_mem["sha256"]
+    assert man_spill["row_count"] == man_mem["row_count"] == 10_000
+    assert man_spill["min_key"] == man_mem["min_key"]
+    assert man_spill["max_key"] == man_mem["max_key"]
+    assert tbl_spill.to_pylist() == tbl_mem.to_pylist()
+    # no leftover run files
+    import glob
+
+    assert not glob.glob(str(tmp_path / "spill" / "part=0" / ".run.*"))
+
+
+def test_partition_writer_spill_merge_batches(tmp_path):
+    """Merge output crossing MERGE_BATCH_ROWS boundaries stays sorted
+    and complete (exercises the emit/flush cycling)."""
+    import pyarrow.parquet as pq
+
+    from kazu_ray.stages.materialize import _PartitionWriter
+
+    out = str(tmp_path / "o")
+    mdir = str(tmp_path / "m")
+    import os
+
+    os.makedirs(out), os.makedirs(mdir)
+    w = _PartitionWriter(
+        0, out, mdir, "k", ["k"], ["k"], "t.parquet", spill_bytes=1
+    )
+    w.MERGE_BATCH_ROWS = 97  # force frequent emission
+    total = 0
+    for i in range(7):
+        vals = [f"{(i * 37 + j) % 1000:05d}" for j in range(301)]
+        w.add(pa.table({"k": pa.array(vals)}))
+        total += 301
+    man = w.finalize()
+    tbl = pq.read_table(f"{out}/part=0/t.parquet")
+    assert man["row_count"] == total == tbl.num_rows
+    ks = tbl["k"].to_pylist()
+    assert ks == sorted(ks)
+
+
 def test_global_parser_action_drop_ids():
     from kazu_ray.ontology.build import build_parser_caches
     from kazu_ray.ontology.generate import generate_ontology_tables
