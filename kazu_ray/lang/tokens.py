@@ -14,11 +14,24 @@ from __future__ import annotations
 
 import re
 
-# a token is a run of word chars (unicode), or a single non-space symbol.
-# hyphens/slashes between word chars are symbol tokens of their own, which
-# matches the reference tokenizer's behaviour of keeping "BRCA1/2" as
-# three tokens (BRCA1, /, 2).
-_TOKEN = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+# a token is a run of word chars (unicode) — possibly JOINED ACROSS
+# HYPHENS — or a single non-space symbol. The hyphen rule ports the
+# reference's custom tokenizer (``kazu/utils/spacy_pipeline.py:28-70``):
+# the default hyphen-infix split is removed ("ALK-Abello" must stay one
+# token so 'ALK' alone can't match a gene; spacy_pipeline.py:43-49),
+# EXCEPT between digits where the numeric-operator infix
+# ``(?<=[0-9])[+\-\*^](?=[0-9-])`` still applies ("2-3" → [2, -, 3]).
+# "/" and "(" remain explicit infixes (spacy_pipeline.py:64) so
+# "BRCA1/2" stays three tokens (BRCA1, /, 2), and the removed
+# single-letter exceptions + added uppercase-dot suffix
+# (spacy_pipeline.py:52-70) mean "…Haemophilia A." splits the final
+# "." — which a symbol-per-char tokenizer does by construction.
+# hyphen continuation: letter-"-"-wordchar joins, digit-"-"-letter
+# joins, digit-"-"-digit splits.
+_TOKEN = re.compile(
+    r"\w+(?:(?:(?<=[^\W\d_])-(?=\w)|(?<=\d)-(?=[^\W\d_]))\w+)*|[^\w\s]",
+    re.UNICODE,
+)
 
 # sentence boundary: ./!/? (possibly repeated) followed by whitespace.
 _SENT_BOUNDARY = re.compile(r"[.!?]+(?=\s)|[.!?]+$")

@@ -211,3 +211,39 @@ def test_bucket_ids_dtype_stable_with_nulls():
     s1 = bucket_ids(pa.chunked_array([pa.array(["x", "y"])]), 64).tolist()
     s2 = bucket_ids(pa.chunked_array([pa.array(["x", None])]), 64).tolist()
     assert s1[0] == s2[0]
+
+
+def test_tokenizer_ports_reference_hyphen_rules():
+    """Rule-level port of the reference's custom tokenizer
+    (kazu/utils/spacy_pipeline.py:28-70), checked on the cases the
+    reference's own comments document (spaCy itself is unavailable
+    here, so this pins the rules rather than differentialing spacy):
+
+    - hyphen infix removed: 'ALK-Abello' must stay ONE token so 'ALK'
+      alone can't surface as a gene mention (spacy_pipeline.py:43-49)
+    - numeric-operator infix kept: '2-3' splits (spacy_pipeline.py:32)
+    - '/' and '(' are infixes: 'BRCA1/2' → three tokens
+      (spacy_pipeline.py:64)
+    - single-letter exceptions removed + uppercase-dot suffix added:
+      sentence-final 'Haemophilia A.' yields a bare 'A' token
+      (spacy_pipeline.py:52-70)
+    """
+    from kazu_ray.lang.tokens import token_boundaries, tokenize, word_is_valid
+
+    def toks(s):
+        return [t[0] for t in tokenize(s)]
+
+    assert toks("ALK-Abello") == ["ALK-Abello"]
+    assert toks("2-3") == ["2", "-", "3"]
+    assert toks("PI3-kinase inhibitor") == ["PI3-kinase", "inhibitor"]
+    assert toks("BRCA1/2") == ["BRCA1", "/", "2"]
+    assert toks("see (EGFR) here") == ["see", "(", "EGFR", ")", "here"]
+    assert toks("Haemophilia A.") == ["Haemophilia", "A", "."]
+
+    # the downstream consequence the hyphen rule exists for: 'ALK' is
+    # NOT a valid token-aligned match inside 'ALK-Abello'
+    starts, ends = token_boundaries("ALK-Abello announced")
+    assert not word_is_valid(0, 2, starts, ends)
+    # ...but is valid as a standalone token
+    starts, ends = token_boundaries("ALK fusion")
+    assert word_is_valid(0, 2, starts, ends)
