@@ -30,38 +30,155 @@ _TOKEN = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 
 # ---------------------------------------------------------------------------
 # RulesBasedEntityClassDisambiguationFilterStep
-# (kazu/steps/linking/rules_based_disambiguation.py:37-288) — the reference
-# evaluates spaCy token-pattern TP/FP rules on the sentence containing each
-# mention; this engine's rules are keyword sets per entity class (a config
-# simplification; the decision logic at :248-260 is preserved: a
-# (match, entity_class) key survives only if some TP rule hits somewhere in
-# the doc (when TP rules exist) and no FP rule hits).
+# (kazu/steps/linking/rules_based_disambiguation.py:37-288) — token-pattern
+# TP/FP rules evaluated on the SENTENCE containing each mention, via the
+# engine's TokenMatcher (spaCy-Matcher subset, lang/token_matcher.py).
+# Rule format mirrors the reference constructor:
+#   {"class_rules":   {entity_class: {"tp": patterns|None, "fp": ...}},
+#    "mention_rules": {entity_class: {match: {"tp": ..., "fp": ...}}}}
+# A (match, entity_class) key survives only if every CONFIGURED tp aspect
+# hit somewhere in the document and no configured fp aspect hit
+# (decision at :248-260, ported verbatim — including the reference's
+# quirk at :245-247 where the mention-fp aggregate ORs in the CLASS fp
+# result).
 # ---------------------------------------------------------------------------
 
-DEFAULT_CLASS_RULES: dict[str, dict[str, list[str]]] = {
-    # planted for the cross-parser ambiguous surface "ABC1" (gene vs drug)
-    "drug": {"tp": [], "fp": []},
+DEFAULT_CLASS_RULES: dict = {
+    # The reference's shipped default rules target cell_line / cell_type /
+    # anatomy (conf/RulesBasedEntityClassDisambiguationFilterStep/
+    # default.yaml) — classes this engine's synthetic ontologies don't
+    # produce, so the faithful default here is "no rules configured".
+    # Pipelines pass their own rules through ``class_rules``.
 }
+
+
+class RulesBasedFilter:
+    """Compiled form of one rules config; built once per actor."""
+
+    def __init__(self, rules: dict):
+        from kazu_ray.lang.token_matcher import TokenMatcher
+
+        self.class_matchers: dict[str, dict[str, TokenMatcher]] = {}
+        for clazz, tp_fp in (rules.get("class_rules") or {}).items():
+            for kind, patterns in (tp_fp or {}).items():
+                if patterns is not None:
+                    self.class_matchers.setdefault(clazz, {})[kind] = TokenMatcher(
+                        patterns
+                    )
+        self.mention_matchers: dict[str, dict[str, dict[str, TokenMatcher]]] = {}
+        for clazz, by_mention in (rules.get("mention_rules") or {}).items():
+            for mention, tp_fp in (by_mention or {}).items():
+                for kind, patterns in (tp_fp or {}).items():
+                    if patterns is not None:
+                        self.mention_matchers.setdefault(clazz, {}).setdefault(
+                            mention, {}
+                        )[kind] = TokenMatcher(patterns)
+        self.empty = not self.class_matchers and not self.mention_matchers
+
+    @staticmethod
+    def _check(matchers, sent_tokens):
+        """→ (tp_result, fp_result), each True/False/None=not-configured."""
+        if matchers is None:
+            return None, None
+        tp = matchers.get("tp")
+        fp = matchers.get("fp")
+        return (
+            None if tp is None else bool(tp(sent_tokens)),
+            None if fp is None else bool(fp(sent_tokens)),
+        )
+
+    def filter_sections(
+        self,
+        section_texts: list[str],
+        sents_per_section: list[list[tuple[int, int]]],
+        ents_per_section: list[list[dict]],
+    ) -> list[list[dict]]:
+        """Document-wide evaluation then per-section drop — port of
+        rules_based_disambiguation.py:171-260."""
+        if self.empty:
+            return ents_per_section
+        from kazu_ray.lang.token_matcher import sentence_match_tokens
+        from kazu_ray.lang.tokens import tokenize
+
+        # per-key doc-level aggregates (key = (match, entity_class))
+        tp_class: dict = {}
+        fp_class: dict = {}
+        tp_mention: dict = {}
+        fp_mention: dict = {}
+        cfg = {}  # key -> [class_tp?, class_fp?, mention_tp?, mention_fp?]
+        considered: set = set()
+
+        sent_token_cache: dict[tuple[int, int], list] = {}
+        for sec_idx, (text, sents, ents) in enumerate(
+            zip(section_texts, sents_per_section, ents_per_section)
+        ):
+            toks = None
+            for ent in ents:
+                clazz = ent["entity_class"]
+                maybe_class = self.class_matchers.get(clazz)
+                maybe_mention = self.mention_matchers.get(clazz, {}).get(ent["match"])
+                if maybe_class is None and maybe_mention is None:
+                    continue
+                key = (ent["match"], clazz)
+                considered.add(key)
+                if toks is None:
+                    toks = tokenize(text)
+                si = sentence_index_for_span(sents, ent["start"])
+                ck = (sec_idx, si)
+                sent_tokens = sent_token_cache.get(ck)
+                if sent_tokens is None:
+                    sent_tokens = sentence_match_tokens(text, sents[si], ents, toks)
+                    sent_token_cache[ck] = sent_tokens
+                tp_c, fp_c = self._check(maybe_class, sent_tokens)
+                tp_m, fp_m = self._check(maybe_mention, sent_tokens)
+                flags = cfg.setdefault(key, [False, False, False, False])
+                flags[0] = tp_c is not None
+                flags[1] = fp_c is not None
+                flags[2] = tp_m is not None
+                flags[3] = fp_m is not None
+                tp_class[key] = tp_class.get(key, False) or tp_c is True
+                fp_class[key] = fp_class.get(key, False) or fp_c is True
+                tp_mention[key] = tp_mention.get(key, False) or tp_m is True
+                # reference quirk (:245-247): the mention-fp aggregate ORs
+                # the CLASS fp result, not the mention fp result
+                fp_mention[key] = fp_mention.get(key, False) or fp_c is True
+
+        def drop(ent) -> bool:
+            key = (ent["match"], ent["entity_class"])
+            if key not in considered:
+                return False
+            c_tp, c_fp, m_tp, m_fp = cfg[key]
+            return (
+                (c_fp and fp_class[key])
+                or (c_tp and not tp_class[key])
+                or (m_fp and fp_mention[key])
+                or (m_tp and not tp_mention[key])
+            )
+
+        return [[e for e in ents if not drop(e)] for ents in ents_per_section]
+
+
+# compiled-rules memo: the same rules dict object (e.g. the module-level
+# default, or one actor's config) compiles once; the dict is retained in
+# the value so its id cannot be recycled
+_COMPILED_RULES: dict[int, tuple[dict, RulesBasedFilter]] = {}
+
+
+def _compiled(rules: dict) -> RulesBasedFilter:
+    entry = _COMPILED_RULES.get(id(rules))
+    if entry is None or entry[0] is not rules:
+        entry = (rules, RulesBasedFilter(rules))
+        _COMPILED_RULES[id(rules)] = entry
+    return entry[1]
 
 
 def rules_based_filter(
     text: str, sents: list[tuple[int, int]], ents: list[dict], rules: dict
 ) -> list[dict]:
+    """Single-section wrapper over :meth:`RulesBasedFilter.filter_sections`."""
     if not rules:
         return ents
-    keep: list[dict] = []
-    doc_lower = text.lower()
-    for ent in ents:
-        rule = rules.get(ent["entity_class"])
-        if rule is None:
-            keep.append(ent)
-            continue
-        tp, fp = rule.get("tp") or [], rule.get("fp") or []
-        tp_ok = (not tp) or any(kw.lower() in doc_lower for kw in tp)
-        fp_hit = any(kw.lower() in doc_lower for kw in fp)
-        if tp_ok and not fp_hit:
-            keep.append(ent)
-    return keep
+    return _compiled(rules).filter_sections([text], [sents], [ents])[0]
 
 
 # ---------------------------------------------------------------------------
@@ -530,10 +647,11 @@ def process_sections(
         for e in ents:
             e["section_idx"] = i
     if rules:
-        ents_per_section = [
-            rules_based_filter(doc_text, sents, ents, rules)
-            for ents, sents in zip(ents_per_section, sents_per_section)
-        ]
+        # document-wide aggregation across sections, per the reference
+        # (a tp hit in one section validates the key in all sections)
+        ents_per_section = _compiled(rules).filter_sections(
+            section_texts, sents_per_section, ents_per_section
+        )
     all_ents = [e for ents in ents_per_section for e in ents]
     runner.run_doc(all_ents, doc_text)
 

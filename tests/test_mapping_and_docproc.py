@@ -203,3 +203,143 @@ def test_fast_path_matches_slow_path(store):
             assert sorted(map(str, ef["mappings"])) == sorted(
                 map(str, es["mappings"])
             ), (row.url, ef["match"])
+
+
+# ---------------------------------------------------------------------------
+# token-pattern RulesBased disambiguation filter
+# (mirrors kazu/tests/test_rules_based_disambiguation.py scenarios)
+# ---------------------------------------------------------------------------
+
+_DRUG_TP_CLASS = [[{"_": {"drug": True}}, {"LOWER": "is"}, {"LOWER": "a"}, {"LOWER": "molecule"}]]
+_DRUG_FP_CLASS = [[{"_": {"gene": True}}, {"LOWER": "is"}, {"LOWER": "a"}, {"LOWER": "gene"}]]
+_GENE_TP_CLASS = [[{"_": {"gene": True}}, {"LOWER": "is"}, {"LOWER": "a"}, {"LOWER": "gene"}]]
+_GENE_FP_CLASS = [[{"_": {"drug": True}}, {"LOWER": "is"}, {"LOWER": "a"}, {"LOWER": "molecule"}]]
+_DRUG_TP_MENTION = [[{"LOWER": "drug"}]]
+_DRUG_FP_MENTION = [[{"LOWER": "protein"}]]
+_GENE_TP_MENTION = [[{"LOWER": "protein"}]]
+_GENE_FP_MENTION = [[{"LOWER": "drug"}]]
+_LOW_INFO = "Insulin is commonly studied"
+
+
+def _rules_docs():
+    """Two-section docs with an ambiguous gene+drug 'Insulin' mention in
+    each section (the reference's _create_test_docs shape)."""
+    def ents():
+        return [
+            {"start": 0, "end": 7, "match": "Insulin", "entity_class": "gene"},
+            {"start": 0, "end": 7, "match": "Insulin", "entity_class": "drug"},
+        ]
+
+    return ents
+
+
+def _run_rules(rules, main_text):
+    from kazu_ray.lang.tokens import sentence_spans
+    from kazu_ray.stages.docproc import RulesBasedFilter
+
+    mk = _rules_docs()
+    texts = [main_text, _LOW_INFO]
+    sents = [sentence_spans(t) for t in texts]
+    ents = [mk(), mk()]
+    out = RulesBasedFilter(rules).filter_sections(texts, sents, ents)
+    return [e["entity_class"] for sec in out for e in sec]
+
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize(
+    "rules",
+    [
+        {"class_rules": {"drug": {"tp": _DRUG_TP_CLASS, "fp": _DRUG_FP_CLASS},
+                         "gene": {"tp": _GENE_TP_CLASS, "fp": _GENE_FP_CLASS}}},
+        {"class_rules": {"drug": {"tp": _DRUG_TP_CLASS}, "gene": {"tp": _GENE_TP_CLASS}}},
+        {"class_rules": {"drug": {"fp": _DRUG_FP_CLASS}, "gene": {"fp": _GENE_FP_CLASS}}},
+        {"class_rules": {"drug": {"tp": _DRUG_TP_CLASS}, "gene": {"fp": _GENE_FP_CLASS}}},
+        {"mention_rules": {
+            "drug": {"Insulin": {"tp": _DRUG_TP_MENTION, "fp": _DRUG_FP_MENTION}},
+            "gene": {"Insulin": {"tp": _GENE_TP_MENTION, "fp": _GENE_FP_MENTION}}}},
+        {"class_rules": {"drug": {"tp": _DRUG_TP_CLASS, "fp": _DRUG_FP_CLASS},
+                         "gene": {"tp": _GENE_TP_CLASS, "fp": _GENE_FP_CLASS}},
+         "mention_rules": {
+            "drug": {"Insulin": {"tp": _DRUG_TP_MENTION, "fp": _DRUG_FP_MENTION}},
+            "gene": {"Insulin": {"tp": _GENE_TP_MENTION, "fp": _GENE_FP_MENTION}}}},
+    ],
+)
+def test_rules_filter_reference_scenarios(rules):
+    """Every reference rule combination must keep exactly the 2 drug
+    entities for the drug doc and the 2 gene entities for the gene doc
+    (kazu/tests/test_rules_based_disambiguation.py:128-146)."""
+    assert _run_rules(rules, "Insulin is a molecule or drug.") == ["drug", "drug"]
+    assert _run_rules(rules, "Insulin is a gene or protein.") == ["gene", "gene"]
+
+
+def test_rules_filter_pathological_drops_everything():
+    """Reference :198-223: conflicting class+mention evidence drops all."""
+    rules = {
+        "class_rules": {"drug": {"tp": _DRUG_TP_CLASS, "fp": _DRUG_FP_CLASS},
+                        "gene": {"tp": _GENE_TP_CLASS, "fp": _GENE_FP_CLASS}},
+        "mention_rules": {
+            "drug": {"Insulin": {"tp": _DRUG_TP_MENTION, "fp": _DRUG_FP_MENTION}},
+            "gene": {"Insulin": {"tp": _GENE_TP_MENTION, "fp": _GENE_FP_MENTION}}},
+    }
+    assert _run_rules(rules, "Insulin is a molecule or protein.") == []
+    assert _run_rules(rules, "Insulin is a molecule or gene.") == []
+
+
+def test_rules_filter_sentence_scoped_not_doc_scoped():
+    """Patterns evaluate on the SENTENCE containing the mention: tp
+    evidence in a different sentence of the same doc still validates the
+    key (doc-level aggregation), but evidence must be sentence-local to
+    the evaluated occurrence."""
+    from kazu_ray.lang.tokens import sentence_spans
+    from kazu_ray.stages.docproc import RulesBasedFilter
+
+    text = "Insulin is discussed. Insulin is a molecule today."
+    ents = [
+        {"start": 0, "end": 7, "match": "Insulin", "entity_class": "drug"},
+        {"start": 22, "end": 29, "match": "Insulin", "entity_class": "drug"},
+    ]
+    rules = {"class_rules": {"drug": {"tp": _DRUG_TP_CLASS}}}
+    out = RulesBasedFilter(rules).filter_sections(
+        [text], [sentence_spans(text)], [ents]
+    )
+    # second occurrence's sentence hits tp → the key survives doc-wide
+    assert len(out[0]) == 2
+    # without the validating sentence, the key dies
+    t2 = "Insulin is discussed."
+    out2 = RulesBasedFilter(rules).filter_sections(
+        [t2], [sentence_spans(t2)], [[ents[0]]]
+    )
+    assert out2[0] == []
+
+
+def test_token_matcher_ops_and_sets():
+    """Operator / set-predicate subset used by the shipped config
+    (conf/RulesBasedEntityClassDisambiguationFilterStep/default.yaml)."""
+    from kazu_ray.lang.token_matcher import MatchToken, TokenMatcher
+
+    def toks(s, classes=()):
+        return [MatchToken(w, set(classes)) for w in s.split()]
+
+    # IN set + extension (cell_line-style rule)
+    m = TokenMatcher([[{"_": {"cell_line": True}}, {"LOWER": {"IN": ["cell", "cells"]}}]])
+    assert m([MatchToken("HeLa", {"cell_line"}), MatchToken("cells")])
+    assert not m([MatchToken("HeLa", {"cell_line"}), MatchToken("tissue")])
+    # OP "?" (quality-of-life-style rule)
+    m = TokenMatcher([[{"LOWER": "quality"}, {"LOWER": "-", "OP": "?"},
+                       {"LOWER": "of"}, {"LOWER": "-", "OP": "?"}, {"LOWER": "life"}]])
+    assert m(toks("quality of life"))
+    assert m([MatchToken(w) for w in ["quality", "-", "of", "-", "life"]])
+    assert not m(toks("quality of death"))
+    # OP "+" and "!"
+    m = TokenMatcher([[{"IS_DIGIT": True, "OP": "+"}, {"LOWER": "mg"}]])
+    assert m(toks("take 5 10 mg now"))
+    assert not m(toks("take mg now"))
+    m = TokenMatcher([[{"LOWER": "anti", "OP": "!"}, {"LOWER": "body"}]])
+    assert m(toks("the body works"))
+    assert not m(toks("anti body works"))
+    # NORM is case-insensitive both ways
+    m = TokenMatcher([[{"NORM": "ICSI"}]])
+    assert m(toks("icsi treatment"))
+    assert m(toks("ICSI treatment"))
