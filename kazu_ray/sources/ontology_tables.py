@@ -385,6 +385,8 @@ def from_ntriples(
     uri_regex: str,
     synonym_predicates: tuple = (OBO_EXACT_SYNONYM,),
     label_predicate: str = RDFS_LABEL,
+    include_entity_patterns: tuple = (),
+    exclude_entity_patterns: tuple = (),
 ) -> pd.DataFrame:
     """RDF N-Triples parser — ``RDFGraphParser.parse_to_dataframe``
     semantics (``kazu/ontology_preprocessing/parsers.py:467-620``)
@@ -410,29 +412,54 @@ def from_ntriples(
                     continue
                 yield m.group("subj"), m.group("pred"), _nt_unescape(lit)
 
-    rows = _rows_from_spo(spo(), uri_regex, synonym_predicates, label_predicate)
+    rows = _rows_from_spo(
+        spo(), uri_regex, synonym_predicates, label_predicate,
+        include_entity_patterns, exclude_entity_patterns,
+    )
     return _finalize(pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin)
 
 
 def _rows_from_spo(
-    spo_iter, uri_regex: str, synonym_predicates: tuple, label_predicate: str
+    spo_iter,
+    uri_regex: str,
+    synonym_predicates: tuple,
+    label_predicate: str,
+    include_entity_patterns: tuple = (),
+    exclude_entity_patterns: tuple = (),
 ) -> list[tuple]:
     """(subject, predicate, literal) triples → canonical rows: subjects
     matching ``uri_regex`` with a label triple yield one label row plus
     one row per synonym-predicate literal, mapping_type = predicate IRI
-    (the ``RDFGraphParser`` row shape, ``parsers.py:467-620``)."""
+    (the ``RDFGraphParser`` row shape, ``parsers.py:467-620``).
+
+    ``include_entity_patterns`` / ``exclude_entity_patterns`` are
+    (predicate, literal) pairs with the reference's semantics
+    (``parsers.py:589-595``): a subject is kept only if EVERY include
+    pattern is among its triples and NO exclude pattern is — the
+    mechanism behind the per-namespace GeneOntology parsers."""
     uri_re = re.compile(uri_regex)
     syn_preds = set(synonym_predicates)
     labels: dict[str, str] = {}
     syns_by_subj: dict[str, list[tuple[str, str]]] = {}
+    pattern_preds = {p for p, _v in include_entity_patterns} | {
+        p for p, _v in exclude_entity_patterns
+    }
+    subj_patterns: dict[str, set[tuple[str, str]]] = {}
     for subj, pred, lit in spo_iter:
         if pred == label_predicate:
             labels[subj] = lit
         elif pred in syn_preds:
             syns_by_subj.setdefault(subj, []).append((lit, pred))
+        if pred in pattern_preds:
+            subj_patterns.setdefault(subj, set()).add((pred, lit))
     rows = []
     for subj, label in labels.items():
         if not uri_re.match(subj):
+            continue
+        have = subj_patterns.get(subj, set())
+        if any(pat not in have for pat in include_entity_patterns):
+            continue
+        if any(pat in have for pat in exclude_entity_patterns):
             continue
         rows.append((subj, label, label, label_predicate))
         for syn, pred in syns_by_subj.get(subj, []):
@@ -449,6 +476,8 @@ def from_rdf_xml(
     uri_regex: str,
     synonym_predicates: tuple = (OBO_EXACT_SYNONYM,),
     label_predicate: str = RDFS_LABEL,
+    include_entity_patterns: tuple = (),
+    exclude_entity_patterns: tuple = (),
 ) -> pd.DataFrame:
     """RDF/XML (OWL) parser — the serialization OBO Foundry ontologies
     (CLO, Mondo, CL, UBERON …) actually ship, so a user pointing at a
@@ -494,7 +523,62 @@ def from_rdf_xml(
                     yield from emit(elem)
                     root.clear()
 
-    rows = _rows_from_spo(spo(), uri_regex, synonym_predicates, label_predicate)
+    rows = _rows_from_spo(
+        spo(), uri_regex, synonym_predicates, label_predicate,
+        include_entity_patterns, exclude_entity_patterns,
+    )
+    return _finalize(pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin)
+
+
+GO_URI_REGEX = r"^http://purl.obolibrary.org/obo/GO_[0-9]+$"
+OBO_NAMESPACE_PRED = "http://www.geneontology.org/formats/oboInOwl#hasOBONamespace"
+
+
+def from_gene_ontology(
+    path: str,
+    data_origin: str = "go",
+    namespace: str | None = None,
+) -> pd.DataFrame:
+    """GeneOntologyParser port (``parsers.py:678-898``): the GO
+    ``uri_regex`` and ``hasExactSynonym`` predicate, optional filtering
+    to one ``hasOBONamespace`` (the Biological Process / Molecular
+    Function / Cellular Component subclasses are exactly this include
+    pattern, ``parsers.py:806-813``), and the GO-specific exclusion:
+    rows whose default label contains ``obsolete`` are dropped
+    (``parsers.py:766-775``). ``path`` may be ``.nt`` or RDF/XML."""
+    include = (
+        ((OBO_NAMESPACE_PRED, namespace),) if namespace is not None else ()
+    )
+    reader = from_ntriples if path.endswith(".nt") else from_rdf_xml
+    df = reader(
+        path,
+        data_origin,
+        uri_regex=GO_URI_REGEX,
+        synonym_predicates=(OBO_EXACT_SYNONYM,),
+        include_entity_patterns=include,
+    )
+    return df[~df["default_label"].str.contains("obsolete")].reset_index(drop=True)
+
+
+def from_hgnc_gene_family_tsv(path: str, data_origin: str = "hgnc_gene_family") -> pd.DataFrame:
+    """HGNCGeneFamilyParser port (``parsers.py:1477-1517``): group the
+    TSV by ``Family ID``; the (unique) ``Family name`` becomes the
+    default label and a synonym row with mapping_type ``Family name``;
+    every distinct value in the ``Family alias`` and ``Common root gene
+    symbol`` columns becomes a synonym row with the column name as its
+    mapping_type."""
+    syn_column_keys = ("Family alias", "Common root gene symbol")
+    df = pd.read_csv(path, sep="\t")
+    rows = []
+    for family_id, grp in df.groupby(by="Family ID"):
+        names = set(grp["Family name"].dropna())
+        # "in theory, there should only be one family name per ID"
+        assert len(names) == 1, f"multiple family names for {family_id}: {names}"
+        default_label = next(iter(names))
+        rows.append((str(family_id), default_label, default_label, "Family name"))
+        for key in syn_column_keys:
+            for syn in sorted(set(grp[key].dropna())):
+                rows.append((str(family_id), default_label, syn, key))
     return _finalize(pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin)
 
 

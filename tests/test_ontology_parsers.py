@@ -322,3 +322,100 @@ def test_opentargets_molecule_jsonl_parser():
     assert set(asp[asp["mapping_type"] == "tradeNames"]["syn"]) == {"Aspro", "Disprin"}
     par = df[df["idx"] == "CHEMBL112"]
     assert set(par["syn"]) == {"PARACETAMOL"}
+
+
+def test_gene_ontology_parser_namespaces_and_obsolete(tmp_path):
+    """GeneOntologyParser quirks (parsers.py:678-898): per-namespace
+    include patterns + 'obsolete' default-label exclusion + GO
+    uri_regex; fixture → cache → annotate end-to-end."""
+    import json
+
+    from kazu_ray.sources.ontology_tables import from_gene_ontology
+    from kazu_ray.stages.fused import AnnotateStage
+    from kazu_ray.state.store import load_store
+
+    path = os.path.join(FIXTURES, "go_like.nt")
+    # unfiltered: obsolete dropped, non-GO subject dropped
+    df_all = from_gene_ontology(path)
+    idxs = set(df_all["idx"])
+    assert "http://purl.obolibrary.org/obo/GO_0000005" not in idxs  # obsolete
+    assert not any("not_go" in i for i in idxs)
+    assert len(idxs) == 3
+    # namespace filtering = the BiologicalProcess/MolecularFunction/
+    # CellularComponent subclasses (parsers.py:806-813)
+    df_bp = from_gene_ontology(path, namespace="biological_process")
+    assert set(df_bp["idx"]) == {"http://purl.obolibrary.org/obo/GO_0000001"}
+    assert "mitochondrial inheritance" in set(df_bp["syn"])
+    df_mf = from_gene_ontology(path, namespace="molecular_function")
+    # obsolete exclusion applies inside the namespace too
+    assert set(df_mf["idx"]) == {"http://purl.obolibrary.org/obo/GO_0003674"}
+
+    # cache build → annotation finds the BP synonym
+    cache_dir = str(tmp_path / "cache")
+    build_caches_from_source(df_bp, "go_bp", "biological_process", "GO", cache_dir)
+    store = load_store(cache_dir)
+    assert (store.ner_terms["parser_name"] == "go_bp").any()
+    stage = AnnotateStage(cache_dir, with_model_ner=False)
+    out = stage(
+        pa.table(
+            {
+                "doc_id": ["d1"],
+                "text": pa.array(
+                    ["Evidence of mitochondrial inheritance was found."],
+                    type=pa.large_string(),
+                ),
+            }
+        )
+    )
+    ents = json.loads(out["ents_json"][0].as_py())
+    assert any(
+        e["match"] == "mitochondrial inheritance"
+        and e["entity_class"] == "biological_process"
+        for e in ents
+    )
+
+
+def test_hgnc_gene_family_parser(tmp_path):
+    """HGNCGeneFamilyParser quirks (parsers.py:1477-1517): group by
+    Family ID, unique Family name asserted, alias + common-root-symbol
+    columns as synonym rows with the column name as mapping_type;
+    fixture → cache → annotate end-to-end."""
+    import json
+
+    from kazu_ray.sources.ontology_tables import from_hgnc_gene_family_tsv
+    from kazu_ray.stages.fused import AnnotateStage
+    from kazu_ray.state.store import load_store
+
+    df = from_hgnc_gene_family_tsv(os.path.join(FIXTURES, "hgnc_gene_families.tsv"))
+    fam1 = df[df["idx"] == "1"]
+    assert (fam1["default_label"] == "Annexins").all()
+    assert set(fam1["syn"]) == {"Annexins", "Lipocortins", "Annexin family", "ANXA"}
+    assert set(fam1[fam1["syn"] == "ANXA"]["mapping_type"]) == {"Common root gene symbol"}
+    assert set(fam1[fam1["syn"] == "Lipocortins"]["mapping_type"]) == {"Family alias"}
+    # family 2 has no common root symbol, one alias; NaN cells dropped
+    fam2 = df[df["idx"] == "2"]
+    assert set(fam2["syn"]) == {"Zinc fingers", "ZNF proteins"}
+    # the per-family Approved symbol column is NOT a synonym source
+    assert "ANXA1" not in set(df["syn"])
+
+    cache_dir = str(tmp_path / "cache")
+    build_caches_from_source(df, "hgnc_family", "gene_family", "HGNC_GENE_FAMILY", cache_dir)
+    store = load_store(cache_dir)
+    assert (store.ner_terms["parser_name"] == "hgnc_family").any()
+    stage = AnnotateStage(cache_dir, with_model_ner=False)
+    out = stage(
+        pa.table(
+            {
+                "doc_id": ["d1"],
+                "text": pa.array(
+                    ["The Lipocortins are calcium-dependent proteins."],
+                    type=pa.large_string(),
+                ),
+            }
+        )
+    )
+    ents = json.loads(out["ents_json"][0].as_py())
+    assert any(
+        e["match"] == "Lipocortins" and e["entity_class"] == "gene_family"
+        for e in ents
+    )
