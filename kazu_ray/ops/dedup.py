@@ -575,6 +575,13 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 2, coarse: int = 32, sh_d
     check — hashes each document once, not twice)."""
     import pandas as pd
     import pyarrow as pa
+    import ray
+
+    if ray.is_initialized():
+        # pre-create the drop-stats actor from the driver so the 32
+        # concurrent group tasks just look it up instead of racing a
+        # named get-or-create through the GCS
+        _drop_stats_actor()
 
     sh = sh_ds if sh_ds is not None else docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
 
