@@ -3,8 +3,8 @@
 ``entry()`` runs the flagship KG pipeline at sf0.001. ``queries()``
 exposes one callable per implemented operator/pipeline (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives DuckDB equivalents where
-SQL can express the semantics (column names match exactly) — 41 of the
-44 queries, several via the written-artifact pattern (the query writes
+SQL can express the semantics (column names match exactly) — 42 of the
+45 queries, several via the written-artifact pattern (the query writes
 its input/output to a deterministic /tmp path so DuckDB recomputes the
 result independently). The 3 without oracles are non-SQL by nature:
 ``kg_triples`` / ``kg_entities`` (NLP generators — gated on the
@@ -615,6 +615,38 @@ def _decontaminate(sf_dir: str):
     )
 
 
+def _bloom_decontaminate(sf_dir: str):
+    """Bloom-filter decontamination — the scale path of `decontaminate`:
+    the benchmark set (docs 0-19) folds into a 128 KiB bitmap instead of
+    a broadcast shingle set; corpus docs are flagged when any 8-word
+    shingle's 4 md5-derived bit positions are all set. The positions are
+    md5-derived so DuckDB recomputes the IDENTICAL bitmap — the oracle
+    reproduces even the bloom's false positives, making the approximate
+    structure exactly checkable."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    import ray
+
+    from kazu_ray.ops.text import BloomDecontaminateStage, build_bloom
+
+    bench = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).filter(expr="doc_id < 20")
+    bloom = build_bloom(bench)
+    bloom_ref = ray.put(bloom) if ray.is_initialized() else bloom
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    flagged = ds.map_batches(
+        BloomDecontaminateStage,
+        fn_constructor_args=(bloom_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return flagged.map_batches(
+        lambda t: t.filter(t["contaminated"]).select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
 def _sampled_docs(sf_dir: str):
     """Deterministic 20% sample of documents by md5(doc_id) bucket —
     reproducible across engines (the SQL oracle computes the same rule)."""
@@ -742,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_counts": _split_assign,
         "vocabulary": _vocabulary,
         "decontaminate": _decontaminate,
+        "bloom_decontaminate": _bloom_decontaminate,
         "pii_scrubbed": _pii_scrubbed,
         "monthly_order_revenue": _monthly_order_revenue,
         "asof_prior_view": lambda sf_dir: __import__(
@@ -1058,6 +1091,28 @@ def oracle_sql() -> dict[str, str]:
                  bench_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
             SELECT DISTINCT s.doc_id
             FROM sh s JOIN bench_sh b ON s.s = b.s
+        """,
+        "bloom_decontaminate": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                 sh AS (
+                    SELECT doc_id,
+                           unnest(list_distinct(
+                               CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+                                    ELSE list_transform(generate_series(1, len(ws) - 7),
+                                         i -> array_to_string(ws[i : i+7], ' '))
+                               END)) AS s
+                    FROM w
+                 ),
+                 pos AS (
+                    SELECT doc_id, s, i,
+                           (('0x' || substr(md5(s), 1 + 8*i, 8))::BIGINT) % 1048576 AS bit
+                    FROM sh, generate_series(0, 3) AS g(i)
+                 ),
+                 bloom AS (SELECT DISTINCT bit FROM pos WHERE doc_id < 20)
+            SELECT DISTINCT p.doc_id
+            FROM pos p
+            GROUP BY p.doc_id, p.s
+            HAVING count(*) FILTER (WHERE p.bit IN (SELECT bit FROM bloom)) = 4
         """,
         "minhash_near_dups": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -186,6 +186,84 @@ class DecontaminateStage:
         return batch.append_column("contaminated", pa.array(flags, type=pa.bool_()))
 
 
+
+# --- bloom-filter decontamination (the 10^9-shingle scale path) --------
+
+BLOOM_M_BITS = 1 << 20  # bitmap size; 128 KiB packed
+BLOOM_K = 4  # hash functions (4 disjoint 8-hex-char slices of one md5)
+
+
+def bloom_positions(shingle: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    """Bit positions for one shingle: k disjoint 8-hex-char slices of
+    md5(shingle), each mod m_bits. md5-derived on purpose — DuckDB
+    recomputes the identical positions (same trick as ops/sample.py),
+    so even the bloom's FALSE POSITIVES are reproduced by the SQL
+    oracle and the decision column compares exactly."""
+    h = hashlib.md5(shingle.encode()).hexdigest()
+    return [int(h[8 * i : 8 * i + 8], 16) % m_bits for i in range(k)]
+
+
+def _doc_shingles(text: str, k_words: int):
+    words = text.split(" ")
+    if len(words) < k_words:
+        return {" ".join(words)}
+    return {
+        " ".join(words[i : i + k_words]) for i in range(len(words) - k_words + 1)
+    }
+
+
+def build_bloom(benchmark_ds, k_words: int = 8, m_bits: int = BLOOM_M_BITS) -> bytes:
+    """Distributed bloom build over the benchmark Dataset: each batch
+    emits one packed partial bitmap (m_bits/8 bytes); the driver ORs
+    the per-batch partials — at 10^9 benchmark shingles the driver
+    handles n_batches × 128 KiB rows, never the shingles. This replaces
+    the broadcast shingle SET of DecontaminateStage when the benchmark
+    itself is large (a set of 10^9 shingles is tens of GB; the bitmap
+    is 128 KiB at any cardinality, trading a quantified false-positive
+    rate: k=4, m=2^20 → ~0.24% at 10^5 shingles)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits, dtype=bool)
+        for t in batch["text"].to_pylist():
+            for s in _doc_shingles(t, k_words):
+                bits[bloom_positions(s, m_bits)] = True
+        return pa.table({"bitmap": pa.array([np.packbits(bits).tobytes()])})
+
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in benchmark_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in b["bitmap"].to_pylist():
+            merged |= np.frombuffer(buf, dtype=np.uint8)
+    return merged.tobytes()
+
+
+class BloomDecontaminateStage:
+    """Corpus-side membership test against a broadcast bloom bitmap
+    (``ray.put`` once; zero-copy read per worker). Emits the same
+    ``contaminated`` column shape as :class:`DecontaminateStage`."""
+
+    def __init__(self, bloom_ref, k_words: int = 8, m_bits: int = BLOOM_M_BITS):
+        import ray
+
+        raw = ray.get(bloom_ref) if not isinstance(bloom_ref, (bytes, bytearray)) else bloom_ref
+        self.bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).astype(bool)
+        self.k_words = k_words
+        self.m_bits = m_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flags = []
+        bits = self.bits
+        for t in batch["text"].to_pylist():
+            hit = False
+            for s in _doc_shingles(t, self.k_words):
+                if all(bits[p] for p in bloom_positions(s, self.m_bits)):
+                    hit = True
+                    break
+            flags.append(hit)
+        return batch.append_column("contaminated", pa.array(flags, type=pa.bool_()))
+
+
 # --- PII scrubbing -----------------------------------------------------
 
 # deliberately simple patterns shared verbatim with the DuckDB oracle

@@ -622,3 +622,26 @@ def test_simhash_hot_bucket_drop_is_reported(ray_session):
     # and the dropped docs contributed no pairs
     hot_ids = set(range(200))
     assert not (set(pairs["id_a"].to_pylist()) & hot_ids)
+
+
+def test_bloom_decontaminate_superset_of_exact(ray_session):
+    """The bloom path may only ADD false positives relative to the exact
+    shingle-set path, never miss a true contamination; at this scale and
+    m=2^20 the two agree exactly."""
+    import __ray_entry__ as e
+
+    exact = set(e.queries()["decontaminate"](SF_DIR).to_pandas().doc_id)
+    bloom = set(e.queries()["bloom_decontaminate"](SF_DIR).to_pandas().doc_id)
+    assert exact <= bloom
+    assert len(bloom) <= len(exact) + 5  # fp budget at this sf
+
+
+def test_bloom_build_is_order_and_partition_independent(ray_session):
+    import ray.data as rd
+
+    from kazu_ray.ops.text import build_bloom
+
+    rows = [{"doc_id": i, "text": f"the quick brown fox {i} jumps over the lazy dog"} for i in range(50)]
+    b1 = build_bloom(rd.from_items(rows).repartition(8))
+    b2 = build_bloom(rd.from_items(rows[::-1]).repartition(3))
+    assert b1 == b2
