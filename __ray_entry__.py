@@ -3,8 +3,8 @@
 ``entry()`` runs the flagship KG pipeline at sf0.001. ``queries()``
 exposes one callable per implemented operator/pipeline (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives DuckDB equivalents where
-SQL can express the semantics (column names match exactly) — 42 of the
-45 queries, several via the written-artifact pattern (the query writes
+SQL can express the semantics (column names match exactly) — 44 of the
+47 queries, several via the written-artifact pattern (the query writes
 its input/output to a deterministic /tmp path so DuckDB recomputes the
 result independently). The 3 without oracles are non-SQL by nature:
 ``kg_triples`` / ``kg_entities`` (NLP generators — gated on the
@@ -340,6 +340,36 @@ def _topk_cosine(sf_dir: str):
     )
 
 
+def _knn_join_topk(sf_dir: str):
+    """k-NN JOIN: top-5 corpus neighbors for EACH of the first 8 vectors
+    in one corpus pass (broadcast query matrix, per-batch partials, tiny
+    per-query merge) — the hard-negative-mining shape. The oracle is a
+    windowed cross join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kazu_ray.ops.simsearch import knn_join
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_ids = [v for v in qtbl["vec_id"].to_pylist() if v < 8]
+    qm = [qtbl["embedding"][i].as_py() for i, v in enumerate(qtbl["vec_id"].to_pylist()) if v < 8]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_join(ds, q_ids, qm, k=5)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t["query_id"],
+                "vec_id": t["vec_id"],
+                "cosine": pc.round(t["cosine"], 3),
+                "rank": t["rank"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _ivf_topk_cosine(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -647,6 +677,18 @@ def _bloom_decontaminate(sf_dir: str):
     )
 
 
+def _packed_chunks(sf_dir: str):
+    """Sequence-packing layout (distributed prefix sum; ops/text.py) —
+    per doc: global token offset + first/last training chunk of 64
+    tokens. Oracle = a window cumsum over doc_id order."""
+    import ray.data as rd
+
+    from kazu_ray.ops.text import pack_chunks
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_chunks(ds, chunk_tokens=64, bucket_size=100)
+
+
 def _sampled_docs(sf_dir: str):
     """Deterministic 20% sample of documents by md5(doc_id) bucket —
     reproducible across engines (the SQL oracle computes the same rule)."""
@@ -775,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary": _vocabulary,
         "decontaminate": _decontaminate,
         "bloom_decontaminate": _bloom_decontaminate,
+        "packed_chunks": _packed_chunks,
         "pii_scrubbed": _pii_scrubbed,
         "monthly_order_revenue": _monthly_order_revenue,
         "asof_prior_view": lambda sf_dir: __import__(
@@ -793,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _embedding_near_dups,
         # similarity search
         "topk_cosine": _topk_cosine,
+        "knn_join_topk": _knn_join_topk,
         "ivf_topk_cosine": _ivf_topk_cosine,
         "embedding_label_stats": _embedding_label_centroids,
         "embedding_quantized": lambda sf_dir: __import__("ray.data", fromlist=["read_parquet"])
@@ -919,6 +963,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding,
                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10
+        """,
+        "knn_join_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+                 scored AS (
+                    SELECT q.query_id, e.vec_id,
+                           list_cosine_similarity(e.embedding, q.qe) AS c
+                    FROM q CROSS JOIN embeddings e
+                 ),
+                 ranked AS (
+                    SELECT query_id, vec_id, c,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY c DESC, vec_id) AS rank
+                    FROM scored
+                 )
+            SELECT query_id, vec_id, round(c::DOUBLE, 3) AS cosine, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "embedding_label_stats": """
             SELECT label,
@@ -1091,6 +1152,19 @@ def oracle_sql() -> dict[str, str]:
                  bench_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
             SELECT DISTINCT s.doc_id
             FROM sh s JOIN bench_sh b ON s.s = b.s
+        """,
+        "packed_chunks": """
+            WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+                       FROM documents),
+                 s AS (SELECT doc_id, n_tokens,
+                              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                                  AS start_tok
+                       FROM t)
+            SELECT doc_id, n_tokens, start_tok,
+                   (start_tok // 64)::BIGINT AS first_chunk,
+                   ((start_tok + n_tokens - 1) // 64)::BIGINT AS last_chunk
+            FROM s
         """,
         "bloom_decontaminate": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

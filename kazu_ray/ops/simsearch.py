@@ -202,6 +202,84 @@ def ivf_near_dup_pairs(
     return _anchor_pairs_schema(pairs)
 
 
+class _KnnJoinStage:
+    """Per-batch brute-force scores of the corpus batch against a
+    BROADCAST query matrix (``ray.put`` once, zero-copy per worker),
+    emitting per-(query, batch) top-k partials — the map side of the
+    k-NN join. The reduce side is a tiny per-query merge."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = queries_ref
+        if not isinstance(q, (list, tuple, np.ndarray, dict)):
+            q = ray.get(q)
+        self.q_ids = np.asarray(q["query_id"], dtype=np.int64)
+        qm = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.qm = qm
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        sims = self.qm @ mat.T  # (n_queries, n_batch)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for j in top[qi]:
+                rows_q.append(self.q_ids[qi])
+                rows_v.append(ids[j])
+                rows_s.append(sims[qi, j])
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "vec_id": pa.array(rows_v, type=pa.int64()),
+                "cosine": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+
+def knn_join(embeddings_ds, query_ids, query_matrix, k: int = 5):
+    """k-NN JOIN: for EVERY query vector, the top-k corpus neighbors by
+    cosine — the hard-negative-mining / retrieval-eval shape (a
+    single-query :func:`topk_cosine` per row would rescan the corpus M
+    times). One corpus pass: the query matrix is broadcast, each batch
+    emits per-query top-k partials (M×k rows per batch), and a small
+    ``groupby(query_id)`` merge keeps the global top-k per query.
+    Deterministic tie-break: (-cosine, vec_id). Returns a Dataset of
+    (query_id, vec_id, cosine, rank).
+
+    At 10^9 corpus rows × 10^4 queries the partial set is
+    n_blocks × M × k narrow rows — the only shuffle is over partials,
+    never embeddings. For M beyond ~10^5 split the query set and run
+    passes per slice (matmul height bounds worker memory)."""
+    import pandas as pd
+    import ray
+
+    payload = {
+        "query_id": np.asarray(query_ids, dtype=np.int64),
+        "matrix": np.asarray(query_matrix, dtype=np.float64),
+    }
+    ref = ray.put(payload) if ray.is_initialized() else payload
+
+    partials = embeddings_ds.map_batches(
+        _KnnJoinStage,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def quantize_embeddings_batch(batch: pa.Table) -> pa.Table:
     """Symmetric int8 quantization, flattened to (vec_id, dim, q) rows
     plus the per-vector scale — the storage-compression step of an

@@ -187,6 +187,78 @@ class DecontaminateStage:
 
 
 
+
+# --- sequence packing (distributed prefix sum) --------------------------
+
+
+def pack_chunks(docs_ds, chunk_tokens: int = 64, bucket_size: int = 4096):
+    """GPT-style sequence packing layout: concatenate every document's
+    whitespace tokens into one global stream (ordered by ``doc_id`` —
+    the cross-engine order contract) and report, per doc, its token
+    offset and the fixed-size training chunks it lands in:
+    (doc_id, n_tokens, start_tok, first_chunk, last_chunk).
+
+    The global token offset is a PREFIX SUM — inherently sequential, so
+    it runs as the classic two-phase distributed scan instead of a
+    driver loop or a global sort:
+
+    1. one streaming pass computes the narrow (doc_id, n_tokens,
+       bucket = doc_id // bucket_size) table (2 int64s + key — this is
+       the only thing materialized, never the corpus);
+    2. a tiny ``groupby(bucket)`` sum gives per-bucket totals; the
+       driver prefix-sums THOSE (one row per bucket — 10^12 docs /
+       bucket_size rows) into bucket base offsets;
+    3. a ``groupby(bucket).map_groups`` adds the within-bucket cumsum
+       to the broadcast base offsets.
+
+    Chunks then follow arithmetically: first/last = start // C and
+    (start + n - 1) // C. Token rule = ``len(text.split(" "))``,
+    matching the SQL oracle's ``len(string_split(text, ' '))``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        n = [len(t.split(" ")) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_tokens": pa.array(n, type=pa.int64()),
+                "bucket": pc.divide(ids, bucket_size),
+            }
+        )
+
+    narrow = docs_ds.map_batches(counts, batch_format="pyarrow").materialize()
+    totals = (
+        narrow.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="total"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    base = dict(
+        zip(totals["bucket"], totals["total"].cumsum() - totals["total"])
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        start = base[g["bucket"].iloc[0]] + (g["n_tokens"].cumsum() - g["n_tokens"])
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "start_tok": start.astype("int64"),
+            }
+        )
+        out["first_chunk"] = out["start_tok"] // chunk_tokens
+        out["last_chunk"] = (out["start_tok"] + out["n_tokens"] - 1) // chunk_tokens
+        return out
+
+    return narrow.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 # --- bloom-filter decontamination (the 10^9-shingle scale path) --------
 
 BLOOM_M_BITS = 1 << 20  # bitmap size; 128 KiB packed

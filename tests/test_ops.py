@@ -645,3 +645,43 @@ def test_bloom_build_is_order_and_partition_independent(ray_session):
     b1 = build_bloom(rd.from_items(rows).repartition(8))
     b2 = build_bloom(rd.from_items(rows[::-1]).repartition(3))
     assert b1 == b2
+
+
+def test_knn_join_matches_per_query_topk(ray_session):
+    """The one-pass k-NN join must equal running topk_cosine per query."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kazu_ray.ops.simsearch import knn_join, topk_cosine
+
+    qtbl = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = qtbl["vec_id"].to_pylist()
+    q_ids = [v for v in ids if v < 4]
+    qm = [qtbl["embedding"][i].as_py() for i, v in enumerate(ids) if v < 4]
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    joined = knn_join(ds, q_ids, qm, k=5).to_pandas()
+    for qid, qvec in zip(q_ids, qm):
+        single = topk_cosine(ds, qvec, k=5).to_pandas()
+        got = joined[joined.query_id == qid].sort_values("rank")
+        assert list(got.vec_id) == list(single.vec_id), qid
+        assert np.allclose(got.cosine.values, single.cosine.values, atol=1e-9)
+
+
+def test_pack_chunks_tiles_and_is_bucket_invariant(ray_session):
+    """Offsets tile the global token stream exactly, and the two-phase
+    scan's result is independent of bucket_size (the parallelism knob
+    must not leak into the answer)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.text import pack_chunks
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    a = pack_chunks(ds, chunk_tokens=64, bucket_size=37).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = pack_chunks(ds, chunk_tokens=64, bucket_size=250).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    # tiling: each doc starts exactly where the previous ended
+    assert (a["start_tok"].values[1:] == (a["start_tok"] + a["n_tokens"]).values[:-1]).all()
+    assert a["start_tok"].iloc[0] == 0
+    assert (a["first_chunk"] == a["start_tok"] // 64).all()
