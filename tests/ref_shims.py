@@ -257,3 +257,52 @@ def load_reference_module(alias: str, relpath: str):
     sys.modules[alias] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def install_spacy_shims() -> None:
+    """Name-only stand-ins for the spacy modules
+    ``kazu/utils/abbreviation_detector.py`` imports at module level
+    (Matcher is only instantiated inside KazuAbbreviationDetector, which
+    the differential never constructs), plus a fake
+    ``kazu.utils.spacy_pipeline`` so the real one (which needs genuine
+    spacy tokenizer machinery) is never executed."""
+    install_shims()
+    # additive: other differential tests install partial stubs of the
+    # same module names (e.g. the numeric-splitter test's spacy_pipeline
+    # without basic_spacy_pipeline) — fill in whatever is missing rather
+    # than skipping on presence
+    spacy = sys.modules.setdefault("spacy", types.ModuleType("spacy"))
+    matcher = sys.modules.setdefault("spacy.matcher", types.ModuleType("spacy.matcher"))
+    tokens = sys.modules.setdefault("spacy.tokens", types.ModuleType("spacy.tokens"))
+
+    class _NeverConstruct:
+        def __init__(self, *a, **k):
+            raise RuntimeError("spacy shim: not constructible in tests")
+
+    if not hasattr(matcher, "Matcher"):
+        matcher.Matcher = _NeverConstruct
+    if not hasattr(tokens, "Span"):
+        tokens.Span = object
+    if not hasattr(tokens, "Doc"):
+        tokens.Doc = object
+    spacy.matcher = matcher
+    spacy.tokens = tokens
+
+    sp = sys.modules.setdefault(
+        "kazu.utils.spacy_pipeline", types.ModuleType("kazu.utils.spacy_pipeline")
+    )
+    if not hasattr(sp, "BASIC_PIPELINE_NAME"):
+        sp.BASIC_PIPELINE_NAME = "basic"
+    if not hasattr(sp, "SpacyPipelines"):
+
+        class SpacyPipelines:
+            def __init__(self, *a, **k):
+                raise RuntimeError("spacy_pipeline shim: not usable in tests")
+
+            @staticmethod
+            def add_from_func(*a, **k):
+                raise RuntimeError("spacy_pipeline shim")
+
+        sp.SpacyPipelines = SpacyPipelines
+    if not hasattr(sp, "basic_spacy_pipeline"):
+        sp.basic_spacy_pipeline = sp.SpacyPipelines

@@ -1469,3 +1469,128 @@ def test_embedding_confirmation_strategy_differential_vs_reference():
         assert our_keys == ref_keys, (case, match, our_keys, ref_keys)
         n_nonempty += bool(ref_keys)
     assert n_nonempty > 40
+
+
+# ---------------------------------------------------------------------------
+# abbreviation detector char-matching core vs the actual reference
+# ---------------------------------------------------------------------------
+
+
+class _FakeToken:
+    __slots__ = ("text", "text_with_ws")
+
+    def __init__(self, text, ws=" "):
+        self.text = text
+        self.text_with_ws = text + ws
+
+    def __len__(self):  # spacy Token: number of characters
+        return len(self.text)
+
+
+class _FakeSpan:
+    """Duck-typed spacy Span: iteration/len/slicing over tokens, .text."""
+
+    def __init__(self, toks):
+        self._t = list(toks)
+
+    def __iter__(self):
+        return iter(self._t)
+
+    def __len__(self):
+        return len(self._t)
+
+    def __getitem__(self, item):
+        if isinstance(item, slice):
+            return _FakeSpan(self._t[item])
+        return self._t[item]
+
+    @property
+    def text(self):
+        return " ".join(t.text for t in self._t)
+
+
+def _mk_span(words):
+    toks = [_FakeToken(w) for w in words[:-1]] + [_FakeToken(words[-1], ws="")]
+    return _FakeSpan(toks)
+
+
+def test_find_abbreviation_matches_reference():
+    """Differential: the engine's _find_abbreviation (the Schwartz &
+    Hearst char-matching core, docproc.py) vs the reference's
+    find_abbreviation (kazu/utils/abbreviation_detector.py:88-151) on
+    generated long/short pairs covering first-letter matches, internal
+    letters, digits, non-alnum short-form chars, and misses."""
+    import random
+
+    from kazu_ray.stages.docproc import _find_abbreviation
+    from tests.ref_shims import install_spacy_shims, load_reference_module
+
+    install_spacy_shims()
+    ref = load_reference_module("ref_abbrev", "kazu/utils/abbreviation_detector.py")
+
+    rng = random.Random(42)
+    vocab = [
+        "acute", "lymphoblastic", "leukemia", "non", "small", "cell",
+        "lung", "cancer", "type", "2", "diabetes", "mellitus", "tumor",
+        "necrosis", "factor", "alpha", "receptor", "binding", "protein",
+        "growth", "epidermal", "x-linked", "beta2",
+    ]
+    cases = []
+    for _ in range(300):
+        n = rng.randint(1, 6)
+        words = [rng.choice(vocab) for _ in range(n)]
+        # candidate short forms: initials, initials+noise, random letters
+        initials = "".join(w[0] for w in words).upper()
+        variants = [
+            initials,
+            initials + rng.choice(["s", "1", "-R"]),
+            "".join(rng.choice("ABCDEFGXYZ2") for _ in range(rng.randint(1, 6))),
+            (words[0][:2] + words[-1][:1]).upper(),
+        ]
+        for short in variants:
+            cases.append((words, [short]))
+    # reference regression pairs
+    cases += [
+        (["acute", "lymphoblastic", "leukemia"], ["ALL"]),
+        (["non", "small", "cell", "lung", "cancer"], ["NSCLC"]),
+        (["type", "2", "diabetes", "mellitus"], ["T2DM"]),
+        (["tumor", "necrosis", "factor"], ["TNF-a"]),
+        (["epidermal", "growth", "factor", "receptor"], ["EGFR"]),
+        (["protein"], ["ZZZ"]),
+    ]
+
+    n_hits = 0
+    for long_words, short_words in cases:
+        got = _find_abbreviation(long_words, short_words)
+        _short, ref_long = ref.find_abbreviation(
+            _mk_span(long_words), _mk_span(short_words)
+        )
+        if ref_long is None:
+            assert got is None, (long_words, short_words, got)
+        else:
+            assert got is not None, (long_words, short_words)
+            assert long_words[got:] == [t.text for t in ref_long], (
+                long_words,
+                short_words,
+                got,
+            )
+            n_hits += 1
+    assert n_hits >= 50  # the case generator must actually exercise hits
+
+
+def test_short_form_filter_matches_reference():
+    from kazu_ray.stages.docproc import _short_form_ok
+    from tests.ref_shims import install_spacy_shims, load_reference_module
+
+    install_spacy_shims()
+    ref = load_reference_module("ref_abbrev", "kazu/utils/abbreviation_detector.py")
+
+    cases = [
+        ["ALL"], ["T2DM"], ["a"], ["toolongword99"], ["123"], ["1a"],
+        ["A1"], ["ab", "cd"], ["-x"], ["x-"], ["NSCLC"], ["??"], ["A?"],
+        ["ab", "verylongtokenx"],
+    ]
+    for words in cases:
+        ours = _short_form_ok(words, " ".join(words))
+        theirs = ref.short_form_filter(_mk_span(words))
+        assert ours == theirs, words
