@@ -280,19 +280,19 @@ def _near_dup_clusters(sf_dir: str):
     from kazu_ray.ops.dedup import (
         connected_components_auto,
         minhash_candidate_pairs,
-        pairs_to_table,
         verify_pairs_jaccard_ds,
     )
-    import ray.data as _rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = pairs_to_table(
-        verify_pairs_jaccard_ds(minhash_candidate_pairs(ds), ds, threshold=0.6)
-    )
+    # the verified pair Dataset flows straight into the size dispatch —
+    # auto materializes it in the OBJECT STORE (never the driver), so the
+    # above-bound distributed branch really is driver-gather-free; band
+    # duplicates are harmless to union-find / label propagation
+    pairs = verify_pairs_jaccard_ds(minhash_candidate_pairs(ds), ds, threshold=0.6)
     # size-dispatched: driver union-find under the 200k-pair bound,
     # distributed min-label propagation above it (KAZU_CC_MAX_DRIVER_PAIRS
     # overrides; a test forces the distributed branch through this path)
-    return connected_components_auto(_rd.from_arrow(pairs))
+    return connected_components_auto(pairs)
 
 
 def _simhash_dups(sf_dir: str):

@@ -31,6 +31,17 @@ def bucket_ids(col, num_buckets: int) -> np.ndarray:
     per-type sentinel — a placement choice, not a correctness one
     (hash bucketing only needs equal values to land together).
     """
+    h = hash_ids64(col)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def hash_ids64(col) -> np.ndarray:
+    """Full-width uint64 SipHash of a column — same type-dispatched value
+    coercion as :func:`bucket_ids`, no modulo / narrowing. Use this when
+    the hash is an ORDER key (bottom-k sampling) rather than a bucket id:
+    a 32-bit hash has expected birthday collisions at ~10^5 keys, and
+    collided keys would then tie-break on nondeterministic block order.
+    """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if isinstance(col, pa.Array):
@@ -42,8 +53,7 @@ def bucket_ids(col, num_buckets: int) -> np.ndarray:
             vals = col.to_pandas().to_numpy()
     else:
         vals = np.asarray(col)
-    h = pd.util.hash_array(vals)
-    return (h % np.uint64(num_buckets)).astype(np.int32)
+    return pd.util.hash_array(vals)
 
 
 def bucket_of(value, num_buckets: int) -> int:

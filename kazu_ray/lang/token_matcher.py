@@ -109,29 +109,26 @@ class TokenMatcher:
     def __init__(self, patterns: list[list[dict]]):
         self._compiled = [[_compile_spec(s) for s in pat] for pat in patterns]
 
-    def _match_at(self, tokens: list[MatchToken], pat, pi: int, ti: int) -> bool:
+    def _match_at(self, tokens: list[MatchToken], pat, pi: int, ti: int) -> int | None:
+        """End token index of a match of ``pat[pi:]`` starting at ``ti``,
+        or None. Consuming branches are tried first, so a zero-length
+        result is only returned when no consuming match exists here."""
         if pi == len(pat):
-            return True
+            return ti
         pred, op = pat[pi]
         if op == "1":
-            return (
-                ti < len(tokens)
-                and pred(tokens[ti])
-                and self._match_at(tokens, pat, pi + 1, ti + 1)
-            )
+            if ti < len(tokens) and pred(tokens[ti]):
+                return self._match_at(tokens, pat, pi + 1, ti + 1)
+            return None
         if op == "!":
-            return (
-                ti < len(tokens)
-                and not pred(tokens[ti])
-                and self._match_at(tokens, pat, pi + 1, ti + 1)
-            )
+            if ti < len(tokens) and not pred(tokens[ti]):
+                return self._match_at(tokens, pat, pi + 1, ti + 1)
+            return None
         if op == "?":
-            if (
-                ti < len(tokens)
-                and pred(tokens[ti])
-                and self._match_at(tokens, pat, pi + 1, ti + 1)
-            ):
-                return True
+            if ti < len(tokens) and pred(tokens[ti]):
+                end = self._match_at(tokens, pat, pi + 1, ti + 1)
+                if end is not None:
+                    return end
             return self._match_at(tokens, pat, pi + 1, ti)
         # "+" / "*": greedy-with-backtracking over 1..n / 0..n repeats
         min_reps = 1 if op == "+" else 0
@@ -139,16 +136,20 @@ class TokenMatcher:
         while ti + reps < len(tokens) and pred(tokens[ti + reps]):
             reps += 1
         while reps >= min_reps:
-            if self._match_at(tokens, pat, pi + 1, ti + reps):
-                return True
+            end = self._match_at(tokens, pat, pi + 1, ti + reps)
+            if end is not None:
+                return end
             reps -= 1
-        return False
+        return None
 
     def __call__(self, tokens: list[MatchToken]) -> bool:
-        """True iff any pattern matches a contiguous subsequence."""
+        """True iff any pattern matches a NON-EMPTY contiguous
+        subsequence — spaCy's Matcher never yields zero-length matches,
+        so an all-optional pattern must not 'match' an empty window."""
         for pat in self._compiled:
-            for start in range(len(tokens) + 1):
-                if self._match_at(tokens, pat, 0, start):
+            for start in range(len(tokens)):
+                end = self._match_at(tokens, pat, 0, start)
+                if end is not None and end > start:
                     return True
         return False
 

@@ -463,28 +463,27 @@ class _DropStats:
         self.dropped_member_rows = 0
 
 
-_DROP_ACTOR_HANDLE = None
-
-
 def _drop_stats_actor():
     import ray
 
-    global _DROP_ACTOR_HANDLE
-    if _DROP_ACTOR_HANDLE is None:
-        # detached: the counter must outlive the (worker-side) scopes
-        # that create it mid-query — a ref-counted named actor dies as
-        # soon as its creating task's handle drops
-        _DROP_ACTOR_HANDLE = (
-            ray.remote(num_cpus=0)(_DropStats)
-            .options(
-                name=_SIMHASH_DROP_ACTOR,
-                get_if_exists=True,
-                lifetime="detached",
-                namespace="kazu_ray",
-            )
-            .remote()
+    # resolved per call (get_if_exists → atomic create-or-get through
+    # the GCS): a module-global cached handle would go stale across
+    # ray.shutdown()/ray.init() cycles in the same process. Calls are
+    # rare (one per coarse group with drops + driver reads), so the
+    # lookup cost is negligible.
+    # detached: the counter must outlive the (worker-side) scopes
+    # that create it mid-query — a ref-counted named actor dies as
+    # soon as its creating task's handle drops
+    return (
+        ray.remote(num_cpus=0)(_DropStats)
+        .options(
+            name=_SIMHASH_DROP_ACTOR,
+            get_if_exists=True,
+            lifetime="detached",
+            namespace="kazu_ray",
         )
-    return _DROP_ACTOR_HANDLE
+        .remote()
+    )
 
 
 def _report_simhash_drops(buckets: int, member_rows: int) -> None:
@@ -715,6 +714,16 @@ def connected_components(pairs_ds):
     import pandas as pd
 
     edges = pairs_ds.to_pandas() if hasattr(pairs_ds, "to_pandas") else pairs_ds
+    if len(edges) == 0 or "id_a" not in edges.columns:
+        # Dataset.to_pandas() on zero rows drops column names — same
+        # hazard pairs_to_table guards against; an edge-free graph has
+        # no clustered docs either way
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "component": pd.Series([], dtype="int64"),
+            }
+        )
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -753,9 +762,20 @@ def connected_components_auto(pairs_ds, max_driver_pairs: int | None = None):
     """
     import os
 
+    import pandas as pd
+
     if max_driver_pairs is None:
         max_driver_pairs = int(os.environ.get("KAZU_CC_MAX_DRIVER_PAIRS", 200_000))
-    n_pairs = pairs_ds.count() if hasattr(pairs_ds, "count") else len(pairs_ds)
+    if isinstance(pairs_ds, (pd.DataFrame, pa.Table)):
+        # DataFrame.count() exists but returns a per-column Series —
+        # dispatch on type, not hasattr
+        n_pairs = len(pairs_ds)
+    else:
+        # materialize once (blocks stay in the object store, NOT on the
+        # driver) so count + the chosen path don't re-execute the
+        # upstream verify pipeline
+        pairs_ds = pairs_ds.materialize()
+        n_pairs = pairs_ds.count()
     if n_pairs <= max_driver_pairs:
         return connected_components(pairs_ds)
     out = connected_components_distributed(pairs_ds).to_pandas()

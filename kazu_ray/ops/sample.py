@@ -61,10 +61,15 @@ def bottom_k_by_hash(ds, key_col: str, k: int):
     import pandas as pd
 
     def _partial(batch: pa.Table) -> pa.Table:
-        from kazu_ray.functions.hashing import bucket_ids
+        from kazu_ray.functions.hashing import hash_ids64
 
-        h = bucket_ids(batch[key_col], 1 << 62).astype("int64")
         import numpy as np
+
+        # full 64-bit hash, top bit dropped so the sort key fits a
+        # non-negative int64 (bucket_ids would narrow to int32 and
+        # collide at ~10^5 keys, breaking the uniform/reproducible
+        # contract the IVF centroid sample depends on)
+        h = (hash_ids64(batch[key_col]) >> np.uint64(1)).astype("int64")
 
         take = np.argsort(h, kind="stable")[:k]
         out = batch.take(pa.array(take))

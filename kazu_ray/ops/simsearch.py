@@ -224,13 +224,21 @@ class _KnnJoinStage:
         mat = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
         sims = self.qm @ mat.T  # (n_queries, n_batch)
         k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         rows_q, rows_v, rows_s = [], [], []
         for qi in range(sims.shape[0]):
-            for j in top[qi]:
+            s = sims[qi]
+            # argpartition alone keeps an ARBITRARY subset of
+            # cosine-tied candidates at the k boundary; the documented
+            # tie-break is (-cosine, vec_id), so widen to every row
+            # tied with the boundary value, then order deterministically
+            part = np.argpartition(-s, kth=k - 1)[:k]
+            thresh = s[part].min()
+            cand = np.flatnonzero(s >= thresh)
+            order = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+            for j in order:
                 rows_q.append(self.q_ids[qi])
                 rows_v.append(ids[j])
-                rows_s.append(sims[qi, j])
+                rows_s.append(s[j])
         return pa.table(
             {
                 "query_id": pa.array(rows_q, type=pa.int64()),
