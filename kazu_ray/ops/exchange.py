@@ -20,6 +20,12 @@ also used by the triple-store materializer and the bucketed hash join:
   instead of Ray re-running the task and silently double-delivering its
   batch. Callers retry at the job level (the materializer resumes from
   manifests; queries re-run).
+* **Pipelined adds + positive delivery verification**: feeds submit
+  adds asynchronously behind a bounded per-worker in-flight window
+  (backpressure without a sync RPC round per batch); before finalize,
+  each bucket's actor-side received-row counter is polled until it
+  matches the rows the feed reported sending — so a lost or duplicated
+  add can never silently corrupt a bucket.
 * **Leak safety**: accumulator actors (and their buffered tables) are
   killed in a ``finally`` even when a feed or finalize raises.
 
@@ -29,10 +35,11 @@ bucket fits, or salt hot keys upstream. Actors take ``num_cpus=0`` so
 ``num_buckets`` may exceed the CPU count without deadlocking the feed.
 
 Crossover, measured on this box: the scatter carries a ~2 s fixed floor
-(actor spawn + one sync RPC round per feed batch), so BELOW roughly
-10^6 narrow exchanged rows the sort groupby wins (0.7 s vs 2.4 s on the
+(actor spawn + feed-task dispatch; with pipelined adds the wall time is
+FLAT ~2.2 s from 80k to 3.25M exchanged rows), so BELOW roughly 10^6
+narrow exchanged rows the sort groupby wins (0.7 s vs ~2 s on the
 80k-row minhash banding exchange) and the near-dup ops keep it; at
-3.25M wide triple rows the scatter is 38 s → ~3 s. Pick per operator by
+3.25M wide triple rows the scatter is 38 s → ~2 s. Pick per operator by
 expected exchange size, not dogma.
 """
 
@@ -57,25 +64,97 @@ def reaped_actors(actors):
             _ray.kill(a, no_restart=True)
 
 
-def feed_to_actors(ds, n_buckets: int, assign_fn, add_fn) -> None:
+# per-worker in-flight add window: feed tasks submit adds WITHOUT a
+# synchronous ray.get round per batch (measured: the sync round was the
+# scatter's fixed floor), waiting only when more than _FEED_WINDOW adds
+# are outstanding on this worker — bounded backpressure, pipelined RPCs.
+# Shared across concurrent exchanges on one worker by design: waiting on
+# a foreign exchange's ref only tightens backpressure, never corrupts.
+_FEED_PENDING: list = []
+_FEED_WINDOW = 16
+
+
+def feed_to_actors(ds, n_buckets: int, assign_fn, add_fn, received_fn=None) -> None:
     """Drive ``ds`` through a scatter feed: ``assign_fn(batch)`` returns
     an int32 Arrow array of bucket ids, ``add_fn(bucket_id, sub_table)``
-    ships one sub-table (returning an ObjectRef to wait on —
-    backpressure). Feed tasks run with ``max_retries=0``: actor adds
-    are not idempotent, so a retried task would double-deliver."""
+    ships one sub-table (returning an ObjectRef). Feed tasks run with
+    ``max_retries=0``: actor adds are not idempotent, so a retried task
+    would double-deliver.
+
+    Adds are pipelined (bounded per-worker in-flight window) rather than
+    synchronously awaited per batch. Delivery is then verified
+    POSITIVELY: each feed call reports (bucket, rows_sent); when
+    ``received_fn(bucket) -> ObjectRef[int]`` is supplied (an actor-side
+    received-row counter), this function polls until every bucket's
+    received count matches the sent total — catching any add lost to a
+    worker death after its feed task completed — and raises loudly on
+    timeout (``KAZU_FEED_VERIFY_TIMEOUT_S``, default 1800). Without
+    ``received_fn`` there is no way to verify the pipelined tail, so the
+    feed falls back to a synchronous ray.get per batch (the pre-window
+    behaviour — correct, one RPC round per feed batch).
+    """
     import pyarrow.compute as pc
     import ray as _ray
 
-    def _feed(batch: pa.Table) -> pa.Table:
-        buckets = assign_fn(batch)
-        refs = []
-        for b in pc.unique(buckets).to_pylist():
-            refs.append(add_fn(b, batch.filter(pc.equal(buckets, b))))
-        _ray.get(refs)
-        return pa.table({"rows": pa.array([batch.num_rows], type=pa.int64())})
+    pipelined = received_fn is not None
 
-    # extra kwargs to map_batches are forwarded as ray.remote options
-    ds.map_batches(_feed, batch_format="pyarrow", max_retries=0).count()
+    def _feed(batch: pa.Table) -> pa.Table:
+        global _FEED_PENDING
+        buckets = assign_fn(batch)
+        out_b, out_n, refs = [], [], []
+        for b in pc.unique(buckets).to_pylist():
+            sub = batch.filter(pc.equal(buckets, b))
+            refs.append(add_fn(b, sub))
+            out_b.append(int(b))
+            out_n.append(sub.num_rows)
+        if pipelined:
+            _FEED_PENDING.extend(refs)
+            if len(_FEED_PENDING) > _FEED_WINDOW:
+                n_over = len(_FEED_PENDING) - _FEED_WINDOW
+                done, rest = _ray.wait(_FEED_PENDING, num_returns=n_over)
+                _ray.get(done)  # surface add-side exceptions loudly
+                _FEED_PENDING = rest
+        else:
+            _ray.get(refs)
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, type=pa.int64()),
+                "rows": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    # extra kwargs to map_batches are forwarded as ray.remote options;
+    # the feed output is tiny (≤ n_buckets rows per batch)
+    fed = ds.map_batches(_feed, batch_format="pyarrow", max_retries=0).to_pandas()
+    if received_fn is None or fed.empty:
+        # empty fed: zero batches produced, so the frame has no columns
+        # and there is nothing to verify
+        return
+    sent = fed.groupby("bucket")["rows"].sum()
+    import os
+    import time
+
+    deadline = time.monotonic() + float(
+        os.environ.get("KAZU_FEED_VERIFY_TIMEOUT_S", 1800)
+    )
+    waiting = {int(b): int(n) for b, n in sent.items() if n > 0}
+    while waiting:
+        got = _ray.get([received_fn(b) for b in waiting])
+        for b, r in zip(list(waiting), got):
+            if r == waiting[b]:
+                del waiting[b]
+            elif r > waiting[b]:
+                raise RuntimeError(
+                    f"exchange bucket {b} received {r} rows but only "
+                    f"{waiting[b]} were sent — double delivery"
+                )
+        if waiting:
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"exchange delivery verification timed out; buckets "
+                    f"still short: {waiting}"
+                )
+            time.sleep(0.05)
 
 
 def multi_key_buckets(batch: pa.Table, key_cols: list[str], num_buckets: int) -> pa.Array:
@@ -96,10 +175,15 @@ class _BucketAccumulator:
         self.fn = fn
         self.empty = empty
         self.tables: list[pa.Table] = []
+        self.received = 0
 
     def add(self, table: pa.Table) -> int:
         self.tables.append(table)
+        self.received += table.num_rows
         return table.num_rows
+
+    def received_rows(self) -> int:
+        return self.received
 
     def finalize(self) -> pa.Table:
         if not self.tables:
@@ -127,6 +211,7 @@ def scatter_groups(ds, key_cols: list[str], num_buckets: int, per_bucket_fn, emp
             num_buckets,
             lambda batch: multi_key_buckets(batch, key_cols, num_buckets),
             lambda b, sub: actors[b].add.remote(sub),
+            received_fn=lambda b: actors[b].received_rows.remote(),
         )
         out_refs = [a.finalize.remote() for a in actors]
         _ray.wait(out_refs, num_returns=len(out_refs), fetch_local=False)

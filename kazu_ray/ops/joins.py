@@ -42,10 +42,17 @@ class _BucketMerger:
         self.empty_joined = empty_joined
         self.left: list[pa.Table] = []
         self.right: list[pa.Table] = []
+        self.received = {"l": 0, "r": 0}
 
     def add(self, side: str, table: pa.Table) -> int:
         (self.left if side == "l" else self.right).append(table)
+        self.received[side] += table.num_rows
         return table.num_rows
+
+    def received_rows(self, side: str) -> int:
+        # per side: the two feeds run concurrently and each verifies its
+        # own delivery
+        return self.received[side]
 
     def merge(self) -> pa.Table:
         if not self.left or not self.right:
@@ -109,6 +116,7 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 16):
                     num_buckets,
                     assign,
                     lambda b, sub, _s=side: mergers[b].add.remote(_s, sub),
+                    lambda b, _s=side: mergers[b].received_rows.remote(_s),
                 )
                 for side, ds_side in (("l", left), ("r", right))
             ]

@@ -46,6 +46,10 @@ class SessionBucketActor:
         self.closed: list[tuple] = []
         # unsorted (keys, ts) chunks accumulated by add_table feeds
         self.pending: list[tuple[np.ndarray, np.ndarray]] = []
+        self.received = 0
+
+    def received_rows(self) -> int:
+        return self.received
 
     def feed(self, keys: list[int], ts_us: list[int]) -> int:
         """Incremental mode: caller guarantees per-key ts order."""
@@ -62,6 +66,7 @@ class SessionBucketActor:
 
     def add_table(self, table: pa.Table) -> int:
         """Scatter mode: buffer this bucket's narrow rows (any order)."""
+        self.received += table.num_rows
         self.pending.append(
             (
                 table["key"].to_numpy(zero_copy_only=False).astype("int64"),
@@ -124,6 +129,7 @@ def incremental_sessionize(
             n_buckets,
             lambda batch: pa.array(bucket_ids(batch["key"], n_buckets)),
             lambda b, sub: actors[b].add_table.remote(sub),
+            received_fn=lambda b: actors[b].received_rows.remote(),
         )
         for out in ray.get([a.flush.remote() for a in actors]):
             rows.extend(out)

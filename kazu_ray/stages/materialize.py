@@ -222,6 +222,7 @@ class _PartitionWriter:
         self.spill_bytes = spill_bytes
         self.buffered_bytes = 0
         self.run_paths: list[str] = []
+        self.received = 0
 
     # -- buffering / spilling ------------------------------------------------
 
@@ -251,10 +252,14 @@ class _PartitionWriter:
 
     def add(self, table: pa.Table) -> int:
         self.tables.append(table)
+        self.received += table.num_rows
         self.buffered_bytes += table.nbytes
         if self.buffered_bytes >= self.spill_bytes:
             self._spill()
         return table.num_rows
+
+    def received_rows(self) -> int:
+        return self.received
 
     # -- merge ---------------------------------------------------------------
 
@@ -514,6 +519,7 @@ def materialize_partitioned(
             num_parts,
             lambda batch: batch["__part"].combine_chunks(),
             lambda p, sub: writers[p].add.remote(sub.drop(["__part"])),
+            received_fn=lambda p: writers[p].received_rows.remote(),
         )
         _ray.get([w.finalize.remote() for w in writers.values()])
 

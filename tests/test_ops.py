@@ -550,6 +550,62 @@ def test_scatter_groups_matches_local_groupby(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_feed_delivery_verification(ray_session, monkeypatch):
+    """The pipelined feed's positive delivery check: a received counter
+    that never reaches the sent total must fail LOUDLY on timeout, and a
+    counter exceeding it (double delivery) must raise immediately."""
+    import pyarrow as pa
+    import pytest
+    import ray
+    import ray.data as rd
+
+    from kazu_ray.ops.exchange import feed_to_actors
+
+    @ray.remote(num_cpus=0)
+    class Acc:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, tab):
+            self.n += tab.num_rows
+            return tab.num_rows
+
+        def received_rows(self):
+            return self.n
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, 4], type=pa.int64())}))
+    assign = lambda b: pa.array([0] * b.num_rows, type=pa.int32())  # noqa: E731
+
+    # happy path: counter reaches the sent total, returns cleanly
+    a = Acc.remote()
+    feed_to_actors(
+        ds, 1, assign,
+        lambda i, sub: a.add.remote(sub),
+        received_fn=lambda i: a.received_rows.remote(),
+    )
+    assert ray.get(a.received_rows.remote()) == 4
+
+    # feeding the SAME actor again: its counter now exceeds this feed's
+    # sent total — the over-count branch must flag double delivery
+    with pytest.raises(RuntimeError, match="double delivery"):
+        feed_to_actors(
+            ds, 1, assign,
+            lambda i, sub: a.add.remote(sub),
+            received_fn=lambda i: a.received_rows.remote(),
+        )
+
+    # a counter that never catches up (adds sunk into a different actor)
+    # must time out loudly, not hang or pass
+    monkeypatch.setenv("KAZU_FEED_VERIFY_TIMEOUT_S", "2")
+    sink, stale = Acc.remote(), Acc.remote()
+    with pytest.raises(RuntimeError, match="timed out"):
+        feed_to_actors(
+            ds, 1, assign,
+            lambda i, sub: sink.add.remote(sub),
+            received_fn=lambda i: stale.received_rows.remote(),
+        )
+
+
 def test_distributed_components_match_union_find(ray_session):
     """Min-label propagation (the distributed escape hatch) must equal
     the driver union-find, including a long chain that needs several
