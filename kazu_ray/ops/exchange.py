@@ -40,7 +40,8 @@ FLAT ~2.2 s from 80k to 3.25M exchanged rows), so BELOW roughly 10^6
 narrow exchanged rows the sort groupby wins (0.7 s vs ~2 s on the
 80k-row minhash banding exchange) and the near-dup ops keep it; at
 3.25M wide triple rows the scatter is 38 s → ~2 s. Pick per operator by
-expected exchange size, not dogma.
+expected exchange size, not dogma — or let :func:`exchange_groups`
+pick from the (estimated or measured) exchange size at run time.
 """
 
 from __future__ import annotations
@@ -216,3 +217,63 @@ def scatter_groups(ds, key_cols: list[str], num_buckets: int, per_bucket_fn, emp
         out_refs = [a.finalize.remote() for a in actors]
         _ray.wait(out_refs, num_returns=len(out_refs), fetch_local=False)
     return rd.from_arrow_refs(out_refs)
+
+
+# measured on this box (module docstring): below ~10^6 exchanged rows
+# the sort groupby's lower fixed cost wins; above it the scatter's flat
+# ~2 s beats the sort's row-proportional cost. Env-overridable so a
+# cluster with different exchange economics can re-tune without a code
+# change.
+def exchange_crossover_rows() -> int:
+    import os
+
+    return int(os.environ.get("KAZU_EXCHANGE_CROSSOVER_ROWS", 1_000_000))
+
+
+def exchange_groups(
+    ds,
+    key_cols: list[str],
+    num_buckets: int,
+    per_bucket_fn,
+    empty: pa.Table,
+    est_rows: int | None = None,
+):
+    """Adaptive exchange: same contract as :func:`scatter_groups`
+    (``per_bucket_fn`` sees ALL rows of one hash bucket at once), but
+    the exchange form is chosen from the exchange SIZE — the sort-based
+    ``groupby(bucket).map_groups`` below :func:`exchange_crossover_rows`
+    (lower fixed cost), the actor scatter above it (row cost that does
+    not grow with a global sort).
+
+    ``est_rows``: the caller's estimate of exchanged rows (e.g. from
+    parquet metadata or an upstream count). When ``None`` the input is
+    materialized once and the exact count read from block metadata — an
+    exchange is a pipeline breaker either way and the materialized
+    blocks feed whichever form is chosen, but at extreme scale passing
+    an estimate keeps the feed fully streaming (the scatter path never
+    holds input blocks AND actor buffers at once).
+    """
+    import ray.data as rd
+
+    if est_rows is None:
+        ds = ds.materialize()
+        est_rows = ds.count()
+    if est_rows == 0:
+        return rd.from_arrow(empty)
+    if est_rows > exchange_crossover_rows():
+        return scatter_groups(ds, key_cols, num_buckets, per_bucket_fn, empty)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", multi_key_buckets(batch, key_cols, num_buckets)
+        )
+
+    def _per_bucket(group: pa.Table) -> pa.Table:
+        out = per_bucket_fn(group.drop(["__bucket"]))
+        return out if out.num_rows else empty
+
+    return (
+        ds.map_batches(_assign, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_per_bucket, batch_format="pyarrow")
+    )

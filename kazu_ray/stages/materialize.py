@@ -662,7 +662,7 @@ def lookup_triples(out_dir: str, subj: str, num_parts: int | None = None):
     return table.filter(pc.equal(table["subj"], subj))
 
 
-def node_doc_counts_salted(triples_ds, salt: int = 8):
+def node_doc_counts_salted(triples_ds, salt: int = 8, est_rows: int | None = None):
     """Distinct-document count per canonical node — the aggregate where a
     plain combiner can't bound per-key state (distinct sets grow with the
     key's volume), so Zipfian hub entities are SALTED explicitly
@@ -705,17 +705,21 @@ def node_doc_counts_salted(triples_ds, salt: int = 8):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     from kazu_ray.ops.dedup import shuffle_parts
-    from kazu_ray.ops.exchange import scatter_groups
+    from kazu_ray.ops.exchange import exchange_groups
 
     salted = triples_ds.map_batches(add_salt, batch_format="pyarrow")
-    # stage-1 exchange: hash scatter on (node, salt) — co-location only,
-    # no range-sort (see ops/exchange.py); a hub node's rows still split
-    # across its k salt sub-keys, which hash to different buckets
+    # stage-1 exchange on (node, salt) — co-location only, no range-sort.
+    # Form chosen adaptively from the exchange size (ops/exchange.py):
+    # sort groupby below the crossover, hash scatter above it; a hub
+    # node's rows still split across its k salt sub-keys either way.
+    # est_rows, when the caller knows the triple count, is 2x it (subj +
+    # obj rows per triple).
     empty = pa.table(
         {"node": pa.array([], type=pa.string()), "n_docs_partial": pa.array([], type=pa.int64())}
     )
-    partials = scatter_groups(
-        salted, ["node", "salt"], shuffle_parts(), distinct_per_bucket, empty
+    partials = exchange_groups(
+        salted, ["node", "salt"], shuffle_parts(), distinct_per_bucket, empty,
+        est_rows=est_rows,
     )
     # second phase: one row per (node, salt) — far smaller fan-in
     return partials.groupby("node").aggregate(

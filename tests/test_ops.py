@@ -550,6 +550,60 @@ def test_scatter_groups_matches_local_groupby(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_exchange_groups_adaptive_paths_agree(ray_session, monkeypatch):
+    """exchange_groups must give identical results whichever form the
+    size dispatch picks: groupby (small), scatter (forced via crossover
+    override), est_rows hint, and the zero-row input."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.exchange import exchange_groups
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    df = pd.DataFrame({"k": rng.randint(0, 40, n), "v": rng.randint(0, 100, n)})
+    ds = rd.from_pandas(df).repartition(8)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("k", as_index=False).agg(s=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    empty = pa.table(
+        {"k": pa.array([], type=pa.int64()), "s": pa.array([], type=pa.int64())}
+    )
+    want = (
+        df.groupby("k", as_index=False).agg(s=("v", "sum"))
+        .sort_values("k").reset_index(drop=True)
+    )
+
+    def run(**kw):
+        return (
+            exchange_groups(ds, ["k"], 4, per_bucket, empty, **kw)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+
+    # 5000 rows < crossover -> groupby path (measured count)
+    pd.testing.assert_frame_equal(run(), want, check_dtype=False)
+    # crossover forced to 0 -> scatter path on the same input
+    monkeypatch.setenv("KAZU_EXCHANGE_CROSSOVER_ROWS", "0")
+    pd.testing.assert_frame_equal(run(), want, check_dtype=False)
+    monkeypatch.delenv("KAZU_EXCHANGE_CROSSOVER_ROWS")
+    # est_rows hint above the crossover -> scatter, no materialize pass
+    pd.testing.assert_frame_equal(run(est_rows=2_000_000), want, check_dtype=False)
+    # empty input short-circuits with the declared schema (to_pandas on
+    # a fully-empty Dataset drops columns in this Ray version, so check
+    # the Arrow schema — same contract scatter_groups carries)
+    empty_ds = exchange_groups(
+        rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64()),
+                                "v": pa.array([], type=pa.int64())})),
+        ["k"], 4, per_bucket, empty,
+    )
+    assert empty_ds.count() == 0
+    assert empty_ds.schema().names == ["k", "s"]
+
+
 def test_feed_delivery_verification(ray_session, monkeypatch):
     """The pipelined feed's positive delivery check: a received counter
     that never reaches the sent total must fail LOUDLY on timeout, and a
