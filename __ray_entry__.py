@@ -863,6 +863,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": _top_events_per_user,
         "segment_ship_priority": relational.segment_ship_priority,
         "sliding_event_counts": relational.sliding_event_counts,
+        # window / OLAP additions (ops/window.py)
+        "event_lag_features": lambda sf_dir: __import__(
+            "kazu_ray.ops.window", fromlist=["event_lag_features"]
+        ).event_lag_features(sf_dir),
+        "grouped_quantiles": lambda sf_dir: __import__(
+            "kazu_ray.ops.window", fromlist=["grouped_quantiles"]
+        ).grouped_quantiles(sf_dir),
+        "rollup_revenue": lambda sf_dir: __import__(
+            "kazu_ray.ops.window", fromlist=["rollup_revenue"]
+        ).rollup_revenue(sf_dir),
+        # substring search (ops/search.py)
+        "phrase_search": lambda sf_dir: __import__(
+            "kazu_ray.ops.search", fromlist=["phrase_search"]
+        ).phrase_search(sf_dir),
     }
 
 
@@ -1339,5 +1353,32 @@ def oracle_sql() -> dict[str, str]:
                  )
             SELECT node, count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM pairs GROUP BY node
+        """,
+        "event_lag_features": """
+            SELECT event_id, user_id,
+                   row_number() OVER w AS seq_no,
+                   CAST(date_diff('microsecond', lag(ts) OVER w, ts) AS DOUBLE)
+                       / 1000000 AS prev_gap_s,
+                   sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "grouped_quantiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5)  AS p50,
+                   quantile_cont(value, 0.95) AS p95,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY event_type
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   count(*)::BIGINT AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "phrase_search": """
+            SELECT doc_id FROM documents WHERE contains(text, 'fast merge')
         """,
     }

@@ -795,3 +795,149 @@ def test_pack_chunks_tiles_and_is_bucket_invariant(ray_session):
     assert (a["start_tok"].values[1:] == (a["start_tok"] + a["n_tokens"]).values[:-1]).all()
     assert a["start_tok"].iloc[0] == 0
     assert (a["first_chunk"] == a["start_tok"] // 64).all()
+
+
+def test_event_lag_features_matches_duckdb(ray_session):
+    """lag/row_number/running-sum features equal the DuckDB window
+    oracle on the same events table, and the answer is identical when
+    the exchange is forced down the scatter path (crossover=0)."""
+    import duckdb
+    import pandas as pd
+
+    from kazu_ray.ops.window import event_lag_features
+
+    oracle = duckdb.sql(
+        f"""
+        SELECT event_id, user_id,
+               row_number() OVER w AS seq_no,
+               CAST(date_diff('microsecond', lag(ts) OVER w, ts) AS DOUBLE)
+                   / 1000000 AS prev_gap_s,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_value
+        FROM '{SF_DIR}/events.parquet'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    ).df()
+
+    def normalize(df):
+        return (
+            df.sort_values(["user_id", "seq_no"])
+            .reset_index(drop=True)
+            .astype({"seq_no": "int64"})
+        )
+
+    oracle = normalize(oracle)
+    got = normalize(event_lag_features(SF_DIR).to_pandas())
+    pd.testing.assert_frame_equal(got, oracle, check_like=True, atol=1e-9)
+
+    import os
+
+    os.environ["KAZU_EXCHANGE_CROSSOVER_ROWS"] = "0"
+    try:
+        forced = normalize(event_lag_features(SF_DIR).to_pandas())
+    finally:
+        del os.environ["KAZU_EXCHANGE_CROSSOVER_ROWS"]
+    pd.testing.assert_frame_equal(forced, oracle, check_like=True, atol=1e-9)
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+
+    from kazu_ray.ops.window import grouped_quantiles
+
+    oracle = (
+        duckdb.sql(
+            f"""
+            SELECT event_type, quantile_cont(value, 0.5) p50,
+                   quantile_cont(value, 0.95) p95, count(*)::BIGINT n
+            FROM '{SF_DIR}/events.parquet' GROUP BY event_type ORDER BY event_type
+            """
+        )
+        .df()
+        .set_index("event_type")
+    )
+    got = grouped_quantiles(SF_DIR).to_pandas().set_index("event_type").sort_index()
+    assert list(got.index) == list(oracle.index)
+    assert np.allclose(got["p50"], oracle["p50"], atol=1e-9)
+    assert np.allclose(got["p95"], oracle["p95"], atol=1e-9)
+    assert (got["n"].astype("int64") == oracle["n"]).all()
+
+
+def test_rollup_revenue_levels_consistent(ray_session):
+    """ROLLUP output: fine rows sum to flag subtotals, subtotals to the
+    grand total, and the fine level equals DuckDB's plain GROUP BY."""
+    import duckdb
+    import numpy as np
+
+    from kazu_ray.ops.window import rollup_revenue
+
+    out = rollup_revenue(SF_DIR)
+    fine = out[out["l_linestatus"].notna()]
+    by_flag = out[out["l_linestatus"].isna() & out["l_returnflag"].notna()]
+    total = out[out["l_returnflag"].isna()]
+    assert len(total) == 1
+    assert np.isclose(fine["revenue"].sum(), total["revenue"].iloc[0])
+    assert fine["n"].sum() == total["n"].iloc[0]
+    for flag, sub in fine.groupby("l_returnflag"):
+        row = by_flag[by_flag["l_returnflag"] == flag]
+        assert np.isclose(sub["revenue"].sum(), row["revenue"].iloc[0])
+        assert sub["n"].sum() == row["n"].iloc[0]
+    oracle = duckdb.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_extendedprice * (1 - l_discount)) revenue, count(*)::BIGINT n
+        FROM '{SF_DIR}/lineitem.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    fine_sorted = fine.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    assert np.allclose(fine_sorted["revenue"], oracle["revenue"])
+    assert (fine_sorted["n"].values == oracle["n"].values).all()
+
+
+def test_phrase_search_matches_contains(ray_session):
+    import duckdb
+
+    from kazu_ray.ops.search import phrase_search
+
+    for phrase in ["fast merge", "th", "no such phrase zzz"]:
+        truth = set(
+            duckdb.sql(
+                f"SELECT doc_id FROM '{SF_DIR}/documents.parquet' "
+                f"WHERE contains(text, '{phrase}')"
+            ).df()["doc_id"]
+        )
+        df = phrase_search(SF_DIR, phrase).to_pandas()
+        got = set(df["doc_id"]) if "doc_id" in df.columns else set()
+        assert got == truth, phrase
+
+
+def test_trigram_postings_probe(ray_session):
+    """Postings candidates are a SUPERSET of true matches (trigram AND
+    bound), and probe+verify equals brute force."""
+    import ray.data as rd
+
+    from kazu_ray.ops.search import build_trigram_postings, postings_probe
+
+    docs = [
+        {"doc_id": 1, "text": "the quick brown fox"},
+        {"doc_id": 2, "text": "quick silver lining"},
+        {"doc_id": 3, "text": "a slow brown dog"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "quibble rowan"},  # shares 'qui'/'row' trigrams
+    ]
+    postings = build_trigram_postings(rd.from_items(docs)).to_pandas()
+    # doc-distinct: no (gram, doc) appears twice across posting lists
+    seen = set()
+    for _, r in postings.iterrows():
+        for d in r["doc_ids"]:
+            assert (r["gram"], d) not in seen
+            seen.add((r["gram"], d))
+    for phrase in ["quick", "brown", "row", "fox", "missing"]:
+        truth = {d["doc_id"] for d in docs if phrase in d["text"]}
+        cand = set(postings_probe(postings, phrase))
+        assert truth <= cand, phrase
+        verified = {
+            d["doc_id"] for d in docs if d["doc_id"] in cand and phrase in d["text"]
+        }
+        assert verified == truth, phrase
