@@ -1358,9 +1358,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    row_number() OVER w AS seq_no,
                    CAST(date_diff('microsecond', lag(ts) OVER w, ts) AS DOUBLE)
-                       / 1000000 AS prev_gap_s,
-                   sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS cum_value
+                       AS prev_gap_us,
+                   CAST(round(sum(value) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) * 100)
+                        AS BIGINT) AS cum_value_x100
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
@@ -1373,7 +1375,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_revenue": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                                 AS BIGINT)) AS BIGINT) AS revenue_x10k,
                    count(*)::BIGINT AS n
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)

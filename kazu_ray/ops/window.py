@@ -34,8 +34,12 @@ import pyarrow as pa
 def event_lag_features(sf_dir: str):
     """Per-event window features over the events log, partitioned by
     user: seq_no (1-based row number by ts, ties broken by event_id),
-    prev_gap_s (seconds since the user's previous event, NULL for the
-    first), cum_value (running sum of value in window order)."""
+    prev_gap_us (whole microseconds since the user's previous event,
+    NULL for the first — an integer-valued double, so the driver's
+    bit-exact hash compare holds), cum_value_x100 (running sum of value
+    in window order, scaled to int64 cents: value is 2-decimal, and
+    DuckDB's segment-tree windowed SUM is not bit-identical to a
+    sequential cumsum, so both sides integerize)."""
     import ray.data as rd
 
     from kazu_ray.ops.dedup import shuffle_parts
@@ -54,8 +58,8 @@ def event_lag_features(sf_dir: str):
                 "event_id": df["event_id"],
                 "user_id": df["user_id"],
                 "seq_no": g.cumcount() + 1,
-                "prev_gap_s": g["ts"].diff().dt.total_seconds(),
-                "cum_value": g["value"].cumsum(),
+                "prev_gap_us": g["ts"].diff() / pd.Timedelta(microseconds=1),
+                "cum_value_x100": np.round(g["value"].cumsum() * 100).astype("int64"),
             }
         )
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -65,16 +69,29 @@ def event_lag_features(sf_dir: str):
             "event_id": pa.array([], type=pa.int64()),
             "user_id": pa.array([], type=pa.int64()),
             "seq_no": pa.array([], type=pa.int64()),
-            "prev_gap_s": pa.array([], type=pa.float64()),
-            "cum_value": pa.array([], type=pa.float64()),
+            "prev_gap_us": pa.array([], type=pa.float64()),
+            "cum_value_x100": pa.array([], type=pa.int64()),
         }
     )
     return exchange_groups(ds, ["user_id"], shuffle_parts(), per_bucket, empty)
 
 
+def _quantile_cont(v: np.ndarray, q: float) -> float:
+    """DuckDB quantile_cont, bit-identical: lerp between the floor and
+    ceil ranks as ``(crn-rn)*v[frn] + (rn-frn)*v[crn]`` (numpy's
+    np.quantile evaluates the lerp differently and drifts in the last
+    bits, which the driver's exact hash compare rejects)."""
+    v = np.sort(v)
+    rn = q * (len(v) - 1)
+    frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+    if frn == crn:
+        return float(v[frn])
+    return float((crn - rn) * v[frn] + (rn - frn) * v[crn])
+
+
 def grouped_quantiles(sf_dir: str, probs: tuple[float, float] = (0.5, 0.95)):
-    """Exact p50/p95 of value per event_type (numpy linear
-    interpolation == DuckDB ``quantile_cont``)."""
+    """Exact p50/p95 of value per event_type (bit-identical to DuckDB
+    ``quantile_cont``)."""
     import ray.data as rd
 
     ds = rd.read_parquet(
@@ -83,12 +100,11 @@ def grouped_quantiles(sf_dir: str, probs: tuple[float, float] = (0.5, 0.95)):
 
     def per_type(g: pd.DataFrame) -> pd.DataFrame:
         v = g["value"].to_numpy()
-        lo, hi = np.quantile(v, probs, method="linear")
         return pd.DataFrame(
             {
                 "event_type": [g["event_type"].iloc[0]],
-                "p50": [float(lo)],
-                "p95": [float(hi)],
+                "p50": [_quantile_cont(v, probs[0])],
+                "p95": [_quantile_cont(v, probs[1])],
                 "n": [len(v)],
             }
         )
@@ -100,9 +116,13 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
     """Revenue + row count by (l_returnflag, l_linestatus) with ROLLUP
     super-aggregates (flag subtotals and the grand total, rolled-up
     levels as NULL) — finest level computed distributed, super levels
-    derived from it (exact for SUM/COUNT)."""
+    derived from it (exact for SUM/COUNT). Revenue is integerized PER
+    ROW (×10k int64: price/discount are 2-decimal so the product has
+    exactly 4) so every level's sum is exact and order-independent —
+    a grand-total float sum's error can exceed the ×10k rounding
+    margin, so rounding after summation would not hash-match."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -112,8 +132,17 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        rev = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        batch["l_extendedprice"],
+                        pc.subtract(1.0, batch["l_discount"]),
+                    ),
+                    pa.scalar(10000.0),
+                )
+            ),
+            pa.int64(),
         )
         df = pd.DataFrame(
             {
@@ -130,21 +159,22 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
     fine = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("rev", alias_name="revenue"), Sum("cnt", alias_name="n"))
+        .aggregate(Sum("rev", alias_name="revenue_x10k"), Sum("cnt", alias_name="n"))
         .to_pandas()  # ≤ |flags| × |statuses| rows — tiny by construction
     )
     by_flag = fine.groupby("l_returnflag", as_index=False).agg(
-        revenue=("revenue", "sum"), n=("n", "sum")
+        revenue_x10k=("revenue_x10k", "sum"), n=("n", "sum")
     )
     by_flag["l_linestatus"] = None
     total = pd.DataFrame(
         {
             "l_returnflag": [None],
             "l_linestatus": [None],
-            "revenue": [fine["revenue"].sum()],
+            "revenue_x10k": [fine["revenue_x10k"].sum()],
             "n": [fine["n"].sum()],
         }
     )
     out = pd.concat([fine, by_flag, total], ignore_index=True)
     out["n"] = out["n"].astype("int64")
-    return out[["l_returnflag", "l_linestatus", "revenue", "n"]]
+    out["revenue_x10k"] = out["revenue_x10k"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "revenue_x10k", "n"]]

@@ -811,9 +811,11 @@ def test_event_lag_features_matches_duckdb(ray_session):
         SELECT event_id, user_id,
                row_number() OVER w AS seq_no,
                CAST(date_diff('microsecond', lag(ts) OVER w, ts) AS DOUBLE)
-                   / 1000000 AS prev_gap_s,
-               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS cum_value
+                   AS prev_gap_us,
+               CAST(round(sum(value) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) * 100)
+                    AS BIGINT) AS cum_value_x100
         FROM '{SF_DIR}/events.parquet'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """
@@ -823,12 +825,13 @@ def test_event_lag_features_matches_duckdb(ray_session):
         return (
             df.sort_values(["user_id", "seq_no"])
             .reset_index(drop=True)
-            .astype({"seq_no": "int64"})
+            .astype({"seq_no": "int64", "cum_value_x100": "int64"})
         )
 
     oracle = normalize(oracle)
     got = normalize(event_lag_features(SF_DIR).to_pandas())
-    pd.testing.assert_frame_equal(got, oracle, check_like=True, atol=1e-9)
+    # driver hashes exact values — require bit-identity, not closeness
+    pd.testing.assert_frame_equal(got, oracle, check_like=True, rtol=0, atol=0)
 
     import os
 
@@ -837,7 +840,7 @@ def test_event_lag_features_matches_duckdb(ray_session):
         forced = normalize(event_lag_features(SF_DIR).to_pandas())
     finally:
         del os.environ["KAZU_EXCHANGE_CROSSOVER_ROWS"]
-    pd.testing.assert_frame_equal(forced, oracle, check_like=True, atol=1e-9)
+    pd.testing.assert_frame_equal(forced, oracle, check_like=True, rtol=0, atol=0)
 
 
 def test_grouped_quantiles_matches_duckdb(ray_session):
@@ -859,8 +862,9 @@ def test_grouped_quantiles_matches_duckdb(ray_session):
     )
     got = grouped_quantiles(SF_DIR).to_pandas().set_index("event_type").sort_index()
     assert list(got.index) == list(oracle.index)
-    assert np.allclose(got["p50"], oracle["p50"], atol=1e-9)
-    assert np.allclose(got["p95"], oracle["p95"], atol=1e-9)
+    # bit-identical, the driver's hash requirement
+    assert (got["p50"].to_numpy() == oracle["p50"].to_numpy()).all()
+    assert (got["p95"].to_numpy() == oracle["p95"].to_numpy()).all()
     assert (got["n"].astype("int64") == oracle["n"]).all()
 
 
@@ -877,21 +881,23 @@ def test_rollup_revenue_levels_consistent(ray_session):
     by_flag = out[out["l_linestatus"].isna() & out["l_returnflag"].notna()]
     total = out[out["l_returnflag"].isna()]
     assert len(total) == 1
-    assert np.isclose(fine["revenue"].sum(), total["revenue"].iloc[0])
+    assert fine["revenue_x10k"].sum() == total["revenue_x10k"].iloc[0]
     assert fine["n"].sum() == total["n"].iloc[0]
     for flag, sub in fine.groupby("l_returnflag"):
         row = by_flag[by_flag["l_returnflag"] == flag]
-        assert np.isclose(sub["revenue"].sum(), row["revenue"].iloc[0])
+        assert sub["revenue_x10k"].sum() == row["revenue_x10k"].iloc[0]
         assert sub["n"].sum() == row["n"].iloc[0]
     oracle = duckdb.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
-               sum(l_extendedprice * (1 - l_discount)) revenue, count(*)::BIGINT n
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                             AS BIGINT)) AS BIGINT) revenue_x10k,
+               count(*)::BIGINT n
         FROM '{SF_DIR}/lineitem.parquet' GROUP BY 1, 2 ORDER BY 1, 2
         """
     ).df()
     fine_sorted = fine.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
-    assert np.allclose(fine_sorted["revenue"], oracle["revenue"])
+    assert (fine_sorted["revenue_x10k"].values == oracle["revenue_x10k"].values).all()
     assert (fine_sorted["n"].values == oracle["n"].values).all()
 
 
