@@ -268,6 +268,27 @@ def _minhash_pairs(sf_dir: str):
     return pairs_to_table(verify_pairs_jaccard_ds(pairs, ds, threshold=0.6))
 
 
+def _ngram_jaccard_dups(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (J >= 0.7) via prefix
+    filtering (Bayardo WWW'07 / PPJoin family): per-doc shingle prefix
+    index under a hot-shingles-last total order -> candidate postings
+    (provable superset for any order) -> distributed exact-Jaccard
+    verify. The exact companion to the approximate minhash_near_dups
+    path; SQL oracle = the full shingle self-join at the same
+    threshold."""
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import (
+        ngram_jaccard_pairs,
+        pairs_to_table,
+        verify_pairs_jaccard_ds,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = ngram_jaccard_pairs(ds, threshold=0.7)
+    return pairs_to_table(verify_pairs_jaccard_ds(cand, ds, threshold=0.7))
+
+
 def _near_dup_clusters(sf_dir: str):
     """Near-duplicate clusters: MinHash-LSH pairs (distributed) →
     exact-Jaccard verify → connected components (size-dispatched:
@@ -831,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "exact_dedup": _exact_dedup,
         "minhash_near_dups": _minhash_pairs,
+        "ngram_jaccard_dups": _ngram_jaccard_dups,
         "near_dup_clusters": _near_dup_clusters,
         "simhash_near_dups": _simhash_dups,
         "embedding_near_dups": _embedding_near_dups,
@@ -1224,6 +1246,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+        """,
+        "ngram_jaccard_dups": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                 sh AS (
+                    SELECT doc_id,
+                           unnest(list_distinct(
+                               CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                                    ELSE list_transform(generate_series(1, len(ws) - 2),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                               END)) AS s
+                    FROM w
+                 ),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2
+                 )
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
         """,
         "simhash_near_dups": """
             WITH s AS (SELECT doc_id, simhash

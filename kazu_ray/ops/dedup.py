@@ -434,6 +434,146 @@ def verify_pairs_jaccard_ds(
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard all-pairs (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Sorted distinct 64-bit hashes of a doc's word k-shingles (same
+    SipHash kernel as the minhash signature path)."""
+    sh = word_shingles(text, k)
+    h = pd.util.hash_array(
+        np.fromiter(sh, dtype=object, count=len(sh)), categorize=False
+    )
+    return np.unique(h)  # sorted + distinct
+
+
+def ngram_jaccard_pairs(
+    docs_ds,
+    threshold: float = 0.7,
+    k: int = 3,
+    coarse: int = 32,
+    hot_df: int = 64,
+):
+    """EXACT all-pairs n-gram Jaccard join (J >= threshold) via prefix
+    filtering (Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    WWW'07; the PPJoin family) — the exact companion to the approximate
+    MinHash-LSH path.
+
+    Scale shape: a doc with n distinct shingles indexes only its first
+    ``n - ceil(t*n) + 1`` shingles under a global total order — any pair
+    with J >= t MUST collide on at least one indexed shingle (prefix
+    lemma), for ANY total order, so the candidate set is a provable
+    superset and the exact verify (``verify_pairs_jaccard_ds``,
+    distributed) makes the result exact. The order used is
+    (is-hot, hash64): a one-pass combiner-first df count finds shingles
+    with df >= ``hot_df`` and sorts them LAST, so stopword-like shingles
+    almost never enter a prefix and posting lists stay short — pure
+    pruning, zero recall effect. Candidate generation reuses the
+    minhash coarse-key shuffle shape (fixed-width rows, vectorized
+    per-group pandas body) with the size filter ``min(na,nb) >=
+    t*max(na,nb)`` applied inside each posting.
+
+    Shingle-hash collisions only merge set elements, which can only
+    RAISE hash-space Jaccard — candidates stay a superset; the verify
+    recomputes true-shingle Jaccard. Capacity: the broadcast hot set is
+    bounded by total-shingle-occurrences / hot_df (Zipf head); postings
+    for non-hot shingles are < hot_df rows by construction.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    key = ("njp_shingle", k)
+
+    def _hashes_of(text: str) -> np.ndarray:
+        return _doc_shingle_hashes(text or "", k)
+
+    # pass 1: document frequency per shingle hash (combiner partials)
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        per_doc = [_hashes_of(t) for t in batch["text"].to_pylist()]
+        if not per_doc:
+            return pa.table(
+                {"h": pa.array([], type=pa.uint64()), "c": pa.array([], type=pa.int64())}
+            )
+        allh = np.concatenate(per_doc)
+        uh, cnt = np.unique(allh, return_counts=True)
+        return pa.table({"h": pa.array(uh), "c": pa.array(cnt.astype("int64"))})
+
+    df_tbl = (
+        docs_ds.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="df"))
+    )
+    import pyarrow.compute as pc
+
+    hot_rows = df_tbl.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], hot_df)).select(["h"]),
+        batch_format="pyarrow",
+    ).take_all()
+    hot = np.array(sorted(r["h"] for r in hot_rows), dtype=np.uint64)
+    hot_ref = ray.put(hot) if ray.is_initialized() else hot
+
+    # pass 2: per-doc ordered prefix -> (h, doc_id, n) index rows
+    def _prefix_rows(batch: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref) if not isinstance(hot_ref, np.ndarray) else hot_ref
+        hs, ids, ns = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            h = _hashes_of(text)
+            n = len(h)
+            p = n - int(np.ceil(threshold * n)) + 1
+            if len(hot_arr):
+                is_hot = np.isin(h, hot_arr)
+                h = np.concatenate([h[~is_hot], h[is_hot]])  # hot LAST
+            pref = h[:p]
+            hs.append(pref)
+            ids.append(np.full(len(pref), doc_id, dtype=np.int64))
+            ns.append(np.full(len(pref), n, dtype=np.int64))
+        if not hs:
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.uint64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "coarse": pa.array([], type=pa.int32()),
+                }
+            )
+        h_all = np.concatenate(hs)
+        return pa.table(
+            {
+                "h": pa.array(h_all),
+                "doc_id": pa.array(np.concatenate(ids)),
+                "n": pa.array(np.concatenate(ns)),
+                "coarse": pa.array((h_all % np.uint64(coarse)).astype("int32")),
+            }
+        )
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out: set[tuple[int, int]] = set()
+        for _, sub in group.groupby("h", sort=False):
+            if len(sub) < 2:
+                continue
+            rows = sorted(zip(sub["doc_id"], sub["n"]))
+            for i, (a, na) in enumerate(rows):
+                for b, nb in rows[i + 1 :]:
+                    lo, hi = (na, nb) if na <= nb else (nb, na)
+                    if lo >= threshold * hi:  # J <= min/max: size filter
+                        out.add((a, b))
+        if not out:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(sorted(out), columns=["id_a", "id_b"])
+
+    cand = (
+        docs_ds.map_batches(_prefix_rows, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    return _anchor_pairs_schema(cand)
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

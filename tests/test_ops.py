@@ -947,3 +947,80 @@ def test_trigram_postings_probe(ray_session):
             d["doc_id"] for d in docs if d["doc_id"] in cand and phrase in d["text"]
         }
         assert verified == truth, phrase
+
+
+def test_ngram_jaccard_prefix_filter_exact(ray_session):
+    """Prefix-filter candidates are a SUPERSET of all true J>=t pairs
+    (the exactness contract), verified output equals brute force, and
+    the planted near-dups are recovered."""
+    import duckdb
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import (
+        jaccard,
+        ngram_jaccard_pairs,
+        pairs_to_table,
+        verify_pairs_jaccard_ds,
+        word_shingles,
+    )
+
+    t = 0.7
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).df()
+    sh = {r.doc_id: word_shingles(r.text) for r in docs.itertuples()}
+    ids = sorted(sh)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if jaccard(sh[a], sh[b]) >= t
+    }
+    assert len(truth) >= 10  # planted ' dup' docs
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    cand_tbl = pairs_to_table(ngram_jaccard_pairs(ds, threshold=t))
+    cand = set(zip(cand_tbl["id_a"].to_pylist(), cand_tbl["id_b"].to_pylist()))
+    assert truth <= cand  # superset: prefix lemma, no false negatives
+
+    verified_tbl = pairs_to_table(
+        verify_pairs_jaccard_ds(ngram_jaccard_pairs(ds, threshold=t), ds, threshold=t)
+    )
+    verified = set(zip(verified_tbl["id_a"].to_pylist(), verified_tbl["id_b"].to_pylist()))
+    assert verified == truth
+
+
+def test_ngram_jaccard_hot_shingle_ordering(ray_session):
+    """A boilerplate shingle shared by every doc must NOT put all docs
+    in one posting: the hot-last order keeps template-only overlap out
+    of prefixes, while genuinely-similar pairs are still found."""
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import ngram_jaccard_pairs, pairs_to_table
+
+    boiler = "copyright acme corp all rights reserved"
+    docs = [
+        {
+            "doc_id": i,
+            # 10 fully doc-unique words, then the shared boilerplate:
+            # true J between any two of these docs is ~4/24 — far below
+            # the threshold — so NO pair among them should survive the
+            # prefix, which the hot-last order guarantees (a hash-only
+            # order would often put a boilerplate shingle in prefixes)
+            "text": " ".join(f"u{i}x{j}" for j in range(10)) + " " + boiler,
+        }
+        for i in range(50)
+    ]
+    # one true near-dup pair: 100 and 101 share their whole body
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    docs += [
+        {"doc_id": 100, "text": body + " " + boiler},
+        {"doc_id": 101, "text": body + " extra " + boiler},
+    ]
+    cand_tbl = pairs_to_table(
+        ngram_jaccard_pairs(rd.from_items(docs), threshold=0.5, hot_df=10)
+    )
+    cand = set(zip(cand_tbl["id_a"].to_pylist(), cand_tbl["id_b"].to_pylist()))
+    assert (100, 101) in cand
+    # the 50 boilerplate-only docs must not explode into ~1225 pairs
+    assert len(cand) < 100
