@@ -289,6 +289,26 @@ def _ngram_jaccard_dups(sf_dir: str):
     return pairs_to_table(verify_pairs_jaccard_ds(cand, ds, threshold=0.7))
 
 
+def _embedding_cluster_sizes(sf_dir: str):
+    """Deterministic k-means semantic bucketing of the embeddings table
+    → (cluster_id, n_vecs). The trained centroids are written to a /tmp
+    artifact so the DuckDB oracle can independently recompute the
+    assignment argmax + counts (the iterative training itself is not
+    SQL-expressible; the assignment given centroids is — the same
+    written-artifact pattern as simhash/kg)."""
+    import shutil
+
+    import ray.data as rd
+
+    from kazu_ray.ops.simsearch import kmeans_cluster_sizes
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    cdir = f"/tmp/kazu_ray_oracle/centroids_{tag}"
+    shutil.rmtree(cdir, ignore_errors=True)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_cluster_sizes(ds, n_clusters=16, centroids_dir=cdir)
+
+
 def _near_dup_clusters(sf_dir: str):
     """Near-duplicate clusters: MinHash-LSH pairs (distributed) →
     exact-Jaccard verify → connected components (size-dispatched:
@@ -895,6 +915,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": lambda sf_dir: __import__(
             "kazu_ray.ops.window", fromlist=["rollup_revenue"]
         ).rollup_revenue(sf_dir),
+        "cube_revenue": lambda sf_dir: __import__(
+            "kazu_ray.ops.window", fromlist=["cube_revenue"]
+        ).cube_revenue(sf_dir),
+        "user_event_pivot": lambda sf_dir: __import__(
+            "kazu_ray.ops.window", fromlist=["user_event_pivot"]
+        ).user_event_pivot(sf_dir),
+        "event_value_ntile": lambda sf_dir: __import__(
+            "kazu_ray.ops.window", fromlist=["event_value_ntile"]
+        ).event_value_ntile(sf_dir),
+        "embedding_cluster_sizes": _embedding_cluster_sizes,
         # substring search (ops/search.py)
         "phrase_search": lambda sf_dir: __import__(
             "kazu_ray.ops.search", fromlist=["phrase_search"]
@@ -1428,5 +1458,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "phrase_search": """
             SELECT doc_id FROM documents WHERE contains(text, 'fast merge')
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                                 AS BIGINT)) AS BIGINT) AS revenue_x10k,
+                   count(*)::BIGINT AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "event_value_ntile": """
+            SELECT event_id, event_type,
+                   rank()  OVER w AS rnk,
+                   ntile(4) OVER w AS tile
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        """,
+        "embedding_cluster_sizes": """
+            WITH c AS (SELECT cluster_id, centroid FROM read_parquet(
+                           '/tmp/kazu_ray_oracle/centroids_sf0.01/centroids.parquet')),
+                 a AS (
+                    SELECT e.vec_id,
+                           (SELECT c.cluster_id FROM c
+                            ORDER BY list_cosine_similarity(e.embedding, c.centroid)
+                                     DESC, c.cluster_id
+                            LIMIT 1) AS cluster_id
+                    FROM embeddings e
+                 )
+            SELECT c.cluster_id, count(a.vec_id)::BIGINT AS n_vecs
+            FROM c LEFT JOIN a USING (cluster_id)
+            GROUP BY c.cluster_id
         """,
     }

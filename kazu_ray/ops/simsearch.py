@@ -315,3 +315,85 @@ def quantize_embeddings_batch(batch: pa.Table) -> pa.Table:
             "max_abs": pa.array(np.repeat(max_abs, d), type=pa.float64()),
         }
     )
+
+
+def kmeans_cluster_sizes(
+    embeddings_ds,
+    n_clusters: int = 16,
+    sample_size: int = 2048,
+    centroids_dir: str | None = None,
+):
+    """Deterministic k-means clustering over the embedding column —
+    the semantic-bucketing step of a training-data pipeline (domain
+    mixing, per-cluster sampling quotas). Returns (cluster_id, n_vecs)
+    with every cluster id present (zero-member clusters included, so
+    the output schema is independent of the data).
+
+    Scale shape: centroids train on the order-independent
+    bottom-k-by-hash sample (bounded driver memory, same sketch as the
+    IVF index); assignment is ONE streaming map_batches pass (argmax of
+    the cosine matmul per batch, ties to the lowest cluster id —
+    np.argmax's first-hit rule) emitting per-batch cluster-count
+    partials; the final groupby moves ≤ n_clusters rows per block.
+
+    When ``centroids_dir`` is set the trained centroids are written as
+    parquet (cluster_id, centroid) so an external checker (the DuckDB
+    oracle) can recompute the assignment argmax independently — the
+    clustering itself is iterative and not SQL-expressible, but the
+    assignment + counting IS, given the centroids artifact.
+    """
+    from ray.data.aggregate import Sum
+
+    sample = _centroid_sample(embeddings_ds, sample_size)
+    centroids = kmeans_centroids(sample, n_clusters)
+
+    if centroids_dir is not None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(centroids_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "cluster_id": pa.array(range(len(centroids)), type=pa.int64()),
+                    "centroid": pa.array(
+                        [c.tolist() for c in centroids],
+                        type=pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            f"{centroids_dir}/centroids.parquet",
+        )
+
+    import ray
+
+    cent_ref = ray.put(centroids) if ray.is_initialized() else centroids
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
+        mat = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        assign = np.argmax(mat @ cents.T, axis=1)
+        uc, cnt = np.unique(assign, return_counts=True)
+        return pa.table(
+            {
+                "cluster_id": pa.array(uc.astype("int64")),
+                "c": pa.array(cnt.astype("int64")),
+            }
+        )
+
+    counts = (
+        embeddings_ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Sum("c", alias_name="n_vecs"))
+        .to_pandas()
+    )
+    import pandas as pd
+
+    full = (
+        counts.set_index("cluster_id")
+        .reindex(range(len(centroids)), fill_value=0)
+        .reset_index()
+    )
+    full["n_vecs"] = full["n_vecs"].astype("int64")
+    return full

@@ -112,15 +112,15 @@ def grouped_quantiles(sf_dir: str, probs: tuple[float, float] = (0.5, 0.95)):
     return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
 
 
-def rollup_revenue(sf_dir: str) -> pd.DataFrame:
-    """Revenue + row count by (l_returnflag, l_linestatus) with ROLLUP
-    super-aggregates (flag subtotals and the grand total, rolled-up
-    levels as NULL) — finest level computed distributed, super levels
-    derived from it (exact for SUM/COUNT). Revenue is integerized PER
-    ROW (×10k int64: price/discount are 2-decimal so the product has
-    exactly 4) so every level's sum is exact and order-independent —
-    a grand-total float sum's error can exceed the ×10k rounding
-    margin, so rounding after summation would not hash-match."""
+def _fine_revenue(sf_dir: str) -> pd.DataFrame:
+    """The shared fine-level (l_returnflag, l_linestatus) revenue/count
+    aggregate that ROLLUP and CUBE derive their super-levels from —
+    ONE distributed pass over lineitem. Revenue is integerized PER ROW
+    (×10k int64: price/discount are 2-decimal so the product has
+    exactly 4) so every derived level's sum is exact and
+    order-independent — a grand-total float sum's error can exceed the
+    ×10k rounding margin, so rounding after summation would not
+    hash-match the SQL oracle."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -156,25 +156,166 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    fine = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("rev", alias_name="revenue_x10k"), Sum("cnt", alias_name="n"))
         .to_pandas()  # ≤ |flags| × |statuses| rows — tiny by construction
     )
-    by_flag = fine.groupby("l_returnflag", as_index=False).agg(
-        revenue_x10k=("revenue_x10k", "sum"), n=("n", "sum")
-    )
-    by_flag["l_linestatus"] = None
-    total = pd.DataFrame(
-        {
-            "l_returnflag": [None],
-            "l_linestatus": [None],
-            "revenue_x10k": [fine["revenue_x10k"].sum()],
-            "n": [fine["n"].sum()],
-        }
-    )
-    out = pd.concat([fine, by_flag, total], ignore_index=True)
+
+
+def _super_level(fine: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    """One grouping-set level derived locally from the fine aggregate:
+    group by ``keys`` (both, one, or neither of the two dims), NULL the
+    rolled-up dims. Exact for SUM/COUNT; never rescans the fact table."""
+    if keys:
+        out = fine.groupby(keys, as_index=False).agg(
+            revenue_x10k=("revenue_x10k", "sum"), n=("n", "sum")
+        )
+    else:
+        out = pd.DataFrame(
+            {"revenue_x10k": [fine["revenue_x10k"].sum()], "n": [fine["n"].sum()]}
+        )
+    for dim in ("l_returnflag", "l_linestatus"):
+        if dim not in keys:
+            out[dim] = None
+    return out
+
+
+def _levels_frame(fine: pd.DataFrame, levels: list[list[str]]) -> pd.DataFrame:
+    parts = [fine] + [_super_level(fine, ks) for ks in levels]
+    out = pd.concat(parts, ignore_index=True)
     out["n"] = out["n"].astype("int64")
     out["revenue_x10k"] = out["revenue_x10k"].astype("int64")
     return out[["l_returnflag", "l_linestatus", "revenue_x10k", "n"]]
+
+
+def rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the fine level plus
+    per-flag subtotals and the grand total (rolled-up dims NULL), all
+    from one distributed pass (see :func:`_fine_revenue`)."""
+    return _levels_frame(_fine_revenue(sf_dir), [["l_returnflag"], []])
+
+
+def cube_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): every grouping set —
+    ROLLUP's levels plus the per-status subtotal — derived from the
+    same single fine-level pass."""
+    return _levels_frame(
+        _fine_revenue(sf_dir), [["l_returnflag"], ["l_linestatus"], []]
+    )
+
+
+def user_event_pivot(sf_dir: str) -> pd.DataFrame:
+    """Long→wide pivot: one row per user, one count column per event
+    type. Scale shape: a per-batch (user, type) count partial (combiner)
+    feeds ONE narrow groupby-sum over the long partials; the wide frame
+    is assembled per hash bucket of users through the adaptive exchange
+    (``pandas.pivot_table`` vectorized across all of a bucket's users —
+    no per-user Python dispatch). The column set comes from a tiny
+    distinct-types pre-aggregate so every bucket emits an identical
+    schema."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    types = sorted(
+        r["event_type"] for r in ds.groupby("event_type").count().take_all()
+    )
+    cols = [f"n_{t}" for t in types]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.to_pandas()
+            .groupby(["user_id", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    long = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        wide = (
+            t.to_pandas()
+            .pivot_table(
+                index="user_id",
+                columns="event_type",
+                values="c",
+                aggfunc="sum",
+                fill_value=0,
+            )
+            .reindex(columns=types, fill_value=0)
+            .astype("int64")
+        )
+        wide.columns = cols
+        return pa.Table.from_pandas(wide.reset_index(), preserve_index=False)
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            **{c: pa.array([], type=pa.int64()) for c in cols},
+        }
+    )
+    return exchange_groups(long, ["user_id"], shuffle_parts(), per_bucket, empty)
+
+
+def event_value_ntile(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
+    """rank() and ntile() per event_type ordered by (value, event_id) —
+    all-integer outputs, so the driver hash compare is exact by
+    construction. event_id breaks value ties, making both window
+    functions deterministic. Each event_type's rows are co-located by
+    the adaptive exchange and ranked in one vectorized pass per
+    bucket."""
+    import ray.data as rd
+
+    from kazu_ray.ops.exchange import exchange_groups
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["event_type", "value", "event_id"])
+        g = df.groupby("event_type", sort=False)
+        idx = g.cumcount().to_numpy()  # 0-based position within type
+        n = g["event_id"].transform("size").to_numpy()
+        # (value, event_id) is a total order -> rank == row_number
+        rnk = idx + 1
+        # DuckDB ntile(k): the first n%k tiles get ceil(n/k) rows
+        base, rem = n // tiles, n % tiles
+        big = rem * (base + 1)
+        tile = np.where(
+            idx < big, idx // np.maximum(base + 1, 1), rem + (idx - big) // np.maximum(base, 1)
+        ).astype("int64")
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "event_type": df["event_type"].to_numpy(),
+                "rnk": rnk.astype("int64"),
+                "tile": tile + 1,
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], type=pa.int64()),
+            "event_type": pa.array([], type=pa.string()),
+            "rnk": pa.array([], type=pa.int64()),
+            "tile": pa.array([], type=pa.int64()),
+        }
+    )
+    # 5 event types at bench scale: more buckets than types is wasted
+    # actor spawn, fewer loses parallelism — key cardinality IS the cap
+    return exchange_groups(ds, ["event_type"], 8, per_bucket, empty)

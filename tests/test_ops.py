@@ -1024,3 +1024,93 @@ def test_ngram_jaccard_hot_shingle_ordering(ray_session):
     assert (100, 101) in cand
     # the 50 boilerplate-only docs must not explode into ~1225 pairs
     assert len(cand) < 100
+
+
+def test_ntile_small_groups_match_duckdb(ray_session):
+    """ntile/rank edge cases: groups smaller than the tile count, and
+    the uneven-remainder split, must match DuckDB's ntile exactly."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from kazu_ray.ops.exchange import exchange_groups
+    from kazu_ray.ops.window import event_value_ntile
+
+    # build a tiny parquet dir shaped like events with group sizes
+    # 2 (< tiles), 7 (remainder 3), and 12 (exact)
+    import os
+    import tempfile
+
+    rows = []
+    eid = 0
+    for etype, size in [("a", 2), ("b", 7), ("c", 12)]:
+        for i in range(size):
+            rows.append(
+                {"event_id": eid, "event_type": etype, "value": float(i % 3)}
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(rows).to_parquet(f"{d}/events.parquet")
+        got = (
+            event_value_ntile(d, tiles=4)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        oracle = duckdb.sql(
+            f"""
+            SELECT event_id, event_type,
+                   rank() OVER w AS rnk, ntile(4) OVER w AS tile
+            FROM '{d}/events.parquet'
+            WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+            ORDER BY event_id
+            """
+        ).df()
+    assert (got["rnk"].values == oracle["rnk"].values).all()
+    assert (got["tile"].values == oracle["tile"].values).all()
+
+
+def test_pivot_row_sums_equal_user_counts(ray_session):
+    import duckdb
+
+    from kazu_ray.ops.window import user_event_pivot
+
+    wide = user_event_pivot(SF_DIR).to_pandas().set_index("user_id")
+    per_user = (
+        duckdb.sql(
+            f"SELECT user_id, count(*)::BIGINT n FROM '{SF_DIR}/events.parquet' GROUP BY 1"
+        )
+        .df()
+        .set_index("user_id")["n"]
+    )
+    assert (wide.sum(axis=1).sort_index() == per_user.sort_index()).all()
+    assert (wide.dtypes == "int64").all()
+
+
+def test_cube_contains_rollup_plus_status_level():
+    from kazu_ray.ops.window import cube_revenue, rollup_revenue
+
+    cube = cube_revenue(SF_DIR)
+    roll = rollup_revenue(SF_DIR)
+    assert len(cube) == len(roll) + cube["l_linestatus"].nunique()
+    # per-status level sums to the same grand total
+    by_status = cube[cube["l_returnflag"].isna() & cube["l_linestatus"].notna()]
+    total = cube[cube["l_returnflag"].isna() & cube["l_linestatus"].isna()]
+    assert by_status["revenue_x10k"].sum() == total["revenue_x10k"].iloc[0]
+
+
+def test_kmeans_cluster_sizes_cover_all_vectors(ray_session):
+    import ray.data as rd
+
+    from kazu_ray.ops.simsearch import kmeans_cluster_sizes
+
+    ds = rd.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n = ds.count()
+    out = kmeans_cluster_sizes(ds, n_clusters=8)
+    assert len(out) == 8
+    assert out["n_vecs"].sum() == n
+    # determinism across runs
+    out2 = kmeans_cluster_sizes(ds, n_clusters=8)
+    assert (out["n_vecs"].values == out2["n_vecs"].values).all()
