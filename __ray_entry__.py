@@ -289,6 +289,44 @@ def _ngram_jaccard_dups(sf_dir: str):
     return pairs_to_table(verify_pairs_jaccard_ds(cand, ds, threshold=0.7))
 
 
+def _customers_without_f_orders(sf_dir: str):
+    """Customers with no order in status 'F' — a large×large ANTI join
+    through the bucketed hash exchange: the right side is filtered and
+    pruned to its key column inside the read/map stage, so the exchange
+    moves one int64 column; each bucket filters with a vectorized
+    ``is_in`` mask. (The broadcast anti-joins in the cleanup paths cover
+    small right sides; this is the both-sides-scale form.)"""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from kazu_ray.ops.joins import bucketed_hash_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    )
+    okeys = orders.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.filter(pc.equal(t["o_orderstatus"], "F"))[
+                    "o_custkey"
+                ]
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_hash_join(cust, okeys, on="c_custkey", num_buckets=8, how="anti")
+
+
+def _user_funnel(sf_dir: str):
+    from kazu_ray.ops.relational import user_funnel
+
+    return user_funnel(sf_dir)
+
+
 def _embedding_cluster_sizes(sf_dir: str):
     """Deterministic k-means semantic bucketing of the embeddings table
     → (cluster_id, n_vecs). The trained centroids are written to a /tmp
@@ -925,6 +963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kazu_ray.ops.window", fromlist=["event_value_ntile"]
         ).event_value_ntile(sf_dir),
         "embedding_cluster_sizes": _embedding_cluster_sizes,
+        "customers_without_f_orders": _customers_without_f_orders,
+        "user_funnel": _user_funnel,
         # substring search (ops/search.py)
         "phrase_search": lambda sf_dir: __import__(
             "kazu_ray.ops.search", fromlist=["phrase_search"]
@@ -1482,6 +1522,33 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER w AS tile
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        """,
+        "customers_without_f_orders": """
+            SELECT c_custkey, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
+        """,
+        "user_funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+                 s1 AS (SELECT user_id, min(ts) t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+                 s2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e
+                        JOIN s1 USING (user_id)
+                        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+                 s3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e
+                        JOIN s2 USING (user_id)
+                        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+            SELECT u.user_id,
+                   (CASE WHEN s3.user_id IS NOT NULL THEN 3
+                         WHEN s2.user_id IS NOT NULL THEN 2
+                         WHEN s1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END)::BIGINT AS funnel_depth
+            FROM u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
         """,
         "embedding_cluster_sizes": """
             WITH c AS (SELECT cluster_id, centroid FROM read_parquet(

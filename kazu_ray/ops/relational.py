@@ -324,3 +324,53 @@ def sliding_event_counts(sf_dir: str, window_minutes: int = 60, slide_minutes: i
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def user_funnel(sf_dir: str, steps: tuple = ("view", "click", "purchase")):
+    """Sequential funnel over the events log: for every user, the depth
+    of the ordered step chain they completed — step i+1 counts only if
+    it happens STRICTLY AFTER the earliest qualifying step i (earliest-
+    chain semantics, the standard funnel definition). Output: one row
+    per user, ``funnel_depth`` in 0..len(steps) — all-integer, so the
+    driver hash compare is exact.
+
+    Scale shape: a user's events are co-located by the adaptive hash
+    exchange; inside a bucket each step is ONE vectorized pandas pass
+    (filter step type → mask ts > user's previous-step time via an
+    index-aligned map → groupby-min) — no per-user Python loop, no
+    global sort.
+    """
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        users = df["user_id"].drop_duplicates()
+        depth = pd.Series(0, index=users, dtype="int64")
+        prev: pd.Series | None = None  # user -> earliest chain time so far
+        for step in steps:
+            sub = df[df["event_type"] == step]
+            if prev is not None:
+                bound = sub["user_id"].map(prev)
+                sub = sub[bound.notna() & (sub["ts"] > bound)]
+            cur = sub.groupby("user_id")["ts"].min()
+            depth.loc[cur.index] += 1
+            prev = cur
+        out = pd.DataFrame(
+            {"user_id": depth.index.to_numpy(), "funnel_depth": depth.to_numpy()}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "funnel_depth": pa.array([], type=pa.int64()),
+        }
+    )
+    return exchange_groups(ds, ["user_id"], shuffle_parts(), per_bucket, empty)

@@ -1114,3 +1114,65 @@ def test_kmeans_cluster_sizes_cover_all_vectors(ray_session):
     # determinism across runs
     out2 = kmeans_cluster_sizes(ds, n_clusters=8)
     assert (out["n_vecs"].values == out2["n_vecs"].values).all()
+
+
+def test_bucketed_anti_join(ray_session):
+    """Anti ∪ (inner keys) partitions the left side; empty right keeps
+    everything."""
+    import ray.data as rd
+
+    from kazu_ray.ops.joins import bucketed_hash_join
+
+    left = rd.from_items([{"k": i, "v": i * 10} for i in range(40)])
+    right = rd.from_items([{"k": i} for i in range(0, 40, 3)])
+    anti = bucketed_hash_join(left, right, on="k", num_buckets=4, how="anti").to_pandas()
+    assert set(anti["k"]) == {i for i in range(40) if i % 3 != 0}
+    assert list(anti.columns) == ["k", "v"]
+
+    none = rd.from_items([{"k": 1000}])
+    all_kept = bucketed_hash_join(left, none, on="k", num_buckets=4, how="anti").to_pandas()
+    assert len(all_kept) == 40
+
+
+def test_user_funnel_strictly_after_semantics(ray_session):
+    """A click BEFORE the first view must not advance the funnel; a
+    click at the SAME timestamp must not either (strict >); the
+    earliest-chain rule is what makes depth maximal."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from kazu_ray.ops.relational import user_funnel
+
+    t0 = pd.Timestamp("2025-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: click before view, purchase after view -> view only + no click => depth 1
+        {"user_id": 1, "event_type": "click", "ts": t0},
+        {"user_id": 1, "event_type": "view", "ts": t0 + m},
+        {"user_id": 1, "event_type": "purchase", "ts": t0 + 2 * m},
+        # user 2: full chain in order -> 3
+        {"user_id": 2, "event_type": "view", "ts": t0},
+        {"user_id": 2, "event_type": "click", "ts": t0 + m},
+        {"user_id": 2, "event_type": "purchase", "ts": t0 + 2 * m},
+        # user 3: click at the SAME ts as view -> strict > fails -> 1
+        {"user_id": 3, "event_type": "view", "ts": t0},
+        {"user_id": 3, "event_type": "click", "ts": t0},
+        # user 4: no funnel steps at all -> 0
+        {"user_id": 4, "event_type": "error", "ts": t0},
+        # user 5: earliest-chain rule: view@0, click@1, view@2 —
+        # purchase@1.5 counts via the EARLIEST click -> 3
+        {"user_id": 5, "event_type": "view", "ts": t0},
+        {"user_id": 5, "event_type": "click", "ts": t0 + m},
+        {"user_id": 5, "event_type": "view", "ts": t0 + 3 * m},
+        {"user_id": 5, "event_type": "purchase", "ts": t0 + 2 * m},
+    ]
+    for i, r in enumerate(rows):
+        r["event_id"] = i
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(rows).to_parquet(f"{d}/events.parquet")
+        got = (
+            user_funnel(d).to_pandas().set_index("user_id")["funnel_depth"].to_dict()
+        )
+    assert got == {1: 1, 2: 3, 3: 1, 4: 0, 5: 3}
