@@ -84,6 +84,21 @@ def score_and_group_ids(
     )
 
 
+def score_and_group_ids_one_per_id(
+    ids_and_source: set[tuple[str, str]],
+    is_symbolic: bool,
+    default_labels: dict[str, str],
+) -> tuple[frozenset, str]:
+    """Cellosaurus strategy (``parsers.py:1194-1215``): treat every id
+    sharing a normalised synonym as a SEPARATE entity (cell lines with
+    the same name are still distinct lines) — one singleton equivalent-
+    id set per id, aggregation strategy CUSTOM."""
+    return (
+        frozenset(frozenset({ias}) for ias in sorted(ids_and_source)),
+        "CUSTOM",
+    )
+
+
 def score_and_group_ids_by_xref(
     ids_and_source: set[tuple[str, str]],
     is_symbolic: bool,
@@ -132,14 +147,21 @@ def resolve_candidates_for_group(
     source: str,
     default_labels: dict[str, str],
     xrefs: dict[str, frozenset] | None = None,
+    one_id_set_per_id: bool = False,
 ) -> LinkingCandidate:
     """One normalised synonym group → one LinkingCandidate
     (``base.py:160-209``). When ``xrefs`` is provided (OpenTargets-style
-    sources), ambiguous ids group by shared cross-reference first."""
+    sources), ambiguous ids group by shared cross-reference first. When
+    ``one_id_set_per_id`` is set (Cellosaurus, ``parsers.py:1194-1215``),
+    every id keeps its own singleton equivalent-id set."""
     syn_set = set(group["syn"])
     is_symbolic = all(normalizer.classify_symbolic(x, entity_class) for x in syn_set)
     ids_and_source = {(idx, source) for idx in set(group["idx"])}
-    if xrefs is not None:
+    if one_id_set_per_id:
+        associated_id_sets, agg = score_and_group_ids_one_per_id(
+            ids_and_source, is_symbolic, default_labels
+        )
+    elif xrefs is not None:
         associated_id_sets, agg = score_and_group_ids_by_xref(
             ids_and_source, is_symbolic, default_labels, xrefs
         )
@@ -463,6 +485,7 @@ def build_parser_caches(
     source: str,
     global_drop_ids: set[str] | None = None,
     curations_path: str | None = None,
+    one_id_set_per_id: bool = False,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Build (metadata, synonyms, ner_terms) frames for one parser.
 
@@ -505,7 +528,8 @@ def build_parser_caches(
     candidates: dict[str, LinkingCandidate] = {}
     for syn_norm, group in df.groupby("syn_norm", sort=True):
         candidates[syn_norm] = resolve_candidates_for_group(
-            syn_norm, group, parser_name, entity_class, source, default_labels
+            syn_norm, group, parser_name, entity_class, source, default_labels,
+            one_id_set_per_id=one_id_set_per_id,
         )
 
     # resources + autocuration → ner terms; DROP_FOR_LINKING also removes

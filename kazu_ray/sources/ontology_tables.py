@@ -595,17 +595,21 @@ def build_caches_from_source(
     source: str,
     cache_dir: str,
     curations_path: str | None = None,
+    one_id_set_per_id: bool = False,
 ) -> str:
     """Run the standard cache build over a loaded source and append the
     results to (or create) the cache tables at ``cache_dir``.
     ``curations_path`` merges a human-override jsonl (see
-    ``kazu_ray.ontology.build.build_parser_caches``)."""
+    ``kazu_ray.ontology.build.build_parser_caches``);
+    ``one_id_set_per_id`` selects the Cellosaurus id-grouping strategy
+    (every id its own equivalent-id set, ``parsers.py:1194-1215``)."""
     import os
 
     from kazu_ray.ontology.build import build_parser_caches
 
     meta, syns, ner = build_parser_caches(
-        df, parser_name, entity_class, source, curations_path=curations_path
+        df, parser_name, entity_class, source, curations_path=curations_path,
+        one_id_set_per_id=one_id_set_per_id,
     )
     os.makedirs(cache_dir, exist_ok=True)
     for name, frame in (("metadata", meta), ("synonyms", syns), ("ner_terms", ner)):
@@ -616,3 +620,91 @@ def build_caches_from_source(
             frame = pd.concat([existing, frame], ignore_index=True)
         frame.to_parquet(path)
     return cache_dir
+
+
+MONDO_URI_REGEX = r"^http://purl.obolibrary.org/obo/(MONDO|HP)_[0-9]+$"
+
+
+def from_obograph_json(
+    path: str,
+    data_origin: str = "mondo",
+    uri_regex: str = MONDO_URI_REGEX,
+) -> pd.DataFrame:
+    """MondoOntologyParser port (``parsers.py:940-995``): the OBO-graphs
+    JSON serialization (``graphs[0].nodes``). A node contributes rows
+    only if its ``id`` IRI matches ``uri_regex`` (Mondo keeps MONDO and
+    HP purls) AND it carries a ``lbl`` (unlabeled nodes are skipped
+    entirely, synonyms included). The label becomes a synonym row with
+    mapping_type ``lbl``; each ``meta.synonyms`` entry with pred
+    ``hasExactSynonym`` becomes one more row (other synonym scopes are
+    deliberately ignored, matching the reference)."""
+    pat = re.compile(uri_regex)
+    with open(path) as f:
+        graph = json.load(f)["graphs"][0]
+    rows = []
+    for node in graph["nodes"]:
+        idx = node["id"]
+        if not pat.match(idx):
+            continue
+        label = node.get("lbl")
+        if label is None:
+            continue
+        rows.append((idx, label, label, "lbl"))
+        for syn_dict in node.get("meta", {}).get("synonyms", []):
+            if syn_dict["pred"] in {"hasExactSynonym"}:
+                rows.append((idx, label, syn_dict["val"], syn_dict["pred"]))
+    return _finalize(
+        pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin
+    )
+
+
+_CELL_LINE_RE = re.compile("cell line", re.IGNORECASE)
+
+
+def from_cellosaurus_obo(path: str, data_origin: str = "cellosaurus") -> pd.DataFrame:
+    """CellosaurusOntologyParser port (``parsers.py:1186-1275``): an OBO
+    flat file read for ``id:`` / ``name:`` lines ONLY — the reference
+    deliberately ignores the synonym field ("synonyms in cellosaurus
+    are a bit of a mess") — with the literal text ``cell line`` removed
+    case-insensitively from every label (they are all cell lines and it
+    confuses mapping); mapping_type ``name``. Pair with
+    ``one_id_set_per_id=True`` in the cache build for the reference's
+    custom score_and_group_ids (every synonym its own id set)."""
+    rows = []
+    cur_id = ""
+    with open(path) as f:
+        for line in f:
+            text = line.rstrip()
+            if text.startswith("id:"):
+                cur_id = text.split(" ")[1]
+            elif text.startswith("name:"):
+                label = _CELL_LINE_RE.sub("", text[5:].strip()).strip()
+                rows.append((cur_id, label, label, "name"))
+    return _finalize(
+        pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin
+    )
+
+
+def from_atc_classification(path: str, data_origin: str = "atc") -> pd.DataFrame:
+    """ATCDrugClassificationParser port (``parsers.py:1594-1661``):
+    5-space-separated ``code`` / merged ``level_and_description`` rows;
+    the merged field's FIRST character is the ATC level (kept as the
+    mapping_type), the remainder the label. Levels 1-3 are dropped
+    (anatomical/therapeutic groups too generic to link against)."""
+    df = pd.read_csv(
+        path,
+        sep="     ",
+        header=None,
+        names=["code", "level_and_description"],
+        engine="python",  # the C engine can't handle a multi-char sep
+    ).map(str.strip)
+    out = pd.DataFrame(
+        {
+            "idx": df["code"],
+            "mapping_type": df["level_and_description"].str[0],
+            "default_label": df["level_and_description"].str[1:],
+        }
+    )
+    out = out[~out["mapping_type"].isin({"1", "2", "3"})]
+    out["syn"] = out["default_label"]
+    return _finalize(out[CANONICAL_COLUMNS], data_origin)

@@ -419,3 +419,88 @@ def test_hgnc_gene_family_parser(tmp_path):
         e["match"] == "Lipocortins" and e["entity_class"] == "gene_family"
         for e in ents
     )
+
+
+def test_mondo_obograph_json_parser():
+    """MondoOntologyParser parity (``parsers.py:940-995``): OBO-graphs
+    JSON; only MONDO/HP purls; unlabeled nodes skipped; only
+    hasExactSynonym scope kept."""
+    from kazu_ray.sources.ontology_tables import from_obograph_json
+
+    df = from_obograph_json(os.path.join(FIXTURES, "mondo_like.json"))
+    ids = set(df["idx"])
+    # CHEBI purl and suffixed/unlabeled MONDO nodes are excluded
+    assert not any("CHEBI" in i for i in ids)
+    assert "http://purl.obolibrary.org/obo/MONDO_0000001" not in ids
+    assert "http://purl.obolibrary.org/obo/MONDO_0004979/extra" not in ids
+    asthma = df[df["idx"] == "http://purl.obolibrary.org/obo/MONDO_0004979"]
+    # label row + exact synonym; related synonym dropped
+    assert set(asthma["syn"]) == {"asthma", "bronchial asthma"}
+    assert set(asthma["mapping_type"]) == {"lbl", "hasExactSynonym"}
+    assert (asthma["default_label"] == "asthma").all()
+    # HP node with no synonyms still contributes its label
+    hp = df[df["idx"] == "http://purl.obolibrary.org/obo/HP_0002099"]
+    assert list(hp["syn"]) == ["Asthma attack"]
+
+
+def test_cellosaurus_obo_parser_and_one_id_set_per_id(tmp_path):
+    """CellosaurusOntologyParser parity (``parsers.py:1186-1275``):
+    id/name lines only, 'cell line' stripped, synonym lines ignored;
+    cache build with one_id_set_per_id keeps ambiguous ids separate."""
+    import json as _json
+
+    from kazu_ray.sources.ontology_tables import from_cellosaurus_obo
+
+    df = from_cellosaurus_obo(os.path.join(FIXTURES, "cellosaurus_like.obo"))
+    by_id = df.set_index("idx")
+    assert by_id.loc["CVCL_0001", "syn"] == "HEL"
+    assert by_id.loc["CVCL_0003", "syn"] == "HeLa"
+    # synonym: lines are NOT read in this parser
+    assert "HL 60" not in set(df["syn"])
+    assert (df["mapping_type"] == "name").all()
+
+    # two distinct cell lines sharing a name must stay separate id sets
+    import pandas as pd
+
+    amb = pd.concat(
+        [df, pd.DataFrame([{
+            "idx": "CVCL_9999", "default_label": "HeLa", "syn": "HeLa",
+            "mapping_type": "name", "data_origin": "cellosaurus",
+            "annotation_score": 0,
+        }])],
+        ignore_index=True,
+    )
+    cache_dir = str(tmp_path / "cache")
+    build_caches_from_source(
+        amb, "cellosaurus", "cell_line", "CELLOSAURUS", cache_dir,
+        one_id_set_per_id=True,
+    )
+    syns = pd.read_parquet(os.path.join(cache_dir, "synonyms.parquet"))
+    row = syns[syns["synonym_norm"].str.contains("HELA", case=False)]
+    assert len(row) == 1
+    cand = _json.loads(row["candidate_json"].iloc[0])
+    id_sets = cand["associated_id_sets"]
+    # one singleton set per id, not one merged/ambiguous set
+    assert len(id_sets) == 2
+    assert all(len(s) == 1 for s in id_sets)
+    assert {s[0][0] for s in id_sets} == {"CVCL_0003", "CVCL_9999"}
+    assert cand["aggregated_by"] == "CUSTOM"
+
+
+def test_atc_classification_parser():
+    """ATCDrugClassificationParser parity (``parsers.py:1594-1661``):
+    5-space sep, first char of merged field = level (mapping_type),
+    levels 1-3 dropped."""
+    from kazu_ray.sources.ontology_tables import from_atc_classification
+
+    df = from_atc_classification(os.path.join(FIXTURES, "atc_like.txt"))
+    ids = set(df["idx"])
+    # levels 1-3 (anatomical/therapeutic groups) are dropped
+    assert {"A", "A02", "A02B"}.isdisjoint(ids)
+    assert {"A02BC", "A02BC01", "N02BA01"} <= ids
+    omep = df[df["idx"] == "A02BC01"]
+    assert list(omep["syn"]) == ["omeprazole"]
+    assert list(omep["mapping_type"]) == ["5"]
+    ppi = df[df["idx"] == "A02BC"]
+    assert list(ppi["default_label"]) == ["Proton pump inhibitors"]
+    assert list(ppi["mapping_type"]) == ["4"]
