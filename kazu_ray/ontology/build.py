@@ -148,15 +148,23 @@ def resolve_candidates_for_group(
     default_labels: dict[str, str],
     xrefs: dict[str, frozenset] | None = None,
     one_id_set_per_id: bool = False,
+    find_kb=None,
 ) -> LinkingCandidate:
     """One normalised synonym group → one LinkingCandidate
     (``base.py:160-209``). When ``xrefs`` is provided (OpenTargets-style
     sources), ambiguous ids group by shared cross-reference first. When
     ``one_id_set_per_id`` is set (Cellosaurus, ``parsers.py:1194-1215``),
-    every id keeps its own singleton equivalent-id set."""
+    every id keeps its own singleton equivalent-id set. ``find_kb``
+    resolves an id to its kb source (``OntologyParser.find_kb``,
+    ``base.py:152-158`` / its call site ``base.py:188-194``) — parsers
+    like Stato (OBI|STATO) and Mondo (MONDO|HP) mix kbs in one source;
+    default is the parser-level ``source`` string."""
     syn_set = set(group["syn"])
     is_symbolic = all(normalizer.classify_symbolic(x, entity_class) for x in syn_set)
-    ids_and_source = {(idx, source) for idx in set(group["idx"])}
+    ids_and_source = {
+        (idx, find_kb(idx) if find_kb is not None else source)
+        for idx in set(group["idx"])
+    }
     if one_id_set_per_id:
         associated_id_sets, agg = score_and_group_ids_one_per_id(
             ids_and_source, is_symbolic, default_labels
@@ -486,6 +494,7 @@ def build_parser_caches(
     global_drop_ids: set[str] | None = None,
     curations_path: str | None = None,
     one_id_set_per_id: bool = False,
+    find_kb=None,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Build (metadata, synonyms, ner_terms) frames for one parser.
 
@@ -529,7 +538,7 @@ def build_parser_caches(
     for syn_norm, group in df.groupby("syn_norm", sort=True):
         candidates[syn_norm] = resolve_candidates_for_group(
             syn_norm, group, parser_name, entity_class, source, default_labels,
-            one_id_set_per_id=one_id_set_per_id,
+            one_id_set_per_id=one_id_set_per_id, find_kb=find_kb,
         )
 
     # resources + autocuration → ner terms; DROP_FOR_LINKING also removes

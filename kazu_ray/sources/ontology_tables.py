@@ -398,6 +398,11 @@ def from_ntriples(
     Only the line-based N-Triples serialization is supported (the
     reference defers format sniffing to rdflib; OWL/XML needs a real
     RDF stack).
+
+    A predicate may also be a 2-tuple of IRIs ``(p1, p2)`` — an rdflib
+    ``SequencePath`` equivalent (the reference's SKOS-XL label paths,
+    ``parsers.py:622-628``): subject --p1--> label node --p2--> literal;
+    the synthesized row's mapping_type is ``"p1/p2"``.
     """
     def spo():
         with open(path, encoding="utf-8") as f:
@@ -408,15 +413,92 @@ def from_ntriples(
                 if m is None:
                     continue
                 lit = m.group("obj_lit")
-                if lit is None:
-                    continue
-                yield m.group("subj"), m.group("pred"), _nt_unescape(lit)
+                if lit is not None:
+                    yield m.group("subj"), m.group("pred"), _nt_unescape(lit), True
+                else:
+                    yield m.group("subj"), m.group("pred"), m.group("obj_iri"), False
 
     rows = _rows_from_spo(
-        spo(), uri_regex, synonym_predicates, label_predicate,
+        _flatten_paths(spo(), (label_predicate, *synonym_predicates)),
+        uri_regex,
+        tuple(_pred_key(p) for p in synonym_predicates),
+        _pred_key(label_predicate),
         include_entity_patterns, exclude_entity_patterns,
     )
     return _finalize(pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin)
+
+
+def _pred_key(pred) -> str:
+    """Flat predicate → its IRI; 2-hop path → ``"p1/p2"``."""
+    return pred if isinstance(pred, str) else "/".join(pred)
+
+
+def _flatten_paths(spo_iter, predicates):
+    """Resolve 2-hop predicate paths over a (subj, pred, obj, is_literal)
+    stream into direct literal triples, passing flat literal triples
+    through unchanged. Equivalent to rdflib's ``SequencePath`` traversal
+    in ``RDFGraphParser.parse_to_dataframe`` (``parsers.py:575-607``)
+    for the path shape the reference uses (SKOS-XL ``prefLabel /
+    literalForm``). Buffers only triples whose predicate participates in
+    a path — ontology files are small next to the corpus, and only the
+    label-node edges are held."""
+    paths = [p for p in predicates if not isinstance(p, str)]
+    if not paths:
+        for subj, pred, obj, is_lit in spo_iter:
+            if is_lit:
+                yield subj, pred, obj
+        return
+    first_hops = {p[0] for p in paths}
+    second_hops = {p[1] for p in paths}
+    edge1: list[tuple[str, str, str]] = []  # (subj, p1, node)
+    edge2: dict[tuple[str, str], list[str]] = {}  # (node, p2) -> literals
+    for subj, pred, obj, is_lit in spo_iter:
+        if is_lit:
+            if pred in second_hops:
+                edge2.setdefault((subj, pred), []).append(obj)
+            else:
+                yield subj, pred, obj
+        elif pred in first_hops:
+            edge1.append((subj, pred, obj))
+    for subj, p1, node in edge1:
+        for p2 in second_hops:
+            for lit in edge2.get((node, p2), ()):
+                yield subj, f"{p1}/{p2}", lit
+
+
+SKOS_XL_PREF_LABEL_PATH = (
+    "http://www.w3.org/2008/05/skos-xl#prefLabel",
+    "http://www.w3.org/2008/05/skos-xl#literalForm",
+)
+SKOS_XL_ALT_LABEL_PATH = (
+    "http://www.w3.org/2008/05/skos-xl#altLabel",
+    "http://www.w3.org/2008/05/skos-xl#literalForm",
+)
+
+
+def from_skosxl(
+    path: str,
+    data_origin: str,
+    uri_regex: str,
+    synonym_predicates: tuple = (SKOS_XL_ALT_LABEL_PATH,),
+    label_predicate=SKOS_XL_PREF_LABEL_PATH,
+    include_entity_patterns: tuple = (),
+    exclude_entity_patterns: tuple = (),
+) -> pd.DataFrame:
+    """SKOSXLGraphParser port (``parsers.py:630-676``): the generic RDF
+    reader with SKOS-XL 2-hop label/synonym paths as defaults (labels
+    live on intermediate skosxl:Label nodes reached via prefLabel /
+    altLabel, their text under literalForm)."""
+    reader = from_ntriples if path.endswith(".nt") else from_rdf_xml
+    return reader(
+        path,
+        data_origin,
+        uri_regex=uri_regex,
+        synonym_predicates=synonym_predicates,
+        label_predicate=label_predicate,
+        include_entity_patterns=include_entity_patterns,
+        exclude_entity_patterns=exclude_entity_patterns,
+    )
 
 
 def _rows_from_spo(
@@ -486,30 +568,57 @@ def from_rdf_xml(
     from-scratch streaming reader (``xml.etree.iterparse``, elements
     cleared as they complete — memory stays flat on multi-GB files) for
     the striped subset those files use: node elements carrying
-    ``rdf:about``, child predicate elements whose namespace+localname is
-    the predicate IRI, literal text objects. ``rdf:resource`` objects,
-    reification and ``rdf:nodeID`` blank-node wiring are out of scope
-    (none carry labels/synonyms in this family of ontologies).
+    ``rdf:about`` (or ``rdf:nodeID`` / anonymous nesting for blank
+    label nodes), child predicate elements whose namespace+localname is
+    the predicate IRI, objects as literal text, ``rdf:resource`` /
+    ``rdf:nodeID`` references, or a nested node element. 2-tuple
+    predicates are SKOS-XL-style paths (see :func:`from_ntriples`).
     """
     import xml.etree.ElementTree as ET
 
     def spo():
         about_key = f"{{{_RDF_NS}}}about"
+        nodeid_key = f"{{{_RDF_NS}}}nodeID"
+        resource_key = f"{{{_RDF_NS}}}resource"
+
+        def subj_of(node):
+            return (
+                node.get(about_key)
+                or node.get(nodeid_key)
+                and f"_:{node.get(nodeid_key)}"
+                or f"_:anon{id(node)}"
+            )
 
         def emit(top):
-            # every descendant with rdf:about is a node element (striped
-            # syntax nests them inside predicate elements at any depth);
-            # its direct children are predicate elements
+            # every descendant with rdf:about/rdf:nodeID is a node
+            # element (striped syntax nests them inside predicate
+            # elements at any depth); its direct children are predicate
+            # elements. Anonymous nested node elements get a synthetic
+            # blank id so paths can traverse them.
             for node in top.iter():
-                subj = node.get(about_key)
-                if subj is None:
+                if node.get(about_key) is None and node.get(nodeid_key) is None and node is not top:
                     continue
+                subj = subj_of(node)
                 for child in node:
-                    if child.tag.startswith("{"):
-                        ns, local = child.tag[1:].split("}", 1)
-                        text = (child.text or "").strip()
-                        if text:
-                            yield subj, ns + local, text
+                    if not child.tag.startswith("{"):
+                        continue
+                    ns, local = child.tag[1:].split("}", 1)
+                    pred = ns + local
+                    text = (child.text or "").strip()
+                    ref = child.get(resource_key) or (
+                        child.get(nodeid_key) and f"_:{child.get(nodeid_key)}"
+                    )
+                    nested = [g for g in child if g.tag.startswith("{")]
+                    if text:
+                        yield subj, pred, text, True
+                    elif ref:
+                        yield subj, pred, ref, False
+                    elif nested:
+                        # striped anonymous object node: link, then
+                        # emit its own predicate triples
+                        obj_node = nested[0]
+                        yield subj, pred, subj_of(obj_node), False
+                        yield from emit(obj_node)
 
         context = ET.iterparse(path, events=("start", "end"))
         event, root = next(context)
@@ -524,7 +633,10 @@ def from_rdf_xml(
                     root.clear()
 
     rows = _rows_from_spo(
-        spo(), uri_regex, synonym_predicates, label_predicate,
+        _flatten_paths(spo(), (label_predicate, *synonym_predicates)),
+        uri_regex,
+        tuple(_pred_key(p) for p in synonym_predicates),
+        _pred_key(label_predicate),
         include_entity_patterns, exclude_entity_patterns,
     )
     return _finalize(pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin)
@@ -596,6 +708,7 @@ def build_caches_from_source(
     cache_dir: str,
     curations_path: str | None = None,
     one_id_set_per_id: bool = False,
+    find_kb=None,
 ) -> str:
     """Run the standard cache build over a loaded source and append the
     results to (or create) the cache tables at ``cache_dir``.
@@ -609,7 +722,7 @@ def build_caches_from_source(
 
     meta, syns, ner = build_parser_caches(
         df, parser_name, entity_class, source, curations_path=curations_path,
-        one_id_set_per_id=one_id_set_per_id,
+        one_id_set_per_id=one_id_set_per_id, find_kb=find_kb,
     )
     os.makedirs(cache_dir, exist_ok=True)
     for name, frame in (("metadata", meta), ("synonyms", syns), ("ner_terms", ner)):
@@ -708,3 +821,91 @@ def from_atc_classification(path: str, data_origin: str = "atc") -> pd.DataFrame
     out = out[~out["mapping_type"].isin({"1", "2", "3"})]
     out["syn"] = out["default_label"]
     return _finalize(out[CANONICAL_COLUMNS], data_origin)
+
+
+def from_hgnc_complete_set_json(path: str, data_origin: str = "hgnc") -> pd.DataFrame:
+    """HGNCGeneOntologyParser port (``parsers.py:996-1095``): the HGNC
+    ``hgnc_complete_set.json`` gene dump. Docs without an
+    ``ensembl_gene_id`` or a ``name`` are skipped entirely; each of the
+    15 synonym-bearing keys contributes its (string, key) pairs, deduped
+    per doc as a set (kb = ENSEMBL)."""
+    keys_to_check = [
+        "name", "symbol", "uniprot_ids", "alias_name", "alias_symbol",
+        "prev_name", "lncipedia", "prev_symbol", "vega_id",
+        "refseq_accession", "hgnc_id", "mgd_id", "rgd_id", "ccds_id",
+        "pseudogene.org",
+    ]
+    with open(path) as f:
+        docs = json.load(f)["response"]["docs"]
+    rows = []
+    for doc in docs:
+        ensembl_gene_id = doc.get("ensembl_gene_id")
+        name = doc.get("name")
+        if ensembl_gene_id is None or name is None:
+            continue
+        synonyms = set()
+        for key in keys_to_check:
+            found = doc.get(key, [])
+            if not isinstance(found, list):
+                found = [found]
+            for syn in found:
+                synonyms.add((syn, key))
+        for syn, mapping_type in sorted(synonyms):
+            rows.append((ensembl_gene_id, name, syn, mapping_type))
+    return _finalize(pd.DataFrame(rows, columns=CANONICAL_COLUMNS), data_origin)
+
+
+def _kb_from_obo_iri(iri: str) -> str:
+    """MondoOntologyParser.find_kb (``parsers.py:945-951``): the
+    ontology prefix of an OBO purl's final path segment."""
+    from urllib.parse import urlparse
+
+    return urlparse(iri).path.split("/")[-1].split("_")[0]
+
+
+# RDFGraphParser subclasses that are pure configuration over the generic
+# reader: (uri_regex, synonym_predicates, label_predicate, find_kb).
+# find_kb mirrors each subclass's override (default: the parser name,
+# ``parsers.py:537-543``); it feeds per-id sources in the cache build.
+RDF_PARSER_PRESETS: dict = {
+    # UberonOntologyParser (parsers.py:899-938)
+    "uberon": (
+        r"^http://purl.obolibrary.org/obo/UBERON_[0-9]+$",
+        (OBO_EXACT_SYNONYM,), RDFS_LABEL, lambda iri: "UBERON",
+    ),
+    # CLOOntologyParser (parsers.py:1147-1184)
+    "clo": (
+        r"^http://purl.obolibrary.org/obo/CLO_[0-9]+$",
+        (OBO_EXACT_SYNONYM,), RDFS_LABEL, lambda iri: "CLO",
+    ),
+    # CLOntologyParser (parsers.py:1432-1475)
+    "cl": (
+        r"^http://purl.obolibrary.org/obo/CL_[0-9]+$",
+        (OBO_EXACT_SYNONYM,), RDFS_LABEL, lambda iri: "CL",
+    ),
+    # StatoParser (parsers.py:1663-1707): OBI or STATO by id
+    "stato": (
+        r"^http://purl.obolibrary.org/obo/(OBI|STATO)_[0-9]+$",
+        ("http://purl.obolibrary.org/obo/IAO_0000111",), RDFS_LABEL,
+        lambda iri: "OBI" if "OBI" in iri else "STATO",
+    ),
+    # HPOntologyParser (parsers.py:1709-1760)
+    "hp": (
+        r"^http://purl.obolibrary.org/obo/HP_[0-9]+$",
+        (OBO_EXACT_SYNONYM,), RDFS_LABEL, lambda iri: "HP",
+    ),
+}
+
+
+def from_rdf_preset(path: str, preset: str, data_origin: str | None = None) -> pd.DataFrame:
+    """Load an ``.nt`` / ``.owl`` file with one of the reference's
+    concrete RDF parser configurations (``RDF_PARSER_PRESETS``)."""
+    uri_regex, syn_preds, label_pred, _kb = RDF_PARSER_PRESETS[preset]
+    reader = from_ntriples if path.endswith(".nt") else from_rdf_xml
+    return reader(
+        path,
+        data_origin or preset,
+        uri_regex=uri_regex,
+        synonym_predicates=syn_preds,
+        label_predicate=label_pred,
+    )

@@ -504,3 +504,114 @@ def test_atc_classification_parser():
     ppi = df[df["idx"] == "A02BC"]
     assert list(ppi["default_label"]) == ["Proton pump inhibitors"]
     assert list(ppi["mapping_type"]) == ["4"]
+
+
+def test_skosxl_ntriples_parser():
+    """SKOSXLGraphParser parity (``parsers.py:630-676``): labels live on
+    intermediate skosxl:Label nodes reached by 2-hop paths."""
+    from kazu_ray.sources.ontology_tables import from_skosxl
+
+    df = from_skosxl(
+        os.path.join(FIXTURES, "skosxl_like.nt"),
+        data_origin="skosxl",
+        uri_regex=r"^http://example.org/kb/C[0-9]+$",
+    )
+    c1 = df[df["idx"] == "http://example.org/kb/C001"]
+    assert (c1["default_label"] == "hypertension").all()
+    assert set(c1["syn"]) == {"hypertension", "high blood pressure", "HTN"}
+    # mapping_type is the path notation p1/p2
+    alt = c1[c1["syn"] == "HTN"]["mapping_type"].iloc[0]
+    assert alt.endswith("altLabel/http://www.w3.org/2008/05/skos-xl#literalForm")
+    # uri_regex excludes the non-kb subject; an entity without a pref
+    # label contributes nothing (reference: subjects need a label triple)
+    assert "http://example.org/other/X9" not in set(df["idx"])
+    assert "http://example.org/kb/C003" not in set(df["idx"])
+    assert set(df["idx"]) == {
+        "http://example.org/kb/C001", "http://example.org/kb/C002"
+    }
+
+
+def test_skosxl_rdf_xml_parser():
+    """The RDF/XML serialization of the same shape: anonymous nested
+    Label nodes, rdf:nodeID blanks, and rdf:resource references all
+    resolve through the 2-hop path."""
+    from kazu_ray.sources.ontology_tables import from_skosxl
+
+    df = from_skosxl(
+        os.path.join(FIXTURES, "skosxl_like.rdf"),
+        data_origin="skosxl",
+        uri_regex=r"^http://example.org/kb/C[0-9]+$",
+    )
+    c1 = df[df["idx"] == "http://example.org/kb/C001"]
+    assert set(c1["syn"]) == {"hypertension", "high blood pressure", "HTN"}
+    c2 = df[df["idx"] == "http://example.org/kb/C002"]
+    assert set(c2["syn"]) == {"migraine"}
+
+
+def test_hgnc_complete_set_parser():
+    """HGNCGeneOntologyParser parity (``parsers.py:996-1095``)."""
+    from kazu_ray.sources.ontology_tables import from_hgnc_complete_set_json
+
+    df = from_hgnc_complete_set_json(
+        os.path.join(FIXTURES, "hgnc_complete_set_like.json")
+    )
+    # docs without ensembl_gene_id or name are skipped entirely
+    assert set(df["idx"]) == {"ENSG00000121410", "ENSG00000268895"}
+    a1bg = df[df["idx"] == "ENSG00000121410"]
+    assert (a1bg["default_label"] == "alpha-1-B glycoprotein").all()
+    assert {"A1B", "ABG", "A1BG", "P04217", "HGNC:5", "NM_130786",
+            "alpha-1-B glycoprotein"} <= set(a1bg["syn"])
+    # scalar (non-list) synonym values are wrapped, not iterated charwise
+    as1 = df[df["idx"] == "ENSG00000268895"]
+    assert "FLJ23569" in set(as1["syn"])
+    assert set(as1[as1["syn"] == "FLJ23569"]["mapping_type"]) == {"alias_symbol"}
+
+
+def test_rdf_presets_and_find_kb(tmp_path):
+    """Uberon/CLO/CL/Stato/HP preset configs (``parsers.py:899-938,
+    1147-1184, 1432-1475, 1663-1760``) and per-id kb resolution
+    (``find_kb``) through the cache build."""
+    import json as _json
+
+    import pandas as pd
+
+    from kazu_ray.ontology.build import build_parser_caches
+    from kazu_ray.sources.ontology_tables import RDF_PARSER_PRESETS, from_rdf_preset
+
+    # stato's find_kb splits OBI vs STATO ids
+    _, _, _, stato_kb = RDF_PARSER_PRESETS["stato"]
+    assert stato_kb("http://purl.obolibrary.org/obo/OBI_0000001") == "OBI"
+    assert stato_kb("http://purl.obolibrary.org/obo/STATO_0000001") == "STATO"
+
+    nt = tmp_path / "stato.nt"
+    nt.write_text(
+        '<http://purl.obolibrary.org/obo/OBI_0000070> <http://www.w3.org/2000/01/rdf-schema#label> "assay" .\n'
+        '<http://purl.obolibrary.org/obo/OBI_0000070> <http://purl.obolibrary.org/obo/IAO_0000111> "measurement assay" .\n'
+        '<http://purl.obolibrary.org/obo/STATO_0000039> <http://www.w3.org/2000/01/rdf-schema#label> "t-test" .\n'
+        '<http://purl.obolibrary.org/obo/GO_0000001> <http://www.w3.org/2000/01/rdf-schema#label> "not stato" .\n'
+    )
+    df = from_rdf_preset(str(nt), "stato")
+    assert set(df["idx"]) == {
+        "http://purl.obolibrary.org/obo/OBI_0000070",
+        "http://purl.obolibrary.org/obo/STATO_0000039",
+    }
+    assert "measurement assay" in set(df["syn"])
+
+    # find_kb flows into the candidates' ids_and_source
+    _meta, syns, _ner = build_parser_caches(
+        df, "stato", "measurement_technique", "STATO", find_kb=stato_kb
+    )
+    sources = set()
+    for cj in syns["candidate_json"]:
+        for id_set in _json.loads(cj)["associated_id_sets"]:
+            sources.update(src for _idx, src in id_set)
+    assert sources == {"OBI", "STATO"}
+
+    # uberon preset: plain exact-synonym OBO shape
+    nt2 = tmp_path / "uberon.nt"
+    nt2.write_text(
+        '<http://purl.obolibrary.org/obo/UBERON_0000955> <http://www.w3.org/2000/01/rdf-schema#label> "brain" .\n'
+        '<http://purl.obolibrary.org/obo/UBERON_0000955> <http://www.geneontology.org/formats/oboInOwl#hasExactSynonym> "encephalon" .\n'
+    )
+    df2 = from_rdf_preset(str(nt2), "uberon")
+    assert set(df2["syn"]) == {"brain", "encephalon"}
