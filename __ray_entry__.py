@@ -698,6 +698,65 @@ def _vocabulary(sf_dir: str):
     return vocabulary(ds)
 
 
+def _top_bigrams(sf_dir: str):
+    """Global bigram counts (phrase-mining shape): combiner partials →
+    groupby sum, never corpus-sized rows through the shuffle."""
+    import ray.data as rd
+
+    from kazu_ray.ops.text import top_bigrams
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_bigrams(ds, min_count=2)
+
+
+def _dup_span_stats(sf_dir: str):
+    """Cross-doc duplicated trigram spans (exact-substring-dedup
+    signal): distinct-shingle doc counts → broadcast duplicated set →
+    streaming membership count."""
+    import ray.data as rd
+
+    from kazu_ray.ops.text import dup_shingle_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_shingle_stats(ds, k_words=3, min_docs=2)
+
+
+TFIDF_QUERIES = {
+    "q_fast_merge": ("fast", "merge"),
+    "q_hash_join_table": ("hash", "join", "table"),
+    "q_dup_scan": ("dup", "scan"),
+}
+
+
+def _tfidf_topk(sf_dir: str):
+    """Integer-scaled tf-idf ranked retrieval: small df pass →
+    broadcast idf → streaming score with per-batch partial top-k.
+    Integer scores keep the result bit-identical to the SQL oracle."""
+    import ray.data as rd
+
+    from kazu_ray.ops.retrieval import document_frequencies, scaled_tfidf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    terms = tuple(sorted({t for ts in TFIDF_QUERIES.values() for t in ts}))
+    n_docs = ds.count()
+    dfs = document_frequencies(ds, terms)
+    return scaled_tfidf_topk(ds, TFIDF_QUERIES, n_docs, dfs, k=10)
+
+
+STRATIFIED_RATES = {"en": 30, "de": 60, "fr": 100}
+
+
+def _stratified_docs(sf_dir: str):
+    """Per-language deterministic hash sampling (dataset-mixing shape):
+    md5-bucket rule per stratum, shuffle-free, resumable."""
+    import ray.data as rd
+
+    from kazu_ray.ops.sample import stratified_sample_by_hash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_sample_by_hash(ds, "doc_id", "lang", STRATIFIED_RATES)
+
+
 def _decontaminate(sf_dir: str):
     """Flag docs sharing an 8-word shingle with the first 20 docs
     (standing in for a benchmark/eval set); returns flagged doc ids.
@@ -894,6 +953,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_docs": _sampled_docs,
         "split_counts": _split_assign,
         "vocabulary": _vocabulary,
+        "top_bigrams": _top_bigrams,
+        "dup_span_stats": _dup_span_stats,
+        "tfidf_topk": _tfidf_topk,
+        "stratified_docs": _stratified_docs,
         "decontaminate": _decontaminate,
         "bloom_decontaminate": _bloom_decontaminate,
         "packed_chunks": _packed_chunks,
@@ -1029,6 +1092,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             GROUP BY word
+        """,
+        "top_bigrams": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+                 b AS (
+                    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                  i -> ws[i] || ' ' || ws[i+1])) AS bigram
+                    FROM w
+                 )
+            SELECT bigram, count(*) AS n FROM b GROUP BY bigram HAVING count(*) >= 2
+        """,
+        "dup_span_stats": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                 sh AS (
+                    SELECT doc_id,
+                           list_transform(generate_series(1, len(ws) - 2),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs
+                    FROM w
+                 ),
+                 ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+                 cnt AS (SELECT g, count(DISTINCT doc_id) AS nd FROM ex GROUP BY g),
+                 dupc AS (
+                    SELECT ex.doc_id, count(*) AS n_dup
+                    FROM ex JOIN cnt ON ex.g = cnt.g
+                    WHERE cnt.nd >= 2 GROUP BY ex.doc_id
+                 )
+            SELECT sh.doc_id,
+                   len(sh.gs)::BIGINT AS n_shingles,
+                   COALESCE(dupc.n_dup, 0)::BIGINT AS n_dup_shingles
+            FROM sh LEFT JOIN dupc ON sh.doc_id = dupc.doc_id
+        """,
+        "tfidf_topk": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+                 q(query, term) AS (VALUES
+                    ('q_fast_merge', 'fast'), ('q_fast_merge', 'merge'),
+                    ('q_hash_join_table', 'hash'), ('q_hash_join_table', 'join'),
+                    ('q_hash_join_table', 'table'),
+                    ('q_dup_scan', 'dup'), ('q_dup_scan', 'scan')),
+                 tf AS (
+                    SELECT d.doc_id, q.query, q.term,
+                           len(list_filter(string_split(d.text, ' '), x -> x = q.term)) AS tf
+                    FROM documents d CROSS JOIN q
+                 ),
+                 df AS (
+                    SELECT term, count(*) AS df
+                    FROM (SELECT DISTINCT q2.term, d.doc_id
+                          FROM documents d
+                          JOIN (SELECT DISTINCT term FROM q) q2
+                            ON list_contains(string_split(d.text, ' '), q2.term))
+                    GROUP BY term
+                 ),
+                 scored AS (
+                    SELECT tf.query, tf.doc_id,
+                           SUM(tf.tf * ((nn.n * 1000000) // df.df))::BIGINT AS score
+                    FROM tf JOIN df ON tf.term = df.term CROSS JOIN nn
+                    WHERE tf.tf > 0
+                    GROUP BY tf.query, tf.doc_id
+                 )
+            SELECT query, doc_id, score FROM scored
+            WHERE score > 0
+            QUALIFY row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) <= 10
+        """,
+        "stratified_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT) % 100 <
+                  CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60
+                            WHEN 'fr' THEN 100 ELSE 0 END
         """,
         "split_counts": """
             WITH assigned AS (

@@ -431,3 +431,110 @@ def repetition_stats_batch(batch: pa.Table, ngram: int = 3) -> pa.Table:
             "dup_ngram_frac": pa.array(fracs, type=pa.float64()),
         }
     )
+
+
+def bigram_count_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial bigram counts (combiner form, like
+    ``word_count_partial_batch``): fan-in per bigram is bounded by the
+    block count, so the downstream groupby moves ≤ |distinct bigrams| ×
+    blocks rows, never corpus-sized data."""
+    counts: dict[str, int] = {}
+    for t in batch["text"].to_pylist():
+        ws = t.split(" ")
+        for i in range(len(ws) - 1):
+            g = ws[i] + " " + ws[i + 1]
+            counts[g] = counts.get(g, 0) + 1
+    grams = sorted(counts)
+    return pa.table(
+        {
+            "bigram": pa.array(grams, type=pa.string()),
+            "partial": pa.array([counts[g] for g in grams], type=pa.int64()),
+        }
+    )
+
+
+def top_bigrams(docs_ds, min_count: int = 2):
+    """Global bigram-frequency table (phrase-mining / tokenizer-merge
+    prep shape): combiner partials → groupby sum → count filter."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kazu_ray.ops.dedup import shuffle_parts
+
+    partials = docs_ds.map_batches(bigram_count_partial_batch, batch_format="pyarrow")
+    agg = partials.repartition(shuffle_parts()).groupby("bigram").aggregate(
+        Sum("partial", alias_name="n")
+    )
+    if min_count > 1:
+        agg = agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
+            batch_format="pyarrow",
+        )
+    return agg
+
+
+def _doc_kgrams(text: str, k_words: int) -> list[str]:
+    ws = text.split(" ")
+    return [" ".join(ws[i : i + k_words]) for i in range(len(ws) - k_words + 1)]
+
+
+def dup_shingle_stats(docs_ds, k_words: int = 3, min_docs: int = 2):
+    """Cross-document duplicated-span statistics (the signal behind
+    exact-substring training-data dedup, Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better"): for every doc, how
+    many of its word ``k_words``-grams also appear in ≥ ``min_docs``
+    distinct documents corpus-wide.
+
+    Two streaming passes: (1) per-doc DISTINCT shingles → combiner
+    partial doc-counts → groupby sum → the duplicated-shingle set,
+    which is bounded by the number of *repeated* spans, not corpus
+    size, and is broadcast once via ``ray.put``; (2) re-scan the corpus
+    counting membership. At 100-TB scale pass 1's collected set would
+    move behind the bloom-filter machinery (``build_bloom``) with the
+    same two-pass shape; here the exact set keeps the DuckDB oracle
+    bit-exact."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kazu_ray.ops.dedup import shuffle_parts
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for g in set(_doc_kgrams(t, k_words)):
+                counts[g] = counts.get(g, 0) + 1
+        grams = sorted(counts)
+        return pa.table(
+            {
+                "shingle": pa.array(grams, type=pa.string()),
+                "partial": pa.array([counts[g] for g in grams], type=pa.int64()),
+            }
+        )
+
+    dup = (
+        docs_ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .repartition(shuffle_parts())
+        .groupby("shingle")
+        .aggregate(Sum("partial", alias_name="n_docs"))
+        .filter(lambda r: r["n_docs"] >= min_docs)
+    )
+    dup_set = frozenset(dup.to_pandas()["shingle"])
+    dup_ref = ray.put(dup_set)
+
+    def membership(batch: pa.Table) -> pa.Table:
+        banned = ray.get(dup_ref)
+        doc_ids, totals, dups = [], [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            grams = _doc_kgrams(t, k_words)
+            doc_ids.append(doc_id)
+            totals.append(len(grams))
+            dups.append(sum(1 for g in grams if g in banned))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_shingles": pa.array(totals, type=pa.int64()),
+                "n_dup_shingles": pa.array(dups, type=pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(membership, batch_format="pyarrow")

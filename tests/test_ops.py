@@ -1176,3 +1176,73 @@ def test_user_funnel_strictly_after_semantics(ray_session):
             user_funnel(d).to_pandas().set_index("user_id")["funnel_depth"].to_dict()
         )
     assert got == {1: 1, 2: 3, 3: 1, 4: 0, 5: 3}
+
+
+def test_dup_shingle_stats_short_docs_and_membership(ray_session):
+    """Docs shorter than k contribute zero shingles; within-doc repeats
+    of a cross-doc duplicated shingle each count."""
+    import ray.data as rd
+
+    from kazu_ray.ops.text import dup_shingle_stats
+
+    docs = [
+        {"doc_id": 1, "text": "a b c d"},          # shingles: abc, bcd
+        {"doc_id": 2, "text": "a b c a b c"},      # abc ×2 (+ bca, cab)
+        {"doc_id": 3, "text": "x y"},              # too short: 0 shingles
+        {"doc_id": 4, "text": "p q r"},            # unique shingle
+    ]
+    out = (
+        dup_shingle_stats(rd.from_items(docs), k_words=3, min_docs=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_shingles"] == 2 and out.loc[1, "n_dup_shingles"] == 1
+    assert out.loc[2, "n_shingles"] == 4 and out.loc[2, "n_dup_shingles"] == 2
+    assert out.loc[3, "n_shingles"] == 0 and out.loc[3, "n_dup_shingles"] == 0
+    assert out.loc[4, "n_shingles"] == 1 and out.loc[4, "n_dup_shingles"] == 0
+
+
+def test_scaled_tfidf_topk_ranking_and_ties(ray_session):
+    """Integer idf scaling, absent terms ignored, ties broken by
+    doc_id ascending, score-0 docs never rank."""
+    import ray.data as rd
+
+    from kazu_ray.ops.retrieval import SCALE, document_frequencies, scaled_tfidf_topk
+
+    docs = [
+        {"doc_id": 1, "text": "cat cat dog"},
+        {"doc_id": 2, "text": "cat dog"},
+        {"doc_id": 3, "text": "dog dog dog"},
+        {"doc_id": 4, "text": "bird"},
+    ]
+    ds = rd.from_items(docs)
+    terms = ("cat", "dog", "unicorn")
+    dfs = document_frequencies(ds, terms)
+    assert dfs == {"cat": 2, "dog": 3, "unicorn": 0}
+    out = scaled_tfidf_topk(
+        ds, {"q": ("cat", "dog", "unicorn")}, n_docs=4, dfs=dfs, k=3
+    )
+    idf_cat = (4 * SCALE) // 2
+    idf_dog = (4 * SCALE) // 3
+    scores = dict(zip(out["doc_id"], out["score"]))
+    assert scores == {
+        1: 2 * idf_cat + idf_dog,
+        2: idf_cat + idf_dog,
+        3: 3 * idf_dog,
+    }
+    # doc 4 scored 0 -> excluded even with k room
+    assert 4 not in scores
+    # ranking: doc1 (2c+d) > doc3 (3d) > doc2 (c+d)
+    assert list(out["doc_id"]) == [1, 3, 2]
+
+
+def test_top_bigrams_min_count(ray_session):
+    import ray.data as rd
+
+    from kazu_ray.ops.text import top_bigrams
+
+    docs = [{"text": "a b a b"}, {"text": "a b c"}, {"text": "z"}]
+    out = top_bigrams(rd.from_items(docs), min_count=2).to_pandas()
+    got = dict(zip(out["bigram"], out["n"]))
+    # "a b" appears 3 times total; "b a" and "b c" once (filtered)
+    assert got == {"a b": 3}
