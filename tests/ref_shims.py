@@ -182,6 +182,51 @@ def install_shims() -> None:
         tokenizers.Encoding = _Encoding
         sys.modules["tokenizers"] = tokenizers
 
+    if "diskcache" not in sys.modules:
+        # behaviourally faithful: memoize() without a cache is the
+        # original function (kazu uses it purely as an optimization)
+        diskcache = types.ModuleType("diskcache")
+
+        class _Cache:
+            def __init__(self, *a, **k):
+                pass
+
+            def memoize(self, *a, **k):
+                def deco(fn):
+                    return fn
+
+                return deco
+
+        diskcache.Cache = _Cache
+        sys.modules["diskcache"] = diskcache
+
+    if "cachetools" not in sys.modules:
+        # LFUCache used as a plain bounded mapping; an unbounded dict
+        # subclass is behaviourally faithful at test sizes
+        cachetools = types.ModuleType("cachetools")
+
+        class _LFUCache(dict):
+            def __init__(self, maxsize=0, *a, **k):
+                super().__init__()
+
+        cachetools.LFUCache = _LFUCache
+        sys.modules["cachetools"] = cachetools
+
+    if "tqdm" not in sys.modules:
+        # behaviourally faithful: tqdm is a progress decorator; the
+        # identity pass-through preserves iteration exactly
+        tqdm_mod = types.ModuleType("tqdm")
+
+        def _tqdm(iterable=None, *a, **k):
+            return iterable
+
+        tqdm_mod.tqdm = _tqdm
+        auto = types.ModuleType("tqdm.auto")
+        auto.tqdm = _tqdm
+        tqdm_mod.auto = auto
+        sys.modules["tqdm"] = tqdm_mod
+        sys.modules["tqdm.auto"] = auto
+
     if "rapidfuzz" not in sys.modules:
         def _no_fuzz(*a, **k):
             raise NotImplementedError("rapidfuzz is shimmed for import only")
@@ -222,10 +267,43 @@ def install_shims() -> None:
                 return cls
 
         rdflib = types.ModuleType("rdflib")
-        for name in ("Graph", "URIRef", "Literal", "Namespace", "BNode"):
+        for name in ("Graph", "Literal", "BNode"):
             setattr(rdflib, name, _RdfPlaceholder)
+
+        class _SeqPath:
+            """Value-object stand-in for rdflib.paths.SequencePath: the
+            parsers only construct and pass these around."""
+
+            def __init__(self, *args):
+                self.args = args
+
+            def __truediv__(self, other):
+                return _SeqPath(*self.args, other)
+
+            def __eq__(self, other):
+                return isinstance(other, _SeqPath) and self.args == other.args
+
+            def __hash__(self):
+                return hash(("seq-path", self.args))
+
+        class _URIRef(str):
+            """Value-object stand-in: parsers construct URIRefs in
+            signature defaults and compose paths with ``/``."""
+
+            def __truediv__(self, other):
+                return _SeqPath(self, other)
+
+        class _Namespace(str):
+            def __getattr__(self, name):
+                return _URIRef(str(self) + name)
+
+        rdflib.URIRef = _URIRef
+        rdflib.Namespace = _Namespace
+        rdflib.RDFS = _Namespace("http://www.w3.org/2000/01/rdf-schema#")
+        rdflib.RDF = _Namespace("http://www.w3.org/1999/02/22-rdf-syntax-ns#")
         paths = types.ModuleType("rdflib.paths")
-        paths.Path = _RdfPlaceholder
+        paths.Path = _SeqPath
+        paths.SequencePath = _SeqPath
         term = types.ModuleType("rdflib.term")
         term.Node = _RdfPlaceholder
         rdflib.paths = paths

@@ -1594,3 +1594,140 @@ def test_short_form_filter_matches_reference():
         ours = _short_form_ok(words, " ".join(words))
         theirs = ref.short_form_filter(_mk_span(words))
         assert ours == theirs, words
+
+
+# ---------------------------------------------------------------------------
+# concrete parser differentials: same fixture file through the ACTUAL
+# reference parser class and the engine's port, frames must agree
+# ---------------------------------------------------------------------------
+
+
+import os
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _ref_parsers_module():
+    from ref_shims import install_spacy_shims, load_reference_module
+
+    install_spacy_shims()
+    # earlier differentials stub kazu.ontology_preprocessing.base with a
+    # constants-only module (their import chains predate the spacy
+    # shims); the real base is importable here and strictly richer, so
+    # evict the stub before loading parsers.py, which needs the real
+    # OntologyParser
+    stub = sys.modules.get("kazu.ontology_preprocessing.base")
+    if stub is not None and not hasattr(stub, "OntologyParser"):
+        del sys.modules["kazu.ontology_preprocessing.base"]
+    return load_reference_module(
+        "ref_parsers", "kazu/ontology_preprocessing/parsers.py"
+    )
+
+
+def _canon_frame(df):
+    """Reduce either side to the canonical comparable set: the engine's
+    _finalize strips/dedupes, so apply the identical reduction to the
+    reference's raw parse_to_dataframe output."""
+    out = df[["idx", "default_label", "syn", "mapping_type"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("object").astype(str)
+    out["syn"] = out["syn"].str.strip()
+    return (
+        out.drop_duplicates()
+        .sort_values(["idx", "syn", "mapping_type"])
+        .reset_index(drop=True)
+    )
+
+
+def test_mondo_parser_differential_vs_reference():
+    import pandas as pd
+
+    from kazu_ray.sources.ontology_tables import from_obograph_json
+
+    ref = _ref_parsers_module()
+    parser = ref.MondoOntologyParser(
+        in_path=os.path.join(FIXTURES, "mondo_like.json"),
+        entity_class="disease",
+        name="MONDO",
+    )
+    ref_df = _canon_frame(parser.parse_to_dataframe())
+    eng_df = _canon_frame(from_obograph_json(os.path.join(FIXTURES, "mondo_like.json")))
+    pd.testing.assert_frame_equal(eng_df, ref_df)
+
+
+def test_cellosaurus_parser_differential_vs_reference():
+    import pandas as pd
+
+    from kazu_ray.sources.ontology_tables import from_cellosaurus_obo
+
+    ref = _ref_parsers_module()
+    parser = ref.CellosaurusOntologyParser(
+        in_path=os.path.join(FIXTURES, "cellosaurus_like.obo"),
+        entity_class="cell_line",
+        name="CELLOSAURUS",
+    )
+    ref_df = _canon_frame(parser.parse_to_dataframe())
+    eng_df = _canon_frame(
+        from_cellosaurus_obo(os.path.join(FIXTURES, "cellosaurus_like.obo"))
+    )
+    pd.testing.assert_frame_equal(eng_df, ref_df)
+
+    # the custom id-grouping strategy: every id its own set
+    from kazu_ray.ontology.build import score_and_group_ids_one_per_id
+
+    ids = {("CVCL_0003", "CELLOSAURUS"), ("CVCL_9999", "CELLOSAURUS")}
+    ref_sets, ref_agg = parser.score_and_group_ids(ids, is_symbolic=False)
+    eng_sets, eng_agg = score_and_group_ids_one_per_id(ids, False, {})
+    ref_plain = {frozenset(s.ids_and_source) for s in ref_sets}
+    assert ref_plain == set(eng_sets)
+    assert ref_agg.name == eng_agg == "CUSTOM"
+
+
+def test_atc_parser_differential_vs_reference():
+    import pandas as pd
+
+    from kazu_ray.sources.ontology_tables import from_atc_classification
+
+    ref = _ref_parsers_module()
+    parser = ref.ATCDrugClassificationParser(
+        in_path=os.path.join(FIXTURES, "atc_like.txt"),
+        entity_class="drug",
+        name="ATC",
+    )
+    ref_df = _canon_frame(parser.parse_to_dataframe())
+    eng_df = _canon_frame(
+        from_atc_classification(os.path.join(FIXTURES, "atc_like.txt"))
+    )
+    pd.testing.assert_frame_equal(eng_df, ref_df)
+
+
+def test_hgnc_gene_parser_differential_vs_reference():
+    import pandas as pd
+
+    from kazu_ray.sources.ontology_tables import from_hgnc_complete_set_json
+
+    ref = _ref_parsers_module()
+    parser = ref.HGNCGeneOntologyParser(
+        in_path=os.path.join(FIXTURES, "hgnc_complete_set_like.json"),
+        entity_class="gene",
+        name="HGNC",
+    )
+    ref_df = _canon_frame(parser.parse_to_dataframe())
+    eng_df = _canon_frame(
+        from_hgnc_complete_set_json(os.path.join(FIXTURES, "hgnc_complete_set_like.json"))
+    )
+    pd.testing.assert_frame_equal(eng_df, ref_df)
+
+
+def test_meddra_parser_differential_vs_reference():
+    import pandas as pd
+
+    from kazu_ray.sources.ontology_tables import from_meddra_dir
+
+    ref = _ref_parsers_module()
+    parser = ref.MeddraOntologyParser(
+        in_path=FIXTURES, entity_class="disease", name="MEDDRA"
+    )
+    ref_df = _canon_frame(parser.parse_to_dataframe())
+    eng_df = _canon_frame(from_meddra_dir(FIXTURES, data_origin="meddra"))
+    pd.testing.assert_frame_equal(eng_df, ref_df)
