@@ -155,6 +155,24 @@ def _kg_node_doc_counts(sf_dir: str):
     return node_doc_counts_salted(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_pair_doc_counts(sf_dir: str):
+    """PMI ingredients per co-occurring entity pair: distinct supporting
+    docs + endpoint marginals (integers only, hash-exact)."""
+    from kazu_ray.ops.graph import pair_doc_counts
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return pair_doc_counts(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
+def _kg_components(sf_dir: str):
+    """Connected components of the co-occurrence graph (label = lexmin
+    node) via the size-dispatched clustering path."""
+    from kazu_ray.ops.graph import kg_components
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return kg_components(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
 def _kg_node_degrees(sf_dir: str):
     from kazu_ray.pipelines.kg import annotated_docs
     from kazu_ray.stages.materialize import explode_triples, node_degrees
@@ -940,6 +958,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
         "kg_node_degrees": _kg_node_degrees,
+        "kg_pair_doc_counts": _kg_pair_doc_counts,
+        "kg_components": _kg_components,
         "kg_node_doc_counts": _kg_node_doc_counts,
         "kg_entity_stats": _kg_entity_stats,
         "kg_text_hashes": _text_hashes,
@@ -1567,6 +1587,36 @@ def oracle_sql() -> dict[str, str]:
                     SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
                  )
             SELECT id AS doc_id, min(lbl)::BIGINT AS component
+            FROM reach GROUP BY id
+        """,
+        "kg_pair_doc_counts": """
+            WITH t AS (SELECT subj, obj, doc_id
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 p AS (SELECT subj, obj, count(DISTINCT doc_id) AS n_docs_pair
+                       FROM t GROUP BY subj, obj),
+                 nd AS (SELECT node, count(DISTINCT doc_id) AS n
+                        FROM (SELECT subj AS node, doc_id FROM t
+                              UNION ALL SELECT obj, doc_id FROM t)
+                        GROUP BY node)
+            SELECT p.subj, p.obj, p.n_docs_pair::BIGINT AS n_docs_pair,
+                   ns.n::BIGINT AS n_docs_subj, nx.n::BIGINT AS n_docs_obj
+            FROM p JOIN nd ns ON ns.node = p.subj
+                   JOIN nd nx ON nx.node = p.obj
+        """,
+        "kg_components": """
+            WITH RECURSIVE t AS (SELECT subj, obj
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 e AS (SELECT DISTINCT subj AS a, obj AS b FROM t),
+                 nodes AS (SELECT DISTINCT n FROM (SELECT a AS n FROM e
+                                                   UNION ALL SELECT b FROM e)),
+                 edges AS (SELECT a AS src, b AS dst FROM e
+                           UNION ALL SELECT b, a FROM e),
+                 reach(id, lbl) AS (
+                    SELECT n, n FROM nodes
+                    UNION
+                    SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.id
+                 )
+            SELECT id AS node, min(lbl) AS component
             FROM reach GROUP BY id
         """,
         "kg_node_degrees": """

@@ -1246,3 +1246,49 @@ def test_top_bigrams_min_count(ray_session):
     got = dict(zip(out["bigram"], out["n"]))
     # "a b" appears 3 times total; "b a" and "b c" once (filtered)
     assert got == {"a b": 3}
+
+
+def test_kg_pair_doc_counts_and_components(ray_session):
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import kg_components, pair_doc_counts
+
+    triples = [
+        # component {A,B,C}: A-B in docs 1,2 (B obj), B-C in doc 2
+        {"subj": "A", "pred": "co", "obj": "B", "doc_id": 1},
+        {"subj": "A", "pred": "co", "obj": "B", "doc_id": 1},  # same doc dup
+        {"subj": "A", "pred": "co", "obj": "B", "doc_id": 2},
+        {"subj": "B", "pred": "co", "obj": "C", "doc_id": 2},
+        # separate component {X,Y}
+        {"subj": "Y", "pred": "co", "obj": "X", "doc_id": 3},
+    ]
+    ds = rd.from_items(triples)
+    pairs = pair_doc_counts(ds).to_pandas().set_index(["subj", "obj"])
+    assert pairs.loc[("A", "B"), "n_docs_pair"] == 2  # in-doc dup collapsed
+    assert pairs.loc[("A", "B"), "n_docs_subj"] == 2  # A in docs 1,2
+    assert pairs.loc[("A", "B"), "n_docs_obj"] == 2   # B in docs 1,2
+    assert pairs.loc[("B", "C"), "n_docs_pair"] == 1
+    assert pairs.loc[("B", "C"), "n_docs_subj"] == 2
+    assert pairs.loc[("Y", "X"), "n_docs_obj"] == 1
+
+    comp = kg_components(ds).set_index("node")["component"].to_dict()
+    assert comp == {"A": "A", "B": "A", "C": "A", "X": "X", "Y": "X"}
+
+
+def test_kg_components_distributed_path_equal(ray_session, monkeypatch):
+    """Force the distributed min-label branch through the string-node
+    wrapper and compare against the driver union-find result."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import kg_components
+
+    triples = [
+        {"subj": f"N{i:02d}", "pred": "co", "obj": f"N{i+1:02d}", "doc_id": i}
+        for i in range(8)  # one chain N00..N08
+    ] + [{"subj": "Z1", "pred": "co", "obj": "Z2", "doc_id": 99}]
+    ds = rd.from_items(triples)
+    expected = kg_components(ds)
+    monkeypatch.setenv("KAZU_CC_MAX_DRIVER_PAIRS", "1")
+    got = kg_components(ds)
+    assert got.equals(expected)
+    assert set(got[got["node"].str.startswith("N")]["component"]) == {"N00"}
