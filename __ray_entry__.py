@@ -716,6 +716,49 @@ def _vocabulary(sf_dir: str):
     return vocabulary(ds)
 
 
+def _source_quality_stats(sf_dir: str):
+    """Per-source corpus profile (crawl-mix monitoring shape): doc
+    count + char volume via one combiner-backed groupby, distinct-lang
+    count via a two-phase (source, lang) distinct — the same split
+    kg_entity_stats uses, pruned to 3 columns at the read."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    stats = (
+        ds.groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    langs = (
+        ds.groupby(["source", "lang"])
+        .aggregate(Count(alias_name="_one"))
+        .map_batches(lambda t: t.select(["source"]), batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_langs"))
+        .to_pandas()
+    )
+    out = stats.merge(langs, on="source")
+    out = out.astype({"n_docs": "int64", "sum_chars": "int64", "n_langs": "int64"})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _heavy_hitter_words(sf_dir: str):
+    """CMS-sketch top-k words (candidates + mergeable sketch; the
+    shuffle moves d×w counters per block, not the vocabulary). The SQL
+    oracle is the EXACT top-k — the sketch is collision-free at this
+    width/vocabulary, so estimates must equal true counts exactly."""
+    import ray.data as rd
+
+    from kazu_ray.ops.sketches import approx_heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = approx_heavy_hitters(ds, k=20)
+    return out.astype({"est_count": "int64"})
+
+
 def _top_bigrams(sf_dir: str):
     """Global bigram counts (phrase-mining shape): combiner partials →
     groupby sum, never corpus-sized rows through the shuffle."""
@@ -973,6 +1016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_docs": _sampled_docs,
         "split_counts": _split_assign,
         "vocabulary": _vocabulary,
+        "heavy_hitter_words": _heavy_hitter_words,
+        "source_quality_stats": _source_quality_stats,
         "top_bigrams": _top_bigrams,
         "dup_span_stats": _dup_span_stats,
         "tfidf_topk": _tfidf_topk,
@@ -1112,6 +1157,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             GROUP BY word
+        """,
+        "source_quality_stats": """
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars,
+                   count(DISTINCT lang)::BIGINT AS n_langs
+            FROM documents GROUP BY source
+        """,
+        "heavy_hitter_words": """
+            SELECT word, count(*)::BIGINT AS est_count
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+            QUALIFY row_number() OVER (ORDER BY count(*) DESC, word) <= 20
         """,
         "top_bigrams": """
             WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

@@ -1731,3 +1731,116 @@ def test_meddra_parser_differential_vs_reference():
     ref_df = _canon_frame(parser.parse_to_dataframe())
     eng_df = _canon_frame(from_meddra_dir(FIXTURES, data_origin="meddra"))
     pd.testing.assert_frame_equal(eng_df, ref_df)
+
+
+def test_tabular_and_gene_family_parser_differential_vs_reference():
+    import pandas as pd
+
+    from kazu_ray.sources.ontology_tables import from_hgnc_gene_family_tsv, from_tsv
+
+    ref = _ref_parsers_module()
+    tab = ref.TabularOntologyParser(
+        in_path=os.path.join(FIXTURES, "drugs.tsv"),
+        entity_class="drug",
+        name="TAB",
+        sep="\t",
+    )
+    pd.testing.assert_frame_equal(
+        _canon_frame(from_tsv(os.path.join(FIXTURES, "drugs.tsv"), data_origin="t")),
+        _canon_frame(tab.parse_to_dataframe()),
+    )
+
+    fam = ref.HGNCGeneFamilyParser(
+        in_path=os.path.join(FIXTURES, "hgnc_gene_families.tsv"),
+        entity_class="gene_family",
+        name="HGNC_GENE_FAMILY",
+    )
+    pd.testing.assert_frame_equal(
+        _canon_frame(from_hgnc_gene_family_tsv(os.path.join(FIXTURES, "hgnc_gene_families.tsv"))),
+        _canon_frame(fam.parse_to_dataframe()),
+    )
+
+
+def _jsonl_dicts(path):
+    import json
+
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def test_opentargets_disease_differential_vs_reference():
+    import pandas as pd
+
+    from kazu_ray.sources.ontology_tables import from_opentargets_disease_jsonl
+
+    ref = _ref_parsers_module()
+    parser = ref.OpenTargetsDiseaseOntologyParser(
+        in_path=FIXTURES,
+        entity_class="disease",
+        name="OPENTARGETS_DISEASE",
+        allowed_therapeutic_areas=["MONDO_0024458"],
+    )
+    fixture = os.path.join(FIXTURES, "opentargets_disease_like.jsonl")
+    ref_df = pd.DataFrame.from_records(
+        parser.json_dict_to_parser_records(_jsonl_dicts(fixture))
+    )
+    eng_df = from_opentargets_disease_jsonl(
+        fixture, allowed_therapeutic_areas=("MONDO_0024458",)
+    )
+    pd.testing.assert_frame_equal(_canon_frame(eng_df), _canon_frame(ref_df))
+    # the per-record xref payload matches too (engine stores the sorted
+    # set incl. the reference's ':' id fixup, applied there at
+    # score_and_group time — parsers.py:186-188)
+    import json as _json
+
+    ref_xrefs = {
+        r["idx"]: set(r["dbXRefs"]) | {r["idx"].replace("_", ":")}
+        for r in parser.json_dict_to_parser_records(_jsonl_dicts(fixture))
+    }
+    eng_xrefs = {
+        row["idx"]: set(_json.loads(row["xrefs"])) for _, row in eng_df.iterrows()
+    }
+    assert eng_xrefs == ref_xrefs
+
+
+def test_opentargets_target_differential_vs_reference():
+    import pandas as pd
+
+    from kazu_ray.sources.ontology_tables import from_opentargets_target_jsonl
+
+    ref = _ref_parsers_module()
+    parser = ref.OpenTargetsTargetOntologyParser(
+        in_path=FIXTURES,
+        entity_class="gene",
+        name="OPENTARGETS_TARGET",
+        excluded_biotypes=["processed_pseudogene"],
+    )
+    fixture = os.path.join(FIXTURES, "opentargets_target_like.jsonl")
+    ref_df = pd.DataFrame.from_records(
+        parser.json_dict_to_parser_records(_jsonl_dicts(fixture))
+    )
+    eng_df = from_opentargets_target_jsonl(
+        fixture, excluded_biotypes=("processed_pseudogene",)
+    )
+    pd.testing.assert_frame_equal(_canon_frame(eng_df), _canon_frame(ref_df))
+    # annotation_score (the gene-ranking signal) matches per id
+    ref_scores = dict(zip(ref_df["idx"], ref_df["annotation_score"]))
+    eng_scores = dict(zip(eng_df["idx"], eng_df["annotation_score"]))
+    assert eng_scores == ref_scores
+
+
+def test_opentargets_molecule_differential_vs_reference():
+    import pandas as pd
+
+    from kazu_ray.sources.ontology_tables import from_opentargets_molecule_jsonl
+
+    ref = _ref_parsers_module()
+    parser = ref.OpenTargetsMoleculeOntologyParser(
+        in_path=FIXTURES, entity_class="drug", name="OPENTARGETS_MOLECULE"
+    )
+    fixture = os.path.join(FIXTURES, "opentargets_molecule_like.jsonl")
+    ref_df = pd.DataFrame.from_records(
+        parser.json_dict_to_parser_records(_jsonl_dicts(fixture))
+    )
+    eng_df = from_opentargets_molecule_jsonl(fixture)
+    pd.testing.assert_frame_equal(_canon_frame(eng_df), _canon_frame(ref_df))
