@@ -77,6 +77,32 @@ def cmd_run(args) -> None:
     ray.shutdown()
 
 
+def cmd_update(args) -> None:
+    """Incrementally absorb a new corpus into an existing triple store
+    (``update_triple_store``): only partitions receiving new rows are
+    rewritten; re-running the same --update-id resumes/no-ops."""
+    ray = _ray_session()
+    from kazu_ray.pipelines.kg import broadcast_store, triples_dataset
+    from kazu_ray.stages.materialize import update_triple_store
+
+    store_ref = broadcast_store()
+    triples = triples_dataset(
+        args.sf_dir, store_ref=store_ref, multiplier=args.multiplier
+    )
+    manifests = update_triple_store(triples, args.store, update_id=args.update_id)
+    print(
+        json.dumps(
+            {
+                "store": args.store,
+                "update_id": args.update_id,
+                "partitions": len(manifests),
+                "rows": sum(m["row_count"] for m in manifests),
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def cmd_annotate(args) -> None:
     ray = _ray_session()
     from kazu_ray.pipelines.kg import annotated_docs, broadcast_store
@@ -151,6 +177,13 @@ def main(argv=None) -> None:
     p.add_argument("--pack", default=None,
                    help="run with caches from a model pack (verified on load)")
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("update", help="merge a new corpus into an existing store")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--store", required=True)
+    p.add_argument("--update-id", required=True)
+    p.add_argument("--multiplier", type=int, default=1)
+    p.set_defaults(fn=cmd_update)
 
     p = sub.add_parser("annotate", help="annotated docs + failure side channel")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")

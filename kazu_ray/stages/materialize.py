@@ -258,6 +258,31 @@ class _PartitionWriter:
             self._spill()
         return table.num_rows
 
+    def preload_existing(self) -> int:
+        """Ingest the partition's current data file (incremental-update
+        path): read inside the actor — the existing rows never transit
+        the driver or the object store — in row-group chunks so a
+        partition bigger than ``spill_bytes`` spills as usual. Safe to
+        combine with finalize's ``os.replace``: the old file is fully
+        consumed here, before the tmp file is renamed over it."""
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self._part_dir(), self.file_name)
+        if not os.path.exists(path):
+            return 0
+        pf = pq.ParquetFile(path)
+        n = 0
+        for rg in range(pf.num_row_groups):
+            table = pf.read_row_group(rg)
+            self.add(table)
+            n += table.num_rows
+        pf.close()
+        # the received counter backs the exchange's delivery check,
+        # which compares against rows SENT through the scatter —
+        # preloaded rows are local and must not count
+        self.received -= n
+        return n
+
     def received_rows(self) -> int:
         return self.received
 
@@ -553,6 +578,132 @@ def materialize_triples(triples_ds, out_dir: str, num_parts: int = 16) -> list[d
         out_dir,
         key_col="subj",
         num_parts=num_parts,
+        sort_cols=["subj", "pred", "obj"],
+        hash_cols=["subj", "pred", "obj"],
+        file_name="triples.parquet",
+    )
+
+
+def update_partitioned(
+    ds,
+    out_dir: str,
+    update_id: str,
+    key_col: str,
+    sort_cols: list[str] | None = None,
+    hash_cols: list[str] | None = None,
+    file_name: str = "data.parquet",
+    spill_bytes: int | None = None,
+) -> list[dict]:
+    """Incrementally merge new rows into an existing partitioned store —
+    the KG-lifecycle operation (a new crawl day lands, the store
+    absorbs it) the manifest/resume design exists for.
+
+    The stable hash partitioning means a new row lands in exactly the
+    partition its key already lives in, so only partitions that RECEIVE
+    rows are rewritten: each affected partition's writer actor preloads
+    its current file locally (no driver/object-store transit), the new
+    rows scatter in through the same exchange as the initial build, and
+    finalize re-sorts, rewrites atomically and re-manifests. The result
+    is identical — content sha included — to building the store from
+    the unioned input in one shot (tested).
+
+    Resume: an update journal under ``_updates/<update_id>/`` records
+    each affected partition's expected post-update row count BEFORE its
+    rewrite starts; on re-run a partition is skipped iff its journal
+    entry exists AND the manifest row count already equals the expected
+    count — so a crash between the atomic (file, manifest) rename pair
+    and nothing else can double-apply rows. Updates with different
+    ``update_id``\\s journal independently (apply them sequentially).
+    """
+    import pyarrow.compute as pc
+
+    manifests = {m["partition_id"]: m for m in load_manifests(out_dir)}
+    if not manifests:
+        raise ValueError(f"no existing store at {out_dir}; use materialize_partitioned")
+    num_parts = len(manifests)
+    manifest_dir = os.path.join(out_dir, "_manifests")
+    journal_dir = os.path.join(out_dir, "_updates", update_id)
+    os.makedirs(journal_dir, exist_ok=True)
+
+    from kazu_ray.functions.hashing import bucket_ids
+
+    def _assign_part(batch: pa.Table) -> pa.Table:
+        parts = bucket_ids(batch[key_col], num_parts)
+        return batch.append_column("__part", pa.array(parts, type=pa.int32()))
+
+    with_part = ds.map_batches(_assign_part, batch_format="pyarrow").materialize()
+
+    # tiny aggregate: incoming rows per partition (drives both the
+    # affected-partition set and the resume row-count rule)
+    from ray.data.aggregate import Count
+
+    new_counts = {
+        int(r["__part"]): int(r["n"])
+        for r in with_part.groupby("__part").aggregate(Count(alias_name="n")).take_all()
+    }
+
+    pending: list[int] = []
+    for part, n_new in sorted(new_counts.items()):
+        jpath = os.path.join(journal_dir, f"{part}.json")
+        if os.path.exists(jpath):
+            with open(jpath) as f:
+                expected = json.load(f)["expected_rows"]
+        else:
+            expected = manifests[part]["row_count"] + n_new
+            tmp = jpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"partition_id": part, "expected_rows": expected}, f)
+            os.replace(tmp, jpath)
+        if manifests[part]["row_count"] == expected:
+            continue  # this partition already absorbed this update
+        pending.append(part)
+
+    if not pending:
+        return load_manifests(out_dir)
+
+    pending_arr = pa.array(sorted(pending), type=pa.int32())
+    filtered = with_part.map_batches(
+        lambda t: t.filter(pc.is_in(t["__part"], pending_arr)),
+        batch_format="pyarrow",
+    )
+
+    content_cols = hash_cols or ([key_col] + (sort_cols or []))
+    import ray as _ray
+
+    from kazu_ray.ops.exchange import feed_to_actors, reaped_actors
+
+    writer_cls = _ray.remote(num_cpus=0)(_PartitionWriter)
+    writers = {
+        p: writer_cls.remote(
+            p, out_dir, manifest_dir, key_col, sort_cols, content_cols, file_name,
+            spill_bytes,
+        )
+        for p in pending
+    }
+    with reaped_actors(list(writers.values())):
+        # preloaded rows are excluded from the received counter, so the
+        # exchange's positive delivery check still balances exactly
+        _ray.get([writers[p].preload_existing.remote() for p in pending])
+        feed_to_actors(
+            filtered,
+            num_parts,
+            lambda batch: batch["__part"].combine_chunks(),
+            lambda p, sub: writers[p].add.remote(sub.drop(["__part"])),
+            received_fn=lambda p: writers[p].received_rows.remote(),
+        )
+        _ray.get([w.finalize.remote() for w in writers.values()])
+    return load_manifests(out_dir)
+
+
+def update_triple_store(triples_ds, out_dir: str, update_id: str) -> list[dict]:
+    """Incremental triple-store update — :func:`update_partitioned` with
+    the triple store's layout (hash(subj) partitions, (subj, pred, obj)
+    sort + content hash)."""
+    return update_partitioned(
+        triples_ds,
+        out_dir,
+        update_id,
+        key_col="subj",
         sort_cols=["subj", "pred", "obj"],
         hash_cols=["subj", "pred", "obj"],
         file_name="triples.parquet",

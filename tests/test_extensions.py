@@ -762,3 +762,56 @@ def test_materialize_exchange_fails_loud_and_resumes(ray_session, tmp_path):
     manifests = materialize_partitioned(clean, out, key_col="key", num_parts=4)
     assert sum(m["row_count"] for m in manifests) == 1000
     assert len(load_manifests(out)) == 4
+
+
+def test_incremental_update_equals_one_shot_build(ray_session, tmp_path):
+    """update_triple_store: build on half the corpus, update with the
+    other half → byte-identical manifests (content sha included) to the
+    one-shot build on the full corpus; re-applying the same update is a
+    no-op; a fresh update id with zero new rows touches nothing."""
+    from kazu_ray.pipelines.kg import broadcast_store, triples_dataset
+    from kazu_ray.stages.materialize import (
+        load_manifests,
+        materialize_triples,
+        update_triple_store,
+    )
+
+    store_ref = broadcast_store()
+
+    # split on a doc_id predicate (md5 parity of the id string)
+    import hashlib as _hl
+
+    def _is_a(batch, invert=False):
+        mask = [
+            (int(_hl.md5(d.encode()).hexdigest()[:4], 16) % 2 == 0) != invert
+            for d in batch["doc_id"].to_pylist()
+        ]
+        import pyarrow as pa
+
+        return batch.filter(pa.array(mask))
+
+    full = triples_dataset("/root/testdata/sf0.001", store_ref=store_ref)
+    part_a = full.map_batches(lambda t: _is_a(t), batch_format="pyarrow")
+    part_b = full.map_batches(lambda t: _is_a(t, invert=True), batch_format="pyarrow")
+
+    one_shot = str(tmp_path / "one_shot")
+    incremental = str(tmp_path / "incr")
+    m_full = materialize_triples(full, one_shot, num_parts=4)
+    materialize_triples(part_a, incremental, num_parts=4)
+    m_updated = update_triple_store(part_b, incremental, update_id="day2")
+
+    strip = lambda ms: [
+        {k: m[k] for k in ("partition_id", "row_count", "min_key", "max_key", "sha256")}
+        for m in sorted(ms, key=lambda m: m["partition_id"])
+    ]
+    assert strip(m_updated) == strip(m_full)
+
+    # idempotent re-apply (resume rule: expected counts already met)
+    m_again = update_triple_store(part_b, incremental, update_id="day2")
+    assert strip(m_again) == strip(m_full)
+
+    # an empty update under a new id changes nothing
+    empty = full.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+    m_empty = update_triple_store(empty, incremental, update_id="day3")
+    assert strip(m_empty) == strip(m_full)
+    assert load_manifests(incremental) == m_empty
