@@ -173,6 +173,25 @@ def _kg_components(sf_dir: str):
     return kg_components(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_pair_provenance(sf_dir: str):
+    """Per-pair lineage: distinct doc support + deterministic bounded
+    doc-id sample (string-joined for hash-exact compare)."""
+    from kazu_ray.ops.graph import pair_provenance
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return pair_provenance(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
+def _mention_contexts(sf_dir: str):
+    """Per-mention context windows (SapBERT-style training export):
+    one streaming flat-map over annotated docs — no join back to the
+    corpus. Oracle = entities artifact ⋈ text artifact + substr."""
+    from kazu_ray.pipelines.kg import annotated_docs
+    from kazu_ray.stages.materialize import mention_contexts
+
+    return mention_contexts(annotated_docs(sf_dir, store_ref=_store_ref()))
+
+
 def _kg_node_degrees(sf_dir: str):
     from kazu_ray.pipelines.kg import annotated_docs
     from kazu_ray.stages.materialize import explode_triples, node_degrees
@@ -1002,6 +1021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities,
         "kg_node_degrees": _kg_node_degrees,
         "kg_pair_doc_counts": _kg_pair_doc_counts,
+        "kg_pair_provenance": _kg_pair_provenance,
+        "mention_contexts": _mention_contexts,
         "kg_components": _kg_components,
         "kg_node_doc_counts": _kg_node_doc_counts,
         "kg_entity_stats": _kg_entity_stats,
@@ -1661,6 +1682,27 @@ def oracle_sql() -> dict[str, str]:
                    ns.n::BIGINT AS n_docs_subj, nx.n::BIGINT AS n_docs_obj
             FROM p JOIN nd ns ON ns.node = p.subj
                    JOIN nd nx ON nx.node = p.obj
+        """,
+        "mention_contexts": """
+            WITH e AS (SELECT doc_id, start, "end", match
+                       FROM read_parquet('/tmp/kazu_ray_oracle/entities_sf0.01/*.parquet')),
+                 t AS (SELECT url, text
+                       FROM read_parquet('/tmp/kazu_ray_oracle/kg_text_sf0.01/*.parquet'))
+            SELECT e.doc_id, e.start::BIGINT AS start, e."end"::BIGINT AS "end",
+                   e.match,
+                   substr(t.text,
+                          greatest(0, e.start - 40) + 1,
+                          least(length(t.text), e."end" + 40)
+                              - greatest(0, e.start - 40)) AS context
+            FROM e JOIN t ON t.url = e.doc_id
+        """,
+        "kg_pair_provenance": """
+            WITH pd AS (SELECT DISTINCT subj, obj, doc_id
+                        FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet'))
+            SELECT subj, obj, count(*)::BIGINT AS n_docs,
+                   array_to_string((array_agg(doc_id ORDER BY doc_id))[1:5], ',')
+                       AS sample_docs
+            FROM pd GROUP BY subj, obj
         """,
         "kg_components": """
             WITH RECURSIVE t AS (SELECT subj, obj

@@ -129,3 +129,49 @@ def kg_components(triples_ds):
         }
     )
     return out
+
+
+def pair_provenance(triples_ds, sample_k: int = 5):
+    """Per-pair lineage: distinct supporting-doc count plus a bounded,
+    deterministic sample of supporting doc ids (the first ``sample_k``
+    in ascending order, comma-joined — a STRING so the result is
+    hash-exact against the SQL oracle; list-typed columns compare
+    unreliably across engines).
+
+    Shapes: one two-phase distinct bounds the shuffle to unique
+    (pair, doc) rows; the per-pair sort+head runs inside
+    ``groupby.map_groups`` — per-group state is the pair's distinct doc
+    set, and the emitted sample is capped at ``sample_k`` regardless of
+    how hot the pair is."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    distinct = (
+        triples_ds.groupby(["subj", "obj", "doc_id"])
+        .aggregate(Count(alias_name="_one"))
+        .map_batches(
+            lambda t: t.select(["subj", "obj", "doc_id"]), batch_format="pyarrow"
+        )
+    )
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(g["doc_id"])
+        return pd.DataFrame(
+            {
+                "subj": [g["subj"].iloc[0]],
+                "obj": [g["obj"].iloc[0]],
+                "n_docs": [len(docs)],
+                "sample_docs": [",".join(docs[:sample_k])],
+            }
+        )
+
+    out = distinct.groupby(["subj", "obj"]).map_groups(summarize, batch_format="pandas")
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("n_docs"),
+            "n_docs",
+            t["n_docs"].cast(pa.int64()),
+        )
+
+    return out.map_batches(fix_types, batch_format="pyarrow")

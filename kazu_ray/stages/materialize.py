@@ -97,6 +97,43 @@ def _explode_entities_batch(batch: pa.Table) -> pa.Table:
     return pa.table(rows, schema=ENTITY_SCHEMA)
 
 
+def mention_contexts(docs_ds, window: int = 40):
+    """Per-mention context windows — the export an embedding-based
+    disambiguator (SapBERT-style) trains/infers on: (doc_id, span,
+    match, ``window`` chars either side). A flat-map over annotated
+    docs, which still carry their text — NO join back to the corpus, so
+    at 100 TB this is one streaming pass with zero shuffles. Offsets
+    are character offsets into the extracted text (ASCII corpus here;
+    byte-vs-char divergence would need tracking for full Unicode)."""
+
+    def ctx_batch(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("doc_id", "start", "end", "match", "context")}
+        for doc_id, text, ents_json in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["ents_json"].to_pylist(),
+        ):
+            for ent in json.loads(ents_json):
+                s = max(0, ent["start"] - window)
+                e = min(len(text), ent["end"] + window)
+                rows["doc_id"].append(doc_id)
+                rows["start"].append(ent["start"])
+                rows["end"].append(ent["end"])
+                rows["match"].append(ent["match"])
+                rows["context"].append(text[s:e])
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], type=pa.string()),
+                "start": pa.array(rows["start"], type=pa.int64()),
+                "end": pa.array(rows["end"], type=pa.int64()),
+                "match": pa.array(rows["match"], type=pa.string()),
+                "context": pa.array(rows["context"], type=pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(ctx_batch, batch_format="pyarrow")
+
+
 def explode_entities(docs_ds):
     return docs_ds.map_batches(_explode_entities_batch, batch_format="pyarrow")
 

@@ -815,3 +815,29 @@ def test_incremental_update_equals_one_shot_build(ray_session, tmp_path):
     m_empty = update_triple_store(empty, incremental, update_id="day3")
     assert strip(m_empty) == strip(m_full)
     assert load_manifests(incremental) == m_empty
+
+
+def test_incremental_update_with_spill(ray_session, tmp_path, monkeypatch):
+    """The update path under a tiny spill cap: preloaded partitions
+    spill sorted runs like the build path; manifests still equal the
+    one-shot build."""
+    from kazu_ray.pipelines.kg import broadcast_store, triples_dataset
+    from kazu_ray.stages.materialize import materialize_triples, update_triple_store
+
+    store_ref = broadcast_store()
+    full = triples_dataset("/root/testdata/sf0.001", store_ref=store_ref)
+    one_shot = str(tmp_path / "one_shot")
+    m_full = materialize_triples(full, one_shot, num_parts=2)
+
+    monkeypatch.setenv("KAZU_WRITER_SPILL_BYTES", str(16 * 1024))
+    incr = str(tmp_path / "incr")
+    half = full.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+    # build empty store shell on zero rows, then absorb everything as
+    # one update so every row flows through the preload+spill merge
+    materialize_triples(half, incr, num_parts=2)
+    m_upd = update_triple_store(full, incr, update_id="all")
+
+    strip = lambda ms: sorted(
+        (m["partition_id"], m["row_count"], m["sha256"]) for m in ms
+    )
+    assert strip(m_upd) == strip(m_full)
