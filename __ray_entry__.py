@@ -182,6 +182,22 @@ def _kg_pair_provenance(sf_dir: str):
     return pair_provenance(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_triangles(sf_dir: str):
+    """Global triangle count via broadcast oriented adjacency + one
+    streaming edge pass."""
+    from kazu_ray.ops.graph import triangle_count
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return triangle_count(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
+def _kg_degree_histogram(sf_dir: str):
+    from kazu_ray.ops.graph import degree_histogram
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return degree_histogram(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
 def _mention_contexts(sf_dir: str):
     """Per-mention context windows (SapBERT-style training export):
     one streaming flat-map over annotated docs — no join back to the
@@ -1022,6 +1038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_degrees": _kg_node_degrees,
         "kg_pair_doc_counts": _kg_pair_doc_counts,
         "kg_pair_provenance": _kg_pair_provenance,
+        "kg_triangles": _kg_triangles,
+        "kg_degree_histogram": _kg_degree_histogram,
         "mention_contexts": _mention_contexts,
         "kg_components": _kg_components,
         "kg_node_doc_counts": _kg_node_doc_counts,
@@ -1682,6 +1700,24 @@ def oracle_sql() -> dict[str, str]:
                    ns.n::BIGINT AS n_docs_subj, nx.n::BIGINT AS n_docs_obj
             FROM p JOIN nd ns ON ns.node = p.subj
                    JOIN nd nx ON nx.node = p.obj
+        """,
+        "kg_triangles": """
+            WITH t AS (SELECT subj, obj
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                       FROM t WHERE subj <> obj)
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM e ab
+            JOIN e bc ON bc.a = ab.b
+            JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        """,
+        "kg_degree_histogram": """
+            WITH t AS (SELECT subj, obj
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 nodes AS (SELECT subj AS node FROM t UNION ALL SELECT obj FROM t),
+                 deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY node)
+            SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_nodes
+            FROM deg GROUP BY degree
         """,
         "mention_contexts": """
             WITH e AS (SELECT doc_id, start, "end", match

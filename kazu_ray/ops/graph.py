@@ -175,3 +175,76 @@ def pair_provenance(triples_ds, sample_k: int = 5):
         )
 
     return out.map_batches(fix_types, batch_format="pyarrow")
+
+
+def triangle_count(triples_ds):
+    """Global triangle count of the undirected co-occurrence graph —
+    the classic broadcast-adjacency pattern: orient every edge low→high
+    (kills duplicate counting), broadcast the oriented adjacency (node
+    vocabulary is bounded, module docstring), then one streaming pass
+    over the edge set intersects successor lists. Each triangle
+    {a<b<c} is found exactly once, at its (a,b) edge. Returns a 1-row
+    (n_triangles,) table."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    edges = (
+        triples_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": pa.compute.min_element_wise(t["subj"], t["obj"]),
+                    "b": pa.compute.max_element_wise(t["subj"], t["obj"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_one"))
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        .materialize()
+    )
+    adj: dict[str, set] = {}
+    for row in edges.take_all():
+        if row["a"] != row["b"]:
+            adj.setdefault(row["a"], set()).add(row["b"])
+    adj_ref = ray.put(adj)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        graph = ray.get(adj_ref)
+        n = 0
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            if a == b:
+                continue
+            sa, sb = graph.get(a), graph.get(b)
+            if sa and sb:
+                n += len(sa & sb)
+        return pa.table({"partial": pa.array([n], type=pa.int64())})
+
+    total = edges.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("partial", alias_name="n_triangles")
+    )
+    return pd.DataFrame({"n_triangles": [int(total["n_triangles"] or 0)]})
+
+
+def degree_histogram(triples_ds):
+    """Degree distribution (degree → node count) — one more combiner on
+    top of the existing partial-degree aggregate; the histogram is at
+    most max-degree rows."""
+    from ray.data.aggregate import Count
+
+    from kazu_ray.stages.materialize import node_degrees
+
+    return (
+        node_degrees(triples_ds)
+        .groupby("degree")
+        .aggregate(Count(alias_name="n_nodes"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "degree": t["degree"].cast(pa.int64()),
+                    "n_nodes": t["n_nodes"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -1292,3 +1292,29 @@ def test_kg_components_distributed_path_equal(ray_session, monkeypatch):
     got = kg_components(ds)
     assert got.equals(expected)
     assert set(got[got["node"].str.startswith("N")]["component"]) == {"N00"}
+
+
+def test_triangle_count_and_degree_histogram(ray_session):
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import degree_histogram, triangle_count
+
+    # K4 on {A,B,C,D} (4 triangles) + a dangling edge + a self-loop
+    nodes = ["A", "B", "C", "D"]
+    triples = [
+        {"subj": s, "pred": "co", "obj": o, "doc_id": 1}
+        for i, s in enumerate(nodes)
+        for o in nodes[i + 1 :]
+    ] + [
+        {"subj": "E", "pred": "co", "obj": "D", "doc_id": 2},
+        {"subj": "F", "pred": "co", "obj": "F", "doc_id": 3},
+        # reversed duplicate of an existing edge must not double-count
+        {"subj": "B", "pred": "co", "obj": "A", "doc_id": 4},
+    ]
+    ds = rd.from_items(triples)
+    assert triangle_count(ds)["n_triangles"].iloc[0] == 4
+
+    hist = degree_histogram(ds).to_pandas().set_index("degree")["n_nodes"].to_dict()
+    # degrees count triple endpoints (incl. the reversed dup and loop):
+    # A:4 B:4 C:3 D:4 E:1 F:2
+    assert hist == {4: 3, 3: 1, 1: 1, 2: 1}
