@@ -99,6 +99,24 @@ def score_and_group_ids_one_per_id(
     )
 
 
+def score_and_group_ids_by_exact_label(
+    ids_and_source: set[tuple[str, str]],
+    is_symbolic: bool,
+    default_labels: dict[str, str],
+) -> tuple[frozenset, str]:
+    """OpenTargets target strategy (``parsers.py:332-368``): Ensembl
+    gene ids are genome locations, and several ids for one gene share
+    its approved symbol — so ids sharing a synonym group by IDENTICAL
+    default label (no similarity threshold), aggregation CUSTOM."""
+    groups: dict[str, set] = {}
+    for ias in sorted(ids_and_source):
+        groups.setdefault(default_labels.get(ias[0], ias[0]), set()).add(ias)
+    return (
+        frozenset(frozenset(g) for g in groups.values()),
+        "CUSTOM",
+    )
+
+
 def score_and_group_ids_by_xref(
     ids_and_source: set[tuple[str, str]],
     is_symbolic: bool,
@@ -148,6 +166,7 @@ def resolve_candidates_for_group(
     default_labels: dict[str, str],
     xrefs: dict[str, frozenset] | None = None,
     one_id_set_per_id: bool = False,
+    group_by_exact_label: bool = False,
     find_kb=None,
 ) -> LinkingCandidate:
     """One normalised synonym group → one LinkingCandidate
@@ -167,6 +186,10 @@ def resolve_candidates_for_group(
     }
     if one_id_set_per_id:
         associated_id_sets, agg = score_and_group_ids_one_per_id(
+            ids_and_source, is_symbolic, default_labels
+        )
+    elif group_by_exact_label:
+        associated_id_sets, agg = score_and_group_ids_by_exact_label(
             ids_and_source, is_symbolic, default_labels
         )
     elif xrefs is not None:
@@ -494,6 +517,7 @@ def build_parser_caches(
     global_drop_ids: set[str] | None = None,
     curations_path: str | None = None,
     one_id_set_per_id: bool = False,
+    group_by_exact_label: bool = False,
     find_kb=None,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Build (metadata, synonyms, ner_terms) frames for one parser.
@@ -538,7 +562,8 @@ def build_parser_caches(
     for syn_norm, group in df.groupby("syn_norm", sort=True):
         candidates[syn_norm] = resolve_candidates_for_group(
             syn_norm, group, parser_name, entity_class, source, default_labels,
-            one_id_set_per_id=one_id_set_per_id, find_kb=find_kb,
+            one_id_set_per_id=one_id_set_per_id,
+            group_by_exact_label=group_by_exact_label, find_kb=find_kb,
         )
 
     # resources + autocuration → ner terms; DROP_FOR_LINKING also removes

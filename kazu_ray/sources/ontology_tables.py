@@ -708,6 +708,7 @@ def build_caches_from_source(
     cache_dir: str,
     curations_path: str | None = None,
     one_id_set_per_id: bool = False,
+    group_by_exact_label: bool = False,
     find_kb=None,
 ) -> str:
     """Run the standard cache build over a loaded source and append the
@@ -722,7 +723,8 @@ def build_caches_from_source(
 
     meta, syns, ner = build_parser_caches(
         df, parser_name, entity_class, source, curations_path=curations_path,
-        one_id_set_per_id=one_id_set_per_id, find_kb=find_kb,
+        one_id_set_per_id=one_id_set_per_id,
+        group_by_exact_label=group_by_exact_label, find_kb=find_kb,
     )
     os.makedirs(cache_dir, exist_ok=True)
     for name, frame in (("metadata", meta), ("synonyms", syns), ("ner_terms", ner)):

@@ -1844,3 +1844,42 @@ def test_opentargets_molecule_differential_vs_reference():
     )
     eng_df = from_opentargets_molecule_jsonl(fixture)
     pd.testing.assert_frame_equal(_canon_frame(eng_df), _canon_frame(ref_df))
+
+
+def test_target_label_grouping_differential_vs_reference():
+    """The OpenTargets target id-grouping strategy (group ambiguous
+    Ensembl ids by IDENTICAL default label, ``parsers.py:332-368``)
+    against the engine's score_and_group_ids_by_exact_label."""
+    from kazu_ray.ontology.build import score_and_group_ids_by_exact_label
+
+    ref = _ref_parsers_module()
+    parser = ref.OpenTargetsTargetOntologyParser(
+        in_path=FIXTURES,
+        entity_class="gene",
+        name="OT_TARGET_GROUPING",
+    )
+    # populate the reference's MetadataDatabase with default labels
+    import importlib
+
+    in_memory_db = importlib.import_module("kazu.database.in_memory_db")
+    labels = {
+        "ENSG1": "AKT1",
+        "ENSG2": "AKT1",   # second locus of the same gene symbol
+        "ENSG3": "BRCA2",
+        "ENSG4": "AKT1",
+        "ENSG5": "TP53",
+    }
+    in_memory_db.MetadataDatabase().add_parser(
+        "OT_TARGET_GROUPING",
+        "gene",
+        {idx: {"default_label": lbl} for idx, lbl in labels.items()},
+    )
+
+    ids = {(i, "ENSEMBL") for i in labels}
+    ref_sets, ref_agg = parser.score_and_group_ids(ids, is_symbolic=True)
+    eng_sets, eng_agg = score_and_group_ids_by_exact_label(ids, True, labels)
+    assert {frozenset(s.ids_and_source) for s in ref_sets} == set(eng_sets)
+    assert ref_agg.name == eng_agg == "CUSTOM"
+    # the three AKT1 loci share one set; BRCA2/TP53 are singletons
+    sizes = sorted(len(s) for s in eng_sets)
+    assert sizes == [1, 1, 3]
