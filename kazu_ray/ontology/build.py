@@ -689,11 +689,20 @@ def build_all_caches(cache_dir: str, n_per_parser: int = 200, seed: int = 42) ->
     return cache_dir
 
 
-def build_caches_ray(df: pd.DataFrame, parser_name: str, entity_class: str, source: str):
+def build_caches_ray(
+    df: pd.DataFrame,
+    parser_name: str,
+    entity_class: str,
+    source: str,
+    one_id_set_per_id: bool = False,
+    group_by_exact_label: bool = False,
+    find_kb=None,
+):
     """Ray Data variant of the candidate-resolution groupby for large
     ontologies: ``groupby("syn_norm").map_groups`` — the prototypical
-    group+reduce (``base.py:167-173``). Returns a Dataset of
-    (parser_name, synonym_norm, candidate_json) rows."""
+    group+reduce (``base.py:167-173``). Takes the same per-parser
+    id-grouping strategy flags as :func:`build_parser_caches`. Returns
+    a Dataset of (parser_name, synonym_norm, candidate_json) rows."""
     import ray.data as rd
 
     meta = df.drop_duplicates(subset=["idx"])[["idx", "default_label"]]
@@ -706,7 +715,9 @@ def build_caches_ray(df: pd.DataFrame, parser_name: str, entity_class: str, sour
     def _resolve(group: pd.DataFrame) -> pd.DataFrame:
         syn_norm = group["syn_norm"].iloc[0]
         cand = resolve_candidates_for_group(
-            syn_norm, group, parser_name, entity_class, source, default_labels
+            syn_norm, group, parser_name, entity_class, source, default_labels,
+            one_id_set_per_id=one_id_set_per_id,
+            group_by_exact_label=group_by_exact_label, find_kb=find_kb,
         )
         return pd.DataFrame(
             {

@@ -615,3 +615,44 @@ def test_rdf_presets_and_find_kb(tmp_path):
     )
     df2 = from_rdf_preset(str(nt2), "uberon")
     assert set(df2["syn"]) == {"brain", "encephalon"}
+
+
+def test_build_caches_ray_equals_driver_build(ray_session):
+    """The Ray map_groups cache build (large-ontology path) must emit
+    the same candidates as the driver-side build, including through the
+    new id-grouping strategy flags."""
+    import json as _json
+
+    import pandas as pd
+
+    from kazu_ray.ontology.build import build_caches_ray, build_parser_caches
+
+    df = pd.DataFrame(
+        {
+            "idx": ["G1", "G2", "G3", "G4"],
+            "default_label": ["AKT1", "AKT1", "BRCA2", "AKT1"],
+            "syn": ["akt", "akt", "akt", "brc"],
+            "mapping_type": ["syn"] * 4,
+            "data_origin": ["t"] * 4,
+            "annotation_score": [0] * 4,
+        }
+    )
+    _meta, syns, _ner = build_parser_caches(
+        df, "p", "gene", "SRC", group_by_exact_label=True
+    )
+    driver = {
+        r["synonym_norm"]: r["candidate_json"] for _, r in syns.iterrows()
+    }
+    ray_rows = build_caches_ray(
+        df, "p", "gene", "SRC", group_by_exact_label=True
+    ).to_pandas()
+    ray_cands = dict(zip(ray_rows["synonym_norm"], ray_rows["candidate_json"]))
+    # driver build may add generated alternative surfaces to ner terms,
+    # but the candidate JSON per syn_norm must agree exactly
+    for syn_norm, cand in ray_cands.items():
+        assert _json.loads(driver[syn_norm]) == _json.loads(cand)
+    akt = _json.loads(ray_cands["AKT"])
+    # "akt" is claimed by G1/G2 (shared label AKT1 -> one set) and G3
+    # (BRCA2 -> its own set)
+    assert sorted(len(s) for s in akt["associated_id_sets"]) == [1, 2]
+    assert akt["aggregated_by"] == "CUSTOM"
