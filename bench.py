@@ -193,12 +193,14 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # best-of-N pairs: this box shares hardware with noisy neighbors,
-    # and contention deflates the parallel leg more than the serial one
-    # (observed pair efficiencies 0.67–0.86 on identical code purely
-    # with host load). Contention only ever LOWERS a pair's efficiency,
-    # so the max over repeats is the honest estimator of the engine's
-    # capability; the per-pair values are reported alongside.
+    # best-of-N pairs: this box shares hardware with noisy neighbors.
+    # Contention skews a pair in EITHER direction: a noisy neighbor on
+    # the parallel leg deflates the ratio, one on the serial leg
+    # INFLATES it (observed 0.67–1.12 on identical code purely with
+    # host load; BASELINE.md scaling note). The honest selector is the
+    # repeat with the FASTEST serial leg — least serial-side contention
+    # — whose ratio is then bounded by the real parallel behaviour; all
+    # per-pair values are reported alongside.
     # default 1 so a single invocation fits a ~10-minute harness window;
     # set KAZU_SCALING_REPEATS=2+ on a box with noisy neighbors
     repeats = int(os.environ.get("KAZU_SCALING_REPEATS", "1"))
@@ -215,7 +217,7 @@ def scaling() -> None:
                 "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
             }
         )
-    best = max(pairs, key=lambda p: p["scaling_efficiency"])
+    best = max(pairs, key=lambda p: p[f"docs_per_sec_{lo}"])
     print(
         json.dumps(
             {
