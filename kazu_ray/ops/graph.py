@@ -10,9 +10,15 @@ Scale notes: the node vocabulary of a KG built against ontology-linked
 entities is BOUNDED by the ontology id space (tens of millions at the
 very top end, typically ~1e5-1e6), independent of corpus size — it is
 the corpus-sized tables (triples, doc ids) that must stream. Node-level
-result tables (doc counts, component labels) are therefore legitimate
-broadcast/driver material, while everything keyed by (pair, doc) stays
-in two-phase distributed aggregates.
+result tables (doc counts, degrees, component labels) are therefore
+legitimate broadcast/driver material. The distinct EDGE set is NOT:
+co-occurrence edges grow toward O(V^2) with corpus size, so every
+operator here keeps the edge set in Dataset form — components assign
+node ids from the node table only and dispatch the clustering through
+``connected_components_auto`` (distributed min-label propagation past a
+pair cap), and triangle counting past its edge cap switches to
+degree-oriented distributed wedge counting (Suri & Vassilvitskii,
+WWW'11) whose only broadcast is the node-sized degree table.
 """
 
 from __future__ import annotations
@@ -56,17 +62,17 @@ def pair_doc_counts(triples_ds):
 
     def attach(batch: pa.Table) -> pa.Table:
         nd = ray.get(node_ref)
-        subj = batch["subj"].to_pylist()
-        obj = batch["obj"].to_pylist()
+        # broadcast-dict lookup vectorized through Series.map (C-level
+        # hash probe per element, no Python comprehension)
+        subj = batch["subj"].to_pandas()
+        obj = batch["obj"].to_pandas()
         return pa.table(
             {
                 "subj": batch["subj"],
                 "obj": batch["obj"],
-                "n_docs_pair": pa.array(
-                    batch["n_docs_pair"].to_pylist(), type=pa.int64()
-                ),
-                "n_docs_subj": pa.array([nd[s] for s in subj], type=pa.int64()),
-                "n_docs_obj": pa.array([nd[o] for o in obj], type=pa.int64()),
+                "n_docs_pair": batch["n_docs_pair"].cast(pa.int64()),
+                "n_docs_subj": pa.array(subj.map(nd), type=pa.int64()),
+                "n_docs_obj": pa.array(obj.map(nd), type=pa.int64()),
             }
         )
 
@@ -79,12 +85,15 @@ def kg_components(triples_ds):
     smallest node it contains.
 
     The node set is bounded (module docstring), so nodes get dense int
-    ids assigned in SORTED order on the driver — making int min-label
-    equal string min-label — and the existing size-dispatched
-    ``connected_components_auto`` (driver union-find below the pair
-    bound, distributed min-label propagation above it,
-    ``kazu_ray/ops/dedup.py:886``) does the clustering over the distinct
-    edge set. Isolated nodes (self-co-occurrence only) label themselves.
+    ids assigned in SORTED order from the distributed-distinct NODE
+    table — making int min-label equal string min-label — while the
+    distinct EDGE set stays a Dataset end to end (it grows toward
+    O(V^2) with corpus size and must never be collected): int-pair
+    mapping is a broadcast-dict ``Series.map`` inside ``map_batches``,
+    and the size-dispatched ``connected_components_auto`` (driver
+    union-find below the pair bound, distributed min-label propagation
+    above it, ``kazu_ray/ops/dedup.py:886``) does the clustering.
+    Isolated nodes (self-co-occurrence only) label themselves.
     """
     import ray
     from ray.data.aggregate import Count
@@ -98,9 +107,24 @@ def kg_components(triples_ds):
         .materialize()
     )
 
-    # dense sorted id assignment: node table is bounded, collect once
-    edge_df = edges.to_pandas()
-    nodes = sorted(set(edge_df["subj"]) | set(edge_df["obj"]))
+    # dense sorted id assignment from the NODE table only (node-sized,
+    # legitimate driver material per the module docstring); the edge
+    # Dataset itself is never collected
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"node": t["subj"].cast(pa.string())}),
+                pa.table({"node": t["obj"].cast(pa.string())}),
+            ]
+        )
+
+    node_df = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_one"))
+        .to_pandas()
+    )
+    nodes = sorted(node_df["node"])
     node_id = {n: i for i, n in enumerate(nodes)}
     id_ref = ray.put(node_id)
 
@@ -108,12 +132,8 @@ def kg_components(triples_ds):
         ids = ray.get(id_ref)
         return pa.table(
             {
-                "id_a": pa.array(
-                    [ids[s] for s in batch["subj"].to_pylist()], type=pa.int64()
-                ),
-                "id_b": pa.array(
-                    [ids[o] for o in batch["obj"].to_pylist()], type=pa.int64()
-                ),
+                "id_a": pa.array(batch["subj"].to_pandas().map(ids), type=pa.int64()),
+                "id_b": pa.array(batch["obj"].to_pandas().map(ids), type=pa.int64()),
             }
         )
 
@@ -177,16 +197,36 @@ def pair_provenance(triples_ds, sample_k: int = 5):
     return out.map_batches(fix_types, batch_format="pyarrow")
 
 
-def triangle_count(triples_ds):
-    """Global triangle count of the undirected co-occurrence graph —
-    the classic broadcast-adjacency pattern: orient every edge low→high
-    (kills duplicate counting), broadcast the oriented adjacency (node
-    vocabulary is bounded, module docstring), then one streaming pass
-    over the edge set intersects successor lists. Each triangle
-    {a<b<c} is found exactly once, at its (a,b) edge. Returns a 1-row
-    (n_triangles,) table."""
+def triangle_count(triples_ds, max_driver_edges: int | None = None):
+    """Global triangle count of the undirected co-occurrence graph,
+    size-dispatched like ``connected_components_auto``:
+
+    - **edge count ≤ cap** (default 200k, ``KAZU_TRI_MAX_DRIVER_EDGES``
+      env override): broadcast-adjacency — orient every distinct edge
+      low→high, collect the (provably small) edge set into an adjacency
+      dict, ``ray.put`` it once, one streaming pass over the edges
+      intersects successor lists. Each triangle {a<b<c} is found
+      exactly once, at its (a,b) edge.
+    - **above the cap**: degree-oriented distributed wedge counting
+      (Suri & Vassilvitskii, "Counting triangles and the curse of the
+      last reducer", WWW'11). The ONLY broadcast is the node-sized
+      degree table (bounded, module docstring); the edge set stays a
+      Dataset. Each edge is oriented from its lower-(degree, name)
+      endpoint, so every out-neighborhood has O(sqrt(m)) entries and
+      wedge generation is O(m^1.5) total; wedges and edges then meet in
+      one combiner-friendly ``groupby(a, b).aggregate(Sum)`` — no
+      per-group row materialization, so hot closing pairs cost a
+      counter, not memory.
+
+    The two paths are tested equal (``tests/test_ops.py``). Returns a
+    1-row (n_triangles,) DataFrame."""
+    import os
+
     import ray
     from ray.data.aggregate import Count, Sum
+
+    if max_driver_edges is None:
+        max_driver_edges = int(os.environ.get("KAZU_TRI_MAX_DRIVER_EDGES", 200_000))
 
     edges = (
         triples_ds.map_batches(
@@ -200,29 +240,131 @@ def triangle_count(triples_ds):
         )
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_one"))
-        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        .map_batches(
+            # drop self-loops (they close no triangle) and the count col
+            lambda t: t.filter(
+                pa.compute.not_equal(t["a"], t["b"])
+            ).select(["a", "b"]),
+            batch_format="pyarrow",
+        )
         .materialize()
     )
-    adj: dict[str, set] = {}
-    for row in edges.take_all():
-        if row["a"] != row["b"]:
+
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges:
+        adj: dict[str, set] = {}
+        for row in edges.take_all():
             adj.setdefault(row["a"], set()).add(row["b"])
-    adj_ref = ray.put(adj)
+        adj_ref = ray.put(adj)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        graph = ray.get(adj_ref)
-        n = 0
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            if a == b:
-                continue
-            sa, sb = graph.get(a), graph.get(b)
-            if sa and sb:
-                n += len(sa & sb)
-        return pa.table({"partial": pa.array([n], type=pa.int64())})
+        def partial(batch: pa.Table) -> pa.Table:
+            graph = ray.get(adj_ref)
+            n = 0
+            for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+                sa, sb = graph.get(a), graph.get(b)
+                if sa and sb:
+                    n += len(sa & sb)
+            return pa.table({"partial": pa.array([n], type=pa.int64())})
 
-    total = edges.map_batches(partial, batch_format="pyarrow").aggregate(
-        Sum("partial", alias_name="n_triangles")
+        total = edges.map_batches(partial, batch_format="pyarrow").aggregate(
+            Sum("partial", alias_name="n_triangles")
+        )
+        return pd.DataFrame({"n_triangles": [int(total["n_triangles"] or 0)]})
+
+    # ---- distributed path: degree-oriented wedge counting ----
+    import numpy as np
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"node": t["a"].cast(pa.string())}),
+                pa.table({"node": t["b"].cast(pa.string())}),
+            ]
+        )
+
+    deg_df = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .to_pandas()
     )
+    deg = dict(zip(deg_df["node"], deg_df["deg"]))
+    deg_ref = ray.put(deg)
+
+    def orient(t: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        a = t["a"].to_pandas()
+        b = t["b"].to_pandas()
+        da = a.map(d)
+        db = b.map(d)
+        # orient from the lower-(degree, name) endpoint; a<b already
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {"src": a.where(fwd, b), "dst": b.where(fwd, a)}
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        ns = np.sort(g["dst"].to_numpy())
+        k = len(ns)
+        if k < 2:
+            return pd.DataFrame({"a": [], "b": [], "w": [], "e": []}).astype(
+                {"a": str, "b": str, "w": "int64", "e": "int64"}
+            )
+        i, j = np.triu_indices(k, k=1)
+        return pd.DataFrame(
+            {"a": ns[i], "b": ns[j], "w": 1, "e": 0}
+        )
+
+    wedge_rows = (
+        oriented.groupby("src")
+        .map_groups(wedges, batch_format="pandas")
+        .map_batches(
+            # normalize to Arrow blocks: mixed pandas/Arrow block types
+            # break this Ray version's shuffle block builder (same
+            # hazard as connected_components_distributed)
+            lambda t: pa.table(
+                {
+                    "a": t["a"].cast(pa.string()),
+                    "b": t["b"].cast(pa.string()),
+                    "w": t["w"].cast(pa.int64()),
+                    "e": t["e"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    edge_rows = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t["a"].cast(pa.string()),
+                "b": t["b"].cast(pa.string()),
+                "w": pa.array([0] * t.num_rows, type=pa.int64()),
+                "e": pa.array([1] * t.num_rows, type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    closed = (
+        wedge_rows.union(edge_rows)
+        .groupby(["a", "b"])
+        .aggregate(Sum("w", alias_name="w"), Sum("e", alias_name="e"))
+        .map_batches(
+            # e is 0/1 (edges are distinct): triangles at this closing
+            # pair = wedge count iff the closing edge exists
+            lambda t: pa.table(
+                {
+                    "partial": pa.compute.multiply(
+                        t["w"].cast(pa.int64()), t["e"].cast(pa.int64())
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    total = closed.aggregate(Sum("partial", alias_name="n_triangles"))
     return pd.DataFrame({"n_triangles": [int(total["n_triangles"] or 0)]})
 
 

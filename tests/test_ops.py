@@ -1318,3 +1318,34 @@ def test_triangle_count_and_degree_histogram(ray_session):
     # degrees count triple endpoints (incl. the reversed dup and loop):
     # A:4 B:4 C:3 D:4 E:1 F:2
     assert hist == {4: 3, 3: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_distributed_path_equal(ray_session, monkeypatch):
+    """Force the degree-oriented distributed wedge-counting branch (edge
+    cap 1) on a graph with hubs, skew, and a reversed duplicate, and
+    compare against the broadcast-adjacency driver path."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import triangle_count
+
+    # two K4s sharing node H (a hub), a pendant chain, a self-loop, and
+    # a reversed duplicate edge
+    k4a = ["H", "A1", "A2", "A3"]
+    k4b = ["H", "B1", "B2", "B3"]
+    triples = [
+        {"subj": s, "pred": "co", "obj": o, "doc_id": 1}
+        for grp in (k4a, k4b)
+        for i, s in enumerate(grp)
+        for o in grp[i + 1 :]
+    ] + [
+        {"subj": "A1", "pred": "co", "obj": "P1", "doc_id": 2},
+        {"subj": "P1", "pred": "co", "obj": "P2", "doc_id": 2},
+        {"subj": "L", "pred": "co", "obj": "L", "doc_id": 3},
+        {"subj": "A2", "pred": "co", "obj": "A1", "doc_id": 4},
+    ]
+    ds = rd.from_items(triples)
+    expected = triangle_count(ds)["n_triangles"].iloc[0]
+    assert expected == 8  # 4 per K4, chain/loop/dup add none
+    monkeypatch.setenv("KAZU_TRI_MAX_DRIVER_EDGES", "1")
+    got = triangle_count(ds)["n_triangles"].iloc[0]
+    assert got == expected
