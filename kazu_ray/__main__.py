@@ -56,7 +56,8 @@ def cmd_run(args) -> None:
             args.sf_dir, args.multiplier
         )
         result = run_resumable(
-            pages_dir, args.out, store_ref=store_ref, num_shards=args.num_parts
+            pages_dir, args.out, store_ref=store_ref,
+            num_shards=args.num_parts or 16,
         )
         print(json.dumps({"out": args.out, **result}))
         ray.shutdown()
@@ -64,7 +65,9 @@ def cmd_run(args) -> None:
     triples = triples_dataset(
         args.sf_dir, store_ref=store_ref, multiplier=args.multiplier
     )
-    manifests = materialize_triples(triples, args.out, num_parts=args.num_parts)
+    manifests = materialize_triples(
+        triples, args.out, num_parts=args.num_parts or None
+    )
     print(
         json.dumps(
             {
@@ -117,13 +120,14 @@ def cmd_annotate(args) -> None:
             args.sf_dir, args.multiplier
         )
         result = annotate_resumable(
-            pages_dir, args.out, store_ref=store_ref, num_shards=args.num_parts
+            pages_dir, args.out, store_ref=store_ref,
+            num_shards=args.num_parts or 16,
         )
         print(json.dumps({"out": args.out, **result}))
         ray.shutdown()
         return
     docs = annotated_docs(args.sf_dir, store_ref=store_ref, multiplier=args.multiplier)
-    result = write_annotated(docs, args.out, num_parts=args.num_parts)
+    result = write_annotated(docs, args.out, num_parts=args.num_parts or None)
     print(json.dumps(result))
     ray.shutdown()
 
@@ -170,7 +174,8 @@ def main(argv=None) -> None:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--out", required=True)
     p.add_argument("--multiplier", type=int, default=1)
-    p.add_argument("--num-parts", type=int, default=16)
+    p.add_argument("--num-parts", type=int, default=16,
+                   help="store partitions; 0 = auto-size from input bytes")
     p.add_argument("--by-shard", action="store_true",
                    help="checkpoint the whole pipeline per input shard")
     p.add_argument("--pages-dir", default=None)
@@ -190,7 +195,8 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--multiplier", type=int, default=1)
     p.add_argument("--num-parts", type=int, default=16,
-                   help="resume/parallelism unit of the docs store")
+                   help="resume/parallelism unit of the docs store; "
+                        "0 = auto-size from input bytes")
     p.add_argument("--by-shard", action="store_true",
                    help="checkpoint the whole annotate pipeline per input shard")
     p.add_argument("--pages-dir", default=None)

@@ -172,26 +172,89 @@ def multi_key_buckets(batch: pa.Table, key_cols: list[str], num_buckets: int) ->
 
 
 class _BucketAccumulator:
-    def __init__(self, fn, empty: pa.Table):
+    """One bucket's accumulator, heap-bounded the same way the triple
+    store's ``_PartitionWriter`` is (``stages/materialize.py``): once
+    buffered bytes exceed ``spill_bytes`` (``KAZU_EXCHANGE_SPILL_BYTES``
+    env, default 512 MiB), the buffer is flushed to an Arrow IPC run
+    file on local disk. Finalize MEMORY-MAPS the runs back, so the
+    concatenated bucket table handed to ``fn`` is mmap-backed — the
+    kernel pages it, and the actor's anonymous heap holds only the
+    residual buffer plus ``fn``'s own working set/output, not the whole
+    bucket. (The exchange contract — ``fn`` sees ALL of the bucket at
+    once — is preserved exactly; a hot key past worker heap now costs
+    disk + page cache instead of an OOM kill. ``fn`` bodies that copy
+    to pandas still pay their copy; Arrow-kernel bodies stream off the
+    mapping.) Spill files live under Ray's session tmp and are removed
+    in finalize; an exchange killed mid-flight leaves at most
+    ``spill_bytes``-sized runs for session-dir cleanup."""
+
+    def __init__(self, fn, empty: pa.Table, spill_bytes: int | None = None):
+        import os
+
         self.fn = fn
         self.empty = empty
         self.tables: list[pa.Table] = []
         self.received = 0
+        if spill_bytes is None:
+            spill_bytes = int(
+                os.environ.get("KAZU_EXCHANGE_SPILL_BYTES", 512 * 1024 * 1024)
+            )
+        self.spill_bytes = spill_bytes
+        self.buffered_bytes = 0
+        self.spill_dir: str | None = None
+        self.run_paths: list[str] = []
+
+    def _spill(self) -> None:
+        import os
+        import tempfile
+
+        if not self.tables:
+            return
+        if self.spill_dir is None:
+            self.spill_dir = tempfile.mkdtemp(prefix="kazu_exchange_spill_")
+        table = pa.concat_tables(self.tables)
+        self.tables = []
+        self.buffered_bytes = 0
+        path = os.path.join(self.spill_dir, f"run{len(self.run_paths)}.arrow")
+        with pa.OSFile(path, "wb") as f, pa.ipc.new_file(f, table.schema) as w:
+            w.write_table(table)
+        self.run_paths.append(path)
 
     def add(self, table: pa.Table) -> int:
         self.tables.append(table)
         self.received += table.num_rows
+        self.buffered_bytes += table.nbytes
+        if self.buffered_bytes >= self.spill_bytes:
+            self._spill()
         return table.num_rows
 
     def received_rows(self) -> int:
         return self.received
 
+    def _cleanup_spill(self) -> None:
+        import shutil
+
+        if self.spill_dir is not None:
+            shutil.rmtree(self.spill_dir, ignore_errors=True)
+            self.spill_dir = None
+            self.run_paths = []
+
     def finalize(self) -> pa.Table:
-        if not self.tables:
+        parts: list[pa.Table] = []
+        for path in self.run_paths:
+            parts.append(pa.ipc.open_file(pa.memory_map(path, "r")).read_all())
+        if self.tables:
+            parts.append(pa.concat_tables(self.tables))
+            self.tables = []
+        if not parts:
             return self.empty
-        table = pa.concat_tables(self.tables)
-        self.tables = []
-        out = self.fn(table)
+        table = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        try:
+            out = self.fn(table)
+        finally:
+            # the mmap-backed table is consumed; drop refs before rmtree
+            del table, parts
+            self._cleanup_spill()
         return out.cast(self.empty.schema) if out.schema != self.empty.schema else out
 
 
@@ -201,11 +264,19 @@ def scatter_groups(ds, key_cols: list[str], num_buckets: int, per_bucket_fn, emp
     every group in that bucket at once), return the results as a
     Dataset. ``empty`` fixes the output schema for zero-row buckets.
     """
+    import os
+
     import ray as _ray
     import ray.data as rd
 
+    # resolve the spill cap on the DRIVER: Ray workers inherit the env
+    # captured at ray.init, so an env override set later (tests, a
+    # driver-side retune) would silently not reach actor-side getenv
+    spill_bytes = int(os.environ.get("KAZU_EXCHANGE_SPILL_BYTES", 512 * 1024 * 1024))
     acc_cls = _ray.remote(num_cpus=0)(_BucketAccumulator)
-    actors = [acc_cls.remote(per_bucket_fn, empty) for _ in range(num_buckets)]
+    actors = [
+        acc_cls.remote(per_bucket_fn, empty, spill_bytes) for _ in range(num_buckets)
+    ]
     with reaped_actors(actors):
         feed_to_actors(
             ds,
@@ -230,10 +301,36 @@ def exchange_crossover_rows() -> int:
     return int(os.environ.get("KAZU_EXCHANGE_CROSSOVER_ROWS", 1_000_000))
 
 
+def target_partition_bytes() -> int:
+    """Bytes one partition/bucket should hold — the auto-sizing target
+    for :func:`auto_partition_count`. 256 MiB default: big enough that
+    per-partition fixed costs (actor spawn, file open, manifest) stay
+    amortized, comfortably inside a worker heap even ×2-3 expansion
+    when a per-bucket fn converts to pandas. ``KAZU_TARGET_PART_BYTES``
+    env-overridable for clusters with different worker heaps."""
+    import os
+
+    return int(os.environ.get("KAZU_TARGET_PART_BYTES", 256 * 1024 * 1024))
+
+
+def auto_partition_count(est_bytes: int, lo: int = 4, hi: int = 4096) -> int:
+    """Partition/bucket count from an input-size estimate: a 100× input
+    gets ~100× partitions automatically instead of needing every call
+    site re-tuned (each partition stays ~``target_partition_bytes()``).
+    ``lo`` keeps small inputs parallel enough to use the cluster;
+    ``hi`` caps actor/file fan-out (at the cap, partitions grow past
+    the target and the spill paths — writer sorted runs, accumulator
+    IPC runs — absorb the excess, so the cap degrades to disk, not to
+    OOM)."""
+    import math
+
+    return max(lo, min(hi, math.ceil(max(est_bytes, 1) / target_partition_bytes())))
+
+
 def exchange_groups(
     ds,
     key_cols: list[str],
-    num_buckets: int,
+    num_buckets: int | None,
     per_bucket_fn,
     empty: pa.Table,
     est_rows: int | None = None,
@@ -252,12 +349,24 @@ def exchange_groups(
     blocks feed whichever form is chosen, but at extreme scale passing
     an estimate keeps the feed fully streaming (the scatter path never
     holds input blocks AND actor buffers at once).
+
+    ``num_buckets``: when the input is materialized here anyway
+    (``est_rows=None``), the measured ``size_bytes()`` can only RAISE
+    the caller's count (one bucket per ~``target_partition_bytes()``,
+    :func:`auto_partition_count`) — so a 100× input gets ~100× buckets
+    without any call site re-tuning, while small inputs keep the
+    caller's cluster-scaled count. ``num_buckets=None`` is fully
+    auto-sized (forces the materialize pass). Callers that pass
+    ``est_rows`` (the fully-streaming contract) keep their explicit
+    count — no bytes are measured on that path.
     """
     import ray.data as rd
 
-    if est_rows is None:
+    if est_rows is None or num_buckets is None:
         ds = ds.materialize()
         est_rows = ds.count()
+        auto = auto_partition_count(ds.size_bytes())
+        num_buckets = auto if num_buckets is None else max(num_buckets, auto)
     if est_rows == 0:
         return rd.from_arrow(empty)
     if est_rows > exchange_crossover_rows():

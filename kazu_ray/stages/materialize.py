@@ -191,28 +191,51 @@ def node_degrees(triples_ds):
 PARTITION_HASH_RULE = "siphash-v2"
 
 
-def _check_or_write_format(out_dir: str, has_existing_manifests: bool) -> None:
+def _check_or_write_format(
+    out_dir: str, has_existing_manifests: bool, num_parts: int | None = None
+) -> int | None:
+    """Validate (or create) the store's ``_format.json``. The file pins
+    everything a resume must not silently change: the partition-hash
+    rule AND the partition count (an auto-sized ``num_parts`` would
+    otherwise be recomputed from the RESUMED input's size and route
+    keys to different partitions). Returns the store's pinned
+    ``num_parts`` (None for stores written before it was recorded)."""
     fmt_path = os.path.join(out_dir, "_format.json")
     if os.path.exists(fmt_path):
         with open(fmt_path) as f:
-            rule = json.load(f).get("partition_hash_rule")
+            fmt = json.load(f)
+        rule = fmt.get("partition_hash_rule")
         if rule != PARTITION_HASH_RULE:
             raise ValueError(
                 f"store at {out_dir} was written with partition-hash rule "
                 f"{rule!r}; this engine uses {PARTITION_HASH_RULE!r} — "
                 "rebuild the store (resuming would mix partition rules)"
             )
-    elif has_existing_manifests:
+        stored = fmt.get("num_parts")
+        if (
+            stored is not None
+            and num_parts is not None
+            and int(stored) != int(num_parts)
+        ):
+            raise ValueError(
+                f"store at {out_dir} was written with num_parts={stored}; "
+                f"this run requested {num_parts} — resuming would mix "
+                "partition layouts (pass the stored count, or None to reuse it)"
+            )
+        return int(stored) if stored is not None else None
+    if has_existing_manifests:
         raise ValueError(
             f"store at {out_dir} predates partition-hash versioning; "
             "rebuild it (its partitions were assigned under a different "
             "hash rule than this engine computes)"
         )
-    else:
-        tmp = fmt_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"partition_hash_rule": PARTITION_HASH_RULE}, f)
-        os.replace(tmp, fmt_path)
+    tmp = fmt_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"partition_hash_rule": PARTITION_HASH_RULE, "num_parts": num_parts}, f
+        )
+    os.replace(tmp, fmt_path)
+    return num_parts
 
 
 class _PartitionWriter:
@@ -504,7 +527,7 @@ def materialize_partitioned(
     ds,
     out_dir: str,
     key_col: str,
-    num_parts: int = 16,
+    num_parts: int | None = 16,
     sort_cols: list[str] | None = None,
     hash_cols: list[str] | None = None,
     file_name: str = "data.parquet",
@@ -518,6 +541,14 @@ def materialize_partitioned(
     Partitions with an existing manifest are skipped on re-run; empty
     partitions get zero-row manifests so resume converges. Shared by the
     triple store and the annotated-docs sink.
+
+    ``num_parts=None`` auto-sizes from the input's measured
+    ``size_bytes()`` (one partition per ~``target_partition_bytes()``,
+    ``kazu_ray/ops/exchange.py``) so a 100× corpus gets ~100×
+    partitions without re-tuning; the chosen count is pinned in
+    ``_format.json`` and reused on resume — the resumed input's size
+    differs by exactly the already-written rows, so recomputing would
+    silently re-route keys.
     """
     import pyarrow.parquet as pq
 
@@ -528,7 +559,24 @@ def materialize_partitioned(
     done_parts = {
         int(f.split(".")[0]) for f in os.listdir(manifest_dir) if f.endswith(".json")
     }
-    _check_or_write_format(out_dir, has_existing_manifests=bool(done_parts))
+    fmt_exists = os.path.exists(os.path.join(out_dir, "_format.json"))
+    if fmt_exists:
+        stored_np = _check_or_write_format(out_dir, bool(done_parts), num_parts)
+        if num_parts is None:
+            if stored_np is None:
+                raise ValueError(
+                    f"store at {out_dir} predates num_parts pinning and "
+                    "num_parts=None was requested — pass the count it was "
+                    "written with"
+                )
+            num_parts = stored_np
+    if num_parts is None:
+        from kazu_ray.ops.exchange import auto_partition_count
+
+        ds = ds.materialize()
+        num_parts = auto_partition_count(ds.size_bytes())
+    if not fmt_exists:
+        _check_or_write_format(out_dir, bool(done_parts), num_parts)
     pending = [p for p in range(num_parts) if p not in done_parts]
     if not pending:
         return load_manifests(out_dir)
@@ -606,7 +654,9 @@ def materialize_partitioned(
     return load_manifests(out_dir)
 
 
-def materialize_triples(triples_ds, out_dir: str, num_parts: int = 16) -> list[dict]:
+def materialize_triples(
+    triples_ds, out_dir: str, num_parts: int | None = 16
+) -> list[dict]:
     """Sorted, partitioned, manifest-tracked triple store: hash(subj)
     partitions, (subj, pred, obj)-sorted files, content-hashed manifests,
     checkpoint-resume — see :func:`materialize_partitioned`."""
@@ -759,7 +809,7 @@ def load_manifests(out_dir: str) -> list[dict]:
     return out
 
 
-def write_annotated(docs_ds, out_dir: str, num_parts: int = 16) -> dict:
+def write_annotated(docs_ds, out_dir: str, num_parts: int | None = 16) -> dict:
     """Annotated-corpus sink with a failure side-channel.
 
     Mirrors the reference's JSON doc sink + ``FailedDocsFileHandler``
@@ -797,7 +847,7 @@ def write_annotated(docs_ds, out_dir: str, num_parts: int = 16) -> dict:
         failed,
         os.path.join(out_dir, "failed"),
         key_col="doc_id",
-        num_parts=max(num_parts // 4, 1),
+        num_parts=max(num_parts // 4, 1) if num_parts is not None else None,
         file_name="failed.parquet",
     )
     failed_count = sum(m["row_count"] for m in failed_manifests)

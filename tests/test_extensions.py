@@ -841,3 +841,93 @@ def test_incremental_update_with_spill(ray_session, tmp_path, monkeypatch):
         (m["partition_id"], m["row_count"], m["sha256"]) for m in ms
     )
     assert strip(m_upd) == strip(m_full)
+
+
+def test_auto_num_parts_scales_with_input_and_pins_on_resume(
+    ray_session, tmp_path, monkeypatch
+):
+    """num_parts=None sizes the store from measured input bytes (two
+    sizes → two counts), pins the chosen count in _format.json, reuses
+    it on resume even if the sizing target changes, and refuses a
+    conflicting explicit count."""
+    import pytest as _pytest
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.exchange import auto_partition_count
+    from kazu_ray.stages.materialize import load_manifests, materialize_partitioned
+
+    assert auto_partition_count(0) == 4          # lo floor
+    assert auto_partition_count(10**15) == 4096  # hi cap
+
+    monkeypatch.setenv("KAZU_TARGET_PART_BYTES", "4096")
+
+    def make(n):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "key": pa.array([f"k{i}" for i in range(n)]),
+                    "v": pa.array([f"{'x' * 32}{i}" for i in range(n)]),
+                }
+            )
+        ).repartition(4)
+
+    small_out = str(tmp_path / "small")
+    big_out = str(tmp_path / "big")
+    m_small = materialize_partitioned(make(200), small_out, key_col="key", num_parts=None)
+    m_big = materialize_partitioned(make(3000), big_out, key_col="key", num_parts=None)
+    assert len(m_big) > len(m_small) >= 4
+    assert sum(m["row_count"] for m in m_big) == 3000
+
+    # resume: a DIFFERENT sizing target must not re-route keys — the
+    # pinned count wins
+    monkeypatch.setenv("KAZU_TARGET_PART_BYTES", str(256 * 1024 * 1024))
+    m_resume = materialize_partitioned(
+        make(3000), big_out, key_col="key", num_parts=None
+    )
+    assert len(m_resume) == len(m_big)
+    assert len(load_manifests(big_out)) == len(m_big)
+
+    # an explicit conflicting count is a loud error, not silent mixing
+    with _pytest.raises(ValueError, match="num_parts"):
+        materialize_partitioned(
+            make(3000), big_out, key_col="key", num_parts=len(m_big) + 1
+        )
+
+
+def test_exchange_groups_auto_raises_bucket_count(ray_session, monkeypatch):
+    """When exchange_groups materializes the input itself, measured
+    bytes can only RAISE the caller's bucket count — and results stay
+    identical to the explicit-count run."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.exchange import exchange_groups
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    df = pd.DataFrame({"k": rng.randint(0, 25, n), "v": rng.randint(0, 100, n)})
+    ds = rd.from_pandas(df).repartition(8)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("k", as_index=False).agg(s=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    empty = pa.table(
+        {"k": pa.array([], type=pa.int64()), "s": pa.array([], type=pa.int64())}
+    )
+    want = (
+        df.groupby("k", as_index=False).agg(s=("v", "sum"))
+        .sort_values("k").reset_index(drop=True)
+    )
+    # tiny target → auto count far above the caller's 2; fully-auto
+    # (None) and auto-raised (2) must both match the local groupby
+    monkeypatch.setenv("KAZU_TARGET_PART_BYTES", "2048")
+    for nb in (None, 2):
+        got = (
+            exchange_groups(ds, ["k"], nb, per_bucket, empty)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -550,6 +550,80 @@ def test_scatter_groups_matches_local_groupby(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_scatter_groups_spill_path_identical(ray_session, monkeypatch):
+    """A byte cap small enough that every bucket spills multiple Arrow
+    IPC runs must leave scatter_groups' results bit-identical to the
+    in-memory path — including a hot key that concentrates most rows in
+    one bucket (the scenario the spill exists for)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.exchange import scatter_groups
+
+    rng = np.random.RandomState(11)
+    n = 30000
+    keys = rng.randint(0, 30, n)
+    keys[: n // 2] = 7  # hot key: half the rows land in one bucket
+    df = pd.DataFrame({"k": keys, "v": rng.randint(0, 1000, n)})
+    ds = rd.from_pandas(df).repartition(16)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("k", as_index=False).agg(
+            s=("v", "sum"), c=("v", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    empty = pa.table(
+        {
+            "k": pa.array([], type=pa.int64()),
+            "s": pa.array([], type=pa.int64()),
+            "c": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def run():
+        return (
+            scatter_groups(ds, ["k"], 4, per_bucket, empty)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+
+    in_memory = run()
+    monkeypatch.setenv("KAZU_EXCHANGE_SPILL_BYTES", "8192")
+    spilled = run()
+    pd.testing.assert_frame_equal(spilled, in_memory)
+    want = (
+        df.groupby("k", as_index=False).agg(s=("v", "sum"), c=("v", "size"))
+        .sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(spilled, want, check_dtype=False)
+
+
+def test_bucket_accumulator_spills_runs(tmp_path, monkeypatch):
+    """Unit-level: the accumulator actually writes IPC runs under a tiny
+    cap, finalize reads them back mmap'd, and the spill dir is removed."""
+    import os
+
+    import pyarrow as pa
+
+    from kazu_ray.ops.exchange import _BucketAccumulator
+
+    empty = pa.table({"v": pa.array([], type=pa.int64())})
+    acc = _BucketAccumulator(lambda t: t, empty, spill_bytes=1024)
+    chunk = pa.table({"v": pa.array(list(range(1000)), type=pa.int64())})
+    for _ in range(5):
+        acc.add(chunk)
+    assert len(acc.run_paths) >= 4  # every 8KB chunk exceeds the 1KB cap
+    spill_dir = acc.spill_dir
+    assert spill_dir and os.path.isdir(spill_dir)
+    out = acc.finalize()
+    assert out.num_rows == 5000
+    assert out["v"].to_pylist() == list(range(1000)) * 5
+    assert not os.path.exists(spill_dir)
+    assert acc.received_rows() == 5000
+
+
 def test_exchange_groups_adaptive_paths_agree(ray_session, monkeypatch):
     """exchange_groups must give identical results whichever form the
     size dispatch picks: groupby (small), scatter (forced via crossover
