@@ -33,8 +33,17 @@ _TOKEN = re.compile(
     re.UNICODE,
 )
 
-# sentence boundary: ./!/? (possibly repeated) followed by whitespace.
-_SENT_BOUNDARY = re.compile(r"[.!?]+(?=\s)|[.!?]+$")
+# spaCy's rule-based ``sentencizer`` default punct set
+# (``spacy/pipeline/sentencizer.pyx``, ``Sentencizer.default_punct_chars``)
+# — reproduced as data parity, same justification as the normalizer's
+# substitution tables: it IS the spec. The reference adds the component
+# with no overrides (``kazu/utils/spacy_pipeline.py:82-85``), so the
+# default set is the behavior to match.
+_SENT_PUNCT_CHARS = frozenset(
+    "!.?։؟۔܀܁܂߹।॥၊။።፧፨᙮᜵᜶᠃᠉᥄᥅᪨᪩᪪᪫᭚᭛᭞᭟᰻᰼᱾᱿‼‽⁇⁈⁉⸮⸼꓿꘎꘏꛳꛷꡶꡷꣎꣏꤯꧈꧉꩝꩞꩟꫰꫱꯫﹒﹖﹗"
+    "！．？𐩖𐩗𑁇𑁈𑂾𑂿𑃀𑃁𑅁𑅂𑅃𑇅𑇆𑇍𑇞𑇟𑈸𑈹𑈻𑈼𑊩𑑋𑑌𑗂𑗃𑗉𑗊𑗋𑗌𑗍𑗎𑗏𑗐𑗑𑗒𑗓𑗔𑗕𑗖𑗗𑙁𑙂𑜼𑜽𑜾𑩂𑩃𑪛𑪜𑱁𑱂"
+    "𖩮𖩯𖫵𖬷𖬸𖭄𛲟𝪈｡。"
+)
 
 
 def tokenize(text: str) -> list[tuple[str, int, int]]:
@@ -69,26 +78,67 @@ def word_is_valid(start_char: int, end_char: int, starts: set[int], ends: set[in
     return start_char in starts and end_char in ends
 
 
-def sentence_spans(text: str) -> list[tuple[int, int]]:
-    """Split text into [start, end) sentence char spans.
+def sentence_spans(
+    text: str, toks: list[tuple[str, int, int]] | None = None
+) -> list[tuple[int, int]]:
+    """Split text into [start, end) sentence char spans — a faithful
+    port of spaCy's rule-based ``Sentencizer.predict``
+    (``spacy/pipeline/sentencizer.pyx``; added with defaults by the
+    reference, ``kazu/utils/spacy_pipeline.py:82-85``): the first token
+    starts a sentence, and after one or more sentence-punct TOKENS the
+    next non-punct token starts a new one. Token-driven, so it shares
+    :func:`tokenize` with the matcher (pass ``toks`` to reuse a
+    per-doc tokenization).
 
-    Deterministic stand-in for the reference's spaCy sentencizer; spans
-    cover the full text (no gaps are lost — trailing text without a
-    terminator forms a final sentence).
+    The punct test is spaCy's ``token.text in punct_chars`` — a
+    whole-token single-char match — which two spaCy-tokenizer behaviors
+    make subtle under our symbol-per-char tokenizer, both reproduced
+    here:
+
+    * ellipses: spaCy keeps ``..``+ / ``…`` as ONE multi-char token
+      (``LIST_ELLIPSES`` stays in the custom suffix/infix sets), and a
+      multi-char token never matches ``punct_chars`` — so an ellipsis
+      ends no sentence; we treat any ``.`` adjacent to another ``.`` as
+      part of one.
+    * word-internal ``.``: ``3.5`` / ``e.g`` / ``U.S`` keep their dots
+      inside one spaCy token (no infix frees them) — only a
+      lowercase-before + uppercase-after dot is infix-split
+      (``SPACY_DEFAULT_INFIXES``, spacy_pipeline.py:33) and can
+      therefore end a sentence.
+
+    Spans cover the full text (inter-sentence whitespace attaches to
+    the preceding span; leading text before the first token joins the
+    first span) — the tiling invariant ``sentence_index_for_span``
+    relies on.
     """
-    spans: list[tuple[int, int]] = []
-    start = 0
-    for m in _SENT_BOUNDARY.finditer(text):
-        end = m.end()
-        # extend over trailing whitespace so spans tile the string
-        while end < len(text) and text[end].isspace():
-            end += 1
-        if end > start:
-            spans.append((start, end))
-        start = end
-    if start < len(text):
-        spans.append((start, len(text)))
-    return spans
+    if toks is None:
+        toks = tokenize(text)
+    if not toks:
+        return [(0, len(text))] if text else []
+    n_chars = len(text)
+    starts: list[int] = [toks[0][1]]
+    seen_punct = False
+    for tok, s, e in toks:
+        if seen_punct and not (len(tok) == 1 and tok in _SENT_PUNCT_CHARS):
+            starts.append(s)
+            seen_punct = False
+            continue
+        if len(tok) != 1 or tok not in _SENT_PUNCT_CHARS:
+            continue
+        if tok == ".":
+            if (s > 0 and text[s - 1] == ".") or (e < n_chars and text[e] == "."):
+                continue  # ellipsis member
+            if (
+                s > 0
+                and e < n_chars
+                and text[s - 1].isalnum()
+                and text[e].isalnum()
+                and not (text[s - 1].islower() and text[e].isupper())
+            ):
+                continue  # word-internal dot
+        seen_punct = True
+    bounds = [0] + starts[1:] + [n_chars]
+    return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
 
 
 def sentence_index_for_span(spans: list[tuple[int, int]], start: int) -> int:

@@ -150,8 +150,8 @@ class AnnotateStage:
     def annotate_doc(self, text: str, doc_id: str):
         from kazu_ray.lang import normalizer
 
-        spans = sentence_spans(text)
         toks = tokenize(text)
+        spans = sentence_spans(text, toks=toks)
         ents = match_entities(text, self.automaton, toks=toks)
         for e in ents:
             e["sent_idx"] = sentence_index_for_span(spans, e["start"])

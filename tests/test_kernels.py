@@ -247,3 +247,45 @@ def test_tokenizer_ports_reference_hyphen_rules():
     # ...but is valid as a standalone token
     starts, ends = token_boundaries("ALK fusion")
     assert word_is_valid(0, 2, starts, ends)
+
+
+def test_sentencizer_port_scenarios():
+    """spaCy ``Sentencizer.predict`` port: hand-derived expectations for
+    the tokenizer+sentencizer interplay the reference relies on
+    (kazu/utils/spacy_pipeline.py:82-85). Each case lists the char
+    offsets where sentences start."""
+    from kazu_ray.lang.tokens import sentence_spans
+
+    def starts(text):
+        spans = sentence_spans(text)
+        # tiling invariant first
+        assert spans[0][0] == 0 and spans[-1][1] == len(text)
+        for (_, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 == s2
+        return [s for s, _ in spans]
+
+    # ellipsis is ONE multi-char spaCy token -> never matches punct_chars
+    assert starts("Wait... and see. Done") == [0, len("Wait... and see. ")]
+    # word-internal dots (digit.digit, upper.upper) stay in-token
+    assert starts("Dose was 3.5 mg daily. Next.") == [0, 23]
+    assert starts("Made in the U.S.A. Next phase") == [0, 19]
+    # the lower-before/upper-after infix DOES free the dot (spaCy
+    # SPACY_DEFAULT_INFIXES) -> naive sentencizer splits p.V600E
+    t = "mutation p.V600E found"
+    assert starts(t) == [0, t.index("V600E")]
+    # trailing dot after 'e.g' is a real suffix token -> splits (the
+    # sentencizer is naive about abbreviations; faithfulness over taste)
+    t = "drugs e.g. aspirin"
+    assert starts(t) == [0, t.index("aspirin")]
+    # the reference's added single-uppercase-dot suffix rationale
+    t = "Haemophilia A. Another case"
+    assert starts(t) == [0, t.index("Another")]
+    # punct runs collapse to one boundary
+    assert starts("Really?! Yes") == [0, len("Really?! ")]
+    # CJK ideographic full stop is in punct_chars
+    t = "你好。世界"
+    assert starts(t) == [0, 3]
+    # no terminator / degenerate inputs
+    assert starts("no end here") == [0]
+    assert sentence_spans("") == []
+    assert sentence_spans("   ") == [(0, 3)]
