@@ -95,6 +95,12 @@ def build_automaton(store: OntologyStore, matcher_cls=SpanMatcher):
     return automaton
 
 
+# (match, entity_class) → match_norm, shared per worker: the mention
+# vocabulary is Zipfian, so repeat lookups dominate and the memo stays
+# mention-vocabulary-sized (bounded; cleared past 1M entries)
+_NORM_MEMO: dict[tuple[str, str], str] = {}
+
+
 def _emit_match(entities, text, start_index, end_index, class_entries):
     matched_text = text[start_index : end_index + 1]
     for entity_class, entries in class_entries:
@@ -108,12 +114,19 @@ def _emit_match(entities, text, start_index, end_index, class_entries):
             if confidence > chosen_conf:
                 chosen_conf = confidence
         if cands:
+            memo_key = (matched_text, entity_class)
+            match_norm = _NORM_MEMO.get(memo_key)
+            if match_norm is None:
+                if len(_NORM_MEMO) > 1_000_000:
+                    _NORM_MEMO.clear()
+                match_norm = normalizer.normalize(matched_text, entity_class)
+                _NORM_MEMO[memo_key] = match_norm
             entities.append(
                 {
                     "start": start_index,
                     "end": end_index + 1,
                     "match": matched_text,
-                    "match_norm": normalizer.normalize(matched_text, entity_class),
+                    "match_norm": match_norm,
                     "entity_class": entity_class,
                     "namespace": DICT_NAMESPACE,
                     "confidence": chosen_conf,

@@ -585,20 +585,60 @@ class DeterministicTransformerNer:
             # fullmatch implies a search hit), so a miss skips the whole
             # per-word walk; a non-word-aligned hit just falls through
             return []
-        texts_starts = ([], [])
-        for m in _WORD_RE.finditer(text):
-            texts_starts[0].append(m.group())
-            texts_starts[1].append(m.start())
-        if not texts_starts[0]:
+        # label check over findall output first: findall returns plain
+        # strings from one C-level pass (no match objects), and the
+        # memo-hit comprehension needs only the word text — so docs
+        # with no labeled word (and the early labels themselves) never
+        # pay per-match method calls
+        words = _WORD_RE.findall(text)
+        if not words:
             return []
-        word_labels = [self._label_id(w) for w in texts_starts[0]]
+        memo = self._word_label_memo
+        try:
+            word_labels = [memo[w] for w in words]
+        except KeyError:  # cold words: take the memo-filling slow path
+            word_labels = [self._label_id(w) for w in words]
         if not any(word_labels):
             return []  # fast path: no tagged word anywhere in the text
+        # one finditer pass fused with run construction: match-object
+        # calls (.start()) happen only for the rare LABELED words; the
+        # runs produced are exactly _labeled_runs_from_words' (the
+        # equivalence test drives this path against the full walk)
         finder = self.processor.make_span_finder(text)
-        for run in self._labeled_runs_from_words(texts_starts, word_labels):
-            for word in run:
-                finder.process_next_word(word)
-            finder.close_spans()
+        process_next_word = finder.process_next_word
+        close_spans = finder.close_spans
+        in_run = False
+        for word_id, m in enumerate(_WORD_RE.finditer(text)):
+            lid = word_labels[word_id]
+            if lid:
+                w = words[word_id]
+                ws = m.start()
+                n_pieces = (len(w) + _PIECE_LEN - 1) // _PIECE_LEN
+                offsets = [
+                    (ws + p, ws + min(p + _PIECE_LEN, len(w)))
+                    for p in range(0, len(w), _PIECE_LEN)
+                ]
+                process_next_word(
+                    TokenizedWord(
+                        token_ids=list(range(n_pieces)),
+                        tokens=[
+                            w[p : p + _PIECE_LEN]
+                            for p in range(0, len(w), _PIECE_LEN)
+                        ],
+                        token_confidences=self._conf_array(lid, n_pieces),
+                        token_offsets=offsets,
+                        word_char_start=ws,
+                        word_char_end=ws + len(w) - 1,
+                        word_id=word_id,
+                        token_label_ids=(lid,) * n_pieces,
+                    )
+                )
+                in_run = True
+            elif in_run:
+                close_spans()
+                in_run = False
+        if in_run:
+            close_spans()
         return self.processor.spans_to_entities(
             finder.closed_spans, text, MODEL_NER_NAMESPACE
         )
