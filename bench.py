@@ -101,14 +101,23 @@ def run_secondary() -> dict[str, float]:
         "sessionize_events",
         "doc_token_stats",
     ]
+    # min of N passes, same estimator as the headline: a single pass is
+    # dominated by one-time actor-pool spawn + worker imports (measured
+    # 2026-08: topk_cosine 2.6 s cold vs 0.93-1.07 s warm, minhash 6.0
+    # cold vs 2.26 warm — the "uniform r03 drift" in VERDICT was exactly
+    # this), and a long-running job spends ~100% of its time warm.
+    passes = int(os.environ.get("KAZU_BENCH_SECONDARY_PASSES", "2"))
     out = {}
     for name in names:
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        # consume
-        if hasattr(res, "count"):
-            res.count()
-        out[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            # consume
+            if hasattr(res, "count"):
+                res.count()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
     return out
 
 
