@@ -171,35 +171,30 @@ def multi_key_buckets(batch: pa.Table, key_cols: list[str], num_buckets: int) ->
     return pa.array((h % np.uint64(num_buckets)).astype("int32"))
 
 
-class _BucketAccumulator:
-    """One bucket's accumulator, heap-bounded the same way the triple
-    store's ``_PartitionWriter`` is (``stages/materialize.py``): once
-    buffered bytes exceed ``spill_bytes`` (``KAZU_EXCHANGE_SPILL_BYTES``
-    env, default 512 MiB), the buffer is flushed to an Arrow IPC run
-    file on local disk. Finalize MEMORY-MAPS the runs back, so the
-    concatenated bucket table handed to ``fn`` is mmap-backed — the
-    kernel pages it, and the actor's anonymous heap holds only the
-    residual buffer plus ``fn``'s own working set/output, not the whole
-    bucket. (The exchange contract — ``fn`` sees ALL of the bucket at
-    once — is preserved exactly; a hot key past worker heap now costs
-    disk + page cache instead of an OOM kill. ``fn`` bodies that copy
-    to pandas still pay their copy; Arrow-kernel bodies stream off the
-    mapping.) Spill files live under Ray's session tmp and are removed
-    in finalize; an exchange killed mid-flight leaves at most
-    ``spill_bytes``-sized runs for session-dir cleanup."""
+class SpillableTableBuffer:
+    """Byte-capped accumulating buffer of Arrow tables — the shared
+    heap-bounding mechanism for exchange-side actors (the generic
+    bucket accumulator below, the join mergers in ``ops/joins.py``; the
+    triple-store ``_PartitionWriter`` keeps its own SORTED-run variant
+    because its merge must stream in key order).
 
-    def __init__(self, fn, empty: pa.Table, spill_bytes: int | None = None):
-        import os
+    Once buffered bytes exceed ``spill_bytes``, the buffer flushes to
+    an Arrow IPC run file on local disk. ``read()`` MEMORY-MAPS the
+    runs back, so the concatenated table handed to the consumer is
+    mmap-backed — the kernel pages it, and the actor's anonymous heap
+    holds only the residual buffer plus the consumer's own working
+    set/output, not the whole bucket. A hot key past worker heap now
+    costs disk + page cache instead of an OOM kill. (Consumers that
+    copy to pandas still pay their copy; Arrow-kernel consumers stream
+    off the mapping. Unlinked run files stay readable on Linux until
+    the mapping drops, so cleanup-after-read is safe.) An actor killed
+    mid-flight leaves at most ``spill_bytes``-sized runs in tmp."""
 
-        self.fn = fn
-        self.empty = empty
-        self.tables: list[pa.Table] = []
-        self.received = 0
-        if spill_bytes is None:
-            spill_bytes = int(
-                os.environ.get("KAZU_EXCHANGE_SPILL_BYTES", 512 * 1024 * 1024)
-            )
+    __slots__ = ("spill_bytes", "tables", "buffered_bytes", "spill_dir", "run_paths")
+
+    def __init__(self, spill_bytes: int):
         self.spill_bytes = spill_bytes
+        self.tables: list[pa.Table] = []
         self.buffered_bytes = 0
         self.spill_dir: str | None = None
         self.run_paths: list[str] = []
@@ -220,18 +215,28 @@ class _BucketAccumulator:
             w.write_table(table)
         self.run_paths.append(path)
 
-    def add(self, table: pa.Table) -> int:
+    def add(self, table: pa.Table) -> None:
         self.tables.append(table)
-        self.received += table.num_rows
         self.buffered_bytes += table.nbytes
         if self.buffered_bytes >= self.spill_bytes:
             self._spill()
-        return table.num_rows
 
-    def received_rows(self) -> int:
-        return self.received
+    def read(self) -> pa.Table | None:
+        """The buffered rows as ONE table (mmap-backed past the cap),
+        or None if nothing was added. Consumes the buffer and removes
+        the spill dir — call once."""
+        parts: list[pa.Table] = []
+        for path in self.run_paths:
+            parts.append(pa.ipc.open_file(pa.memory_map(path, "r")).read_all())
+        if self.tables:
+            parts.append(pa.concat_tables(self.tables))
+            self.tables = []
+        self.cleanup()
+        if not parts:
+            return None
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
-    def _cleanup_spill(self) -> None:
+    def cleanup(self) -> None:
         import shutil
 
         if self.spill_dir is not None:
@@ -239,22 +244,54 @@ class _BucketAccumulator:
             self.spill_dir = None
             self.run_paths = []
 
+
+def exchange_spill_bytes() -> int:
+    """Per-actor byte cap before exchange buffers spill to IPC runs.
+    Resolve on the DRIVER (workers inherit the env captured at
+    ray.init, so later overrides would silently not reach actor-side
+    getenv) and pass into actor constructors."""
+    import os
+
+    return int(os.environ.get("KAZU_EXCHANGE_SPILL_BYTES", 512 * 1024 * 1024))
+
+
+class _BucketAccumulator:
+    """One bucket's accumulator, heap-bounded via
+    :class:`SpillableTableBuffer` — the exchange contract (``fn`` sees
+    ALL of the bucket at once) is preserved exactly; past the byte cap
+    the bucket table is mmap-backed rather than actor heap."""
+
+    def __init__(self, fn, empty: pa.Table, spill_bytes: int | None = None):
+        self.fn = fn
+        self.empty = empty
+        self.buf = SpillableTableBuffer(
+            exchange_spill_bytes() if spill_bytes is None else spill_bytes
+        )
+        self.received = 0
+
+    # test/introspection conveniences
+    @property
+    def run_paths(self):
+        return self.buf.run_paths
+
+    @property
+    def spill_dir(self):
+        return self.buf.spill_dir
+
+    def add(self, table: pa.Table) -> int:
+        self.buf.add(table)
+        self.received += table.num_rows
+        return table.num_rows
+
+    def received_rows(self) -> int:
+        return self.received
+
     def finalize(self) -> pa.Table:
-        parts: list[pa.Table] = []
-        for path in self.run_paths:
-            parts.append(pa.ipc.open_file(pa.memory_map(path, "r")).read_all())
-        if self.tables:
-            parts.append(pa.concat_tables(self.tables))
-            self.tables = []
-        if not parts:
+        table = self.buf.read()
+        if table is None:
             return self.empty
-        table = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
-        try:
-            out = self.fn(table)
-        finally:
-            # the mmap-backed table is consumed; drop refs before rmtree
-            del table, parts
-            self._cleanup_spill()
+        out = self.fn(table)
+        del table
         return out.cast(self.empty.schema) if out.schema != self.empty.schema else out
 
 
@@ -264,15 +301,10 @@ def scatter_groups(ds, key_cols: list[str], num_buckets: int, per_bucket_fn, emp
     every group in that bucket at once), return the results as a
     Dataset. ``empty`` fixes the output schema for zero-row buckets.
     """
-    import os
-
     import ray as _ray
     import ray.data as rd
 
-    # resolve the spill cap on the DRIVER: Ray workers inherit the env
-    # captured at ray.init, so an env override set later (tests, a
-    # driver-side retune) would silently not reach actor-side getenv
-    spill_bytes = int(os.environ.get("KAZU_EXCHANGE_SPILL_BYTES", 512 * 1024 * 1024))
+    spill_bytes = exchange_spill_bytes()  # driver-side resolve
     acc_cls = _ray.remote(num_cpus=0)(_BucketAccumulator)
     actors = [
         acc_cls.remote(per_bucket_fn, empty, spill_bytes) for _ in range(num_buckets)

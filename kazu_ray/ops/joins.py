@@ -35,18 +35,34 @@ def hash_join(left, right, on: str, num_partitions: int = 16, join_type: str = "
 
 class _BucketMerger:
     """One join bucket's accumulator: receives hash-co-located sub-tables
-    of both sides, merges on demand. Runs as a Ray actor."""
+    of both sides, merges on demand. Runs as a Ray actor. Both side
+    buffers are heap-bounded via ``SpillableTableBuffer``
+    (``ops/exchange.py``): past the byte cap a side spills to Arrow IPC
+    runs and merges off a memory map, so a hot join key past worker
+    heap costs disk instead of an OOM (the pandas merge itself still
+    materializes its OUTPUT; output-sized hot keys still need
+    ``num_buckets``/salting)."""
 
-    def __init__(self, on: str, empty_joined: pa.Table, how: str = "inner"):
+    def __init__(
+        self,
+        on: str,
+        empty_joined: pa.Table,
+        how: str = "inner",
+        spill_bytes: int | None = None,
+    ):
+        from kazu_ray.ops.exchange import SpillableTableBuffer, exchange_spill_bytes
+
+        if spill_bytes is None:
+            spill_bytes = exchange_spill_bytes()
         self.on = on
         self.empty_joined = empty_joined
         self.how = how
-        self.left: list[pa.Table] = []
-        self.right: list[pa.Table] = []
+        self.left = SpillableTableBuffer(spill_bytes)
+        self.right = SpillableTableBuffer(spill_bytes)
         self.received = {"l": 0, "r": 0}
 
     def add(self, side: str, table: pa.Table) -> int:
-        (self.left if side == "l" else self.right).append(table)
+        (self.left if side == "l" else self.right).add(table)
         self.received[side] += table.num_rows
         return table.num_rows
 
@@ -56,28 +72,25 @@ class _BucketMerger:
         return self.received[side]
 
     def merge(self) -> pa.Table:
+        l = self.left.read()
+        r = self.right.read()
         if self.how == "anti":
             # left rows with NO right match; an empty right side keeps
             # every left row (output schema = left schema, so no
             # NULL-fill dtype problems arise)
-            if not self.left:
+            if l is None:
                 return self.empty_joined
-            l = pa.concat_tables(self.left)
-            self.left = []
-            if not self.right:
+            if r is None:
                 return l.cast(self.empty_joined.schema)
             import pyarrow.compute as pc
 
-            r = pa.concat_tables(self.right)
-            self.right = []
             keep = pc.invert(pc.is_in(l[self.on], value_set=r[self.on].combine_chunks()))
             return l.filter(keep).cast(self.empty_joined.schema)
-        if not self.left or not self.right:
+        if l is None or r is None:
             return self.empty_joined  # no inner rows from this bucket
-        l = pa.concat_tables(self.left).to_pandas()
-        r = pa.concat_tables(self.right).to_pandas()
-        self.left = self.right = []
-        joined = pa.Table.from_pandas(l.merge(r, on=self.on), preserve_index=False)
+        joined = pa.Table.from_pandas(
+            l.to_pandas().merge(r.to_pandas(), on=self.on), preserve_index=False
+        )
         return joined.cast(self.empty_joined.schema)
 
 
@@ -115,10 +128,18 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 16, how: str = "
         {n: pa.array([], type=t) for n, t in {**lcols, **rcols}.items()}
     )
 
-    from kazu_ray.ops.exchange import feed_to_actors, reaped_actors
+    from kazu_ray.ops.exchange import (
+        exchange_spill_bytes,
+        feed_to_actors,
+        reaped_actors,
+    )
 
+    spill_bytes = exchange_spill_bytes()  # driver-side resolve
     merger_cls = _ray.remote(num_cpus=0)(_BucketMerger)
-    mergers = [merger_cls.remote(on, empty_joined, how) for _ in range(num_buckets)]
+    mergers = [
+        merger_cls.remote(on, empty_joined, how, spill_bytes)
+        for _ in range(num_buckets)
+    ]
 
     def assign(batch: pa.Table) -> pa.Array:
         from kazu_ray.functions.hashing import bucket_ids

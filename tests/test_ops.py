@@ -359,6 +359,32 @@ def test_bucketed_join_matches_native_join(ray_session):
     assert len(a) == 80  # 8 matching keys × 10 rows each
 
 
+def test_bucketed_join_spill_path_identical(ray_session, monkeypatch):
+    """A byte cap that forces both merger sides to spill IPC runs must
+    leave bucketed_hash_join results identical to the in-memory path —
+    inner AND anti, including a hot key."""
+    import numpy as np
+    import ray.data as rd
+
+    from kazu_ray.ops.joins import bucketed_hash_join
+
+    rng = np.random.RandomState(13)
+    lk = rng.randint(0, 20, 5000)
+    lk[:2500] = 3  # hot join key
+    left = rd.from_items([{"k": int(k), "lv": i} for i, k in enumerate(lk)])
+    right = rd.from_items([{"k": i, "rv": i * 100} for i in range(12)])
+
+    def run(how):
+        cols = ["k", "lv"] if how == "anti" else ["k", "lv", "rv"]
+        df = bucketed_hash_join(left, right, on="k", num_buckets=4, how=how).to_pandas()
+        return sorted(map(tuple, df[cols].values.tolist()))
+
+    want_inner, want_anti = run("inner"), run("anti")
+    monkeypatch.setenv("KAZU_EXCHANGE_SPILL_BYTES", "4096")
+    assert run("inner") == want_inner
+    assert run("anti") == want_anti
+
+
 def test_training_order_shuffle_deterministic(ray_session):
     import ray.data as rd
 
