@@ -46,6 +46,15 @@ def from_parquet(path: str, data_origin: str, column_map: dict | None = None) ->
     return _finalize(df, data_origin)
 
 
+def from_canonical_parquet(path: str, data_origin: str = "chembl") -> pd.DataFrame:
+    """Parquet already in the canonical [idx, default_label, syn,
+    mapping_type] layout — the modern ChEMBL input. Mirrors
+    ``ChemblParquetOntologyParser.parse_to_dataframe``
+    (``kazu/ontology_preprocessing/parsers.py:1132-1145``): a plain
+    read, no reshaping."""
+    return _finalize(pd.read_parquet(path), data_origin)
+
+
 def from_csv(path: str, data_origin: str, column_map: dict | None = None, sep: str = ",") -> pd.DataFrame:
     df = pd.read_csv(path, sep=sep)
     if column_map:

@@ -1883,3 +1883,83 @@ def test_target_label_grouping_differential_vs_reference():
     # the three AKT1 loci share one set; BRCA2/TP53 are singletons
     sizes = sorted(len(s) for s in eng_sets)
     assert sizes == [1, 1, 3]
+
+
+def test_chembl_sqlite_parser_differential_vs_reference(tmp_path):
+    """ChemblOntologyParser (parsers.py:1098-1129) frame-equal vs the
+    actual reference class over an in-test sqlite dump — with the edge
+    cases the SQL semantics hinge on: null pref_name molecules dropped
+    (synonyms and all), exact duplicate rows collapsed, pref_name rows
+    self-unioned with their own mapping type, a molecule with no
+    synonym rows still present via its pref_name row."""
+    import sqlite3
+
+    import pandas as pd
+
+    from kazu_ray.sources.ontology_tables import from_chembl_sqlite
+
+    db = str(tmp_path / "chembl.db")
+    conn = sqlite3.connect(db)
+    conn.executescript(
+        """
+        CREATE TABLE molecule_dictionary (molregno INTEGER, chembl_id TEXT, pref_name TEXT);
+        CREATE TABLE molecule_synonyms (molregno INTEGER, synonyms TEXT, syn_type TEXT);
+        INSERT INTO molecule_dictionary VALUES
+            (1, 'CHEMBL25', 'ASPIRIN'),
+            (2, 'CHEMBL112', 'PARACETAMOL'),
+            (3, 'CHEMBL999', NULL),
+            (4, 'CHEMBL1771', 'LONELY');
+        INSERT INTO molecule_synonyms VALUES
+            (1, 'acetylsalicylic acid', 'TRADE_NAME'),
+            (1, 'ASA', 'OTHER'),
+            (1, 'ASA', 'OTHER'),
+            (1, 'ASA', 'TRADE_NAME'),
+            (2, 'acetaminophen', 'OTHER'),
+            (2, 'PARACETAMOL', 'OTHER'),
+            (3, 'orphan syn', 'OTHER');
+        """
+    )
+    conn.commit()
+    conn.close()
+
+    ref = _ref_parsers_module()
+    parser = ref.ChemblOntologyParser(
+        in_path=db, entity_class="drug", name="CHEMBL"
+    )
+    ref_df = _canon_frame(parser.parse_to_dataframe())
+    eng_df = _canon_frame(from_chembl_sqlite(db))
+    pd.testing.assert_frame_equal(eng_df, ref_df)
+    assert parser.find_kb("anything") == "CHEMBL"
+
+
+def test_chembl_parquet_parser_differential_vs_reference(tmp_path):
+    """ChemblParquetOntologyParser (parsers.py:1132-1145) — the modern
+    ChEMBL input — frame-equal vs the reference class on a parquet dump
+    in the canonical column layout. (The reference reads the file raw
+    and collapses duplicates later, during base-class syn_norm
+    resolution; the engine's loader collapses at load via _finalize —
+    net-equal downstream, so frame equality is asserted on a
+    duplicate-free dump.)"""
+    import pandas as pd
+
+    from kazu_ray.sources.ontology_tables import from_canonical_parquet
+
+    src = pd.DataFrame(
+        {
+            "idx": ["CHEMBL25", "CHEMBL25", "CHEMBL112"],
+            "default_label": ["ASPIRIN", "ASPIRIN", "PARACETAMOL"],
+            "syn": ["ASA", "ASPIRIN", "acetaminophen"],
+            "mapping_type": ["OTHER", "pref_name", "OTHER"],
+        }
+    )
+    pq_path = str(tmp_path / "chembl.parquet")
+    src.to_parquet(pq_path)
+
+    ref = _ref_parsers_module()
+    parser = ref.ChemblParquetOntologyParser(
+        in_path=pq_path, entity_class="drug", name="CHEMBL"
+    )
+    ref_df = _canon_frame(parser.parse_to_dataframe())
+    eng_df = _canon_frame(from_canonical_parquet(pq_path))
+    pd.testing.assert_frame_equal(eng_df, ref_df)
+    assert parser.find_kb("anything") == "CHEMBL"
