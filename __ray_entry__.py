@@ -191,6 +191,15 @@ def _kg_triangles(sf_dir: str):
     return triangle_count(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_two_hop_paths(sf_dir: str):
+    """Per-node 2-path counts: broadcast degree marginals + one O(E)
+    streaming edge pass — no 2-hop pair set is ever materialized."""
+    from kazu_ray.ops.graph import two_hop_path_counts
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return two_hop_path_counts(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
 def _kg_degree_histogram(sf_dir: str):
     from kazu_ray.ops.graph import degree_histogram
     from kazu_ray.pipelines.kg import triples_dataset
@@ -1087,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pair_provenance": _kg_pair_provenance,
         "kg_triangles": _kg_triangles,
         "kg_degree_histogram": _kg_degree_histogram,
+        "kg_two_hop_paths": _kg_two_hop_paths,
         "mention_contexts": _mention_contexts,
         "kg_components": _kg_components,
         "kg_node_doc_counts": _kg_node_doc_counts,
@@ -1720,6 +1730,17 @@ def oracle_sql() -> dict[str, str]:
             FROM e ab
             JOIN e bc ON bc.a = ab.b
             JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        """,
+        "kg_two_hop_paths": """
+            WITH t AS (SELECT subj, obj
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                       FROM t WHERE subj <> obj),
+                 und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+                 deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u)
+            SELECT und.u AS node, SUM(deg.d - 1)::BIGINT AS n_two_hop_paths
+            FROM und JOIN deg ON deg.node = und.v
+            GROUP BY und.u
         """,
         "kg_degree_histogram": """
             WITH t AS (SELECT subj, obj

@@ -197,6 +197,109 @@ def pair_provenance(triples_ds, sample_k: int = 5):
     return out.map_batches(fix_types, batch_format="pyarrow")
 
 
+def _distinct_edges(triples_ds):
+    """Distinct undirected co-occurrence edges (a < b), self-loops
+    dropped, as a materialized Dataset (never collected)."""
+    from ray.data.aggregate import Count
+
+    return (
+        triples_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": pa.compute.min_element_wise(t["subj"], t["obj"]),
+                    "b": pa.compute.max_element_wise(t["subj"], t["obj"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_one"))
+        .map_batches(
+            # drop self-loops (they close no triangle / extend no path)
+            lambda t: t.filter(
+                pa.compute.not_equal(t["a"], t["b"])
+            ).select(["a", "b"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+
+def _edge_degrees(edges):
+    """Distinct-neighbor degree per node over a :func:`_distinct_edges`
+    Dataset — node-sized (legitimate driver/broadcast material, module
+    docstring). Returns a plain dict."""
+    from ray.data.aggregate import Count
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"node": t["a"].cast(pa.string())}),
+                pa.table({"node": t["b"].cast(pa.string())}),
+            ]
+        )
+
+    deg_df = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .to_pandas()
+    )
+    return dict(zip(deg_df["node"], deg_df["deg"]))
+
+
+def two_hop_path_counts(triples_ds):
+    """Per-node count of length-2 paths u–v–w (w ≠ u, over the distinct
+    undirected edge set) — the neighborhood-size signal hub analyses
+    want, computed WITHOUT materializing any 2-hop pair set: the count
+    for u is Σ_{v ∈ N(u)} (deg(v) − 1), so one broadcast of the
+    node-sized degree table + one streaming pass over the edges (each
+    edge (a,b) contributes deg(b)−1 to a and deg(a)−1 to b, partials
+    combined per batch) gives an exact answer in O(E) work. Nodes whose
+    only co-occurrence is a self-loop have no edges and are absent;
+    pendant-only nodes report 0."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = _distinct_edges(triples_ds)
+    deg_ref = ray.put(_edge_degrees(edges))
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        a = t["a"].to_pandas()
+        b = t["b"].to_pandas()
+        df = pd.DataFrame(
+            {
+                "node": pd.concat([a, b], ignore_index=True),
+                "partial": pd.concat(
+                    [b.map(d) - 1, a.map(d) - 1], ignore_index=True
+                ).astype("int64"),
+            }
+        )
+        g = df.groupby("node", as_index=False)["partial"].sum()
+        return pa.table(
+            {
+                "node": pa.array(g["node"], type=pa.string()),
+                "partial": pa.array(g["partial"], type=pa.int64()),
+            }
+        )
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("partial", alias_name="n_two_hop_paths"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].cast(pa.string()),
+                    "n_two_hop_paths": t["n_two_hop_paths"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def triangle_count(triples_ds, max_driver_edges: int | None = None):
     """Global triangle count of the undirected co-occurrence graph,
     size-dispatched like ``connected_components_auto``:
@@ -228,27 +331,7 @@ def triangle_count(triples_ds, max_driver_edges: int | None = None):
     if max_driver_edges is None:
         max_driver_edges = int(os.environ.get("KAZU_TRI_MAX_DRIVER_EDGES", 200_000))
 
-    edges = (
-        triples_ds.map_batches(
-            lambda t: pa.table(
-                {
-                    "a": pa.compute.min_element_wise(t["subj"], t["obj"]),
-                    "b": pa.compute.max_element_wise(t["subj"], t["obj"]),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_one"))
-        .map_batches(
-            # drop self-loops (they close no triangle) and the count col
-            lambda t: t.filter(
-                pa.compute.not_equal(t["a"], t["b"])
-            ).select(["a", "b"]),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    edges = _distinct_edges(triples_ds)
 
     n_edges = edges.count()
     if n_edges <= max_driver_edges:
@@ -274,22 +357,7 @@ def triangle_count(triples_ds, max_driver_edges: int | None = None):
     # ---- distributed path: degree-oriented wedge counting ----
     import numpy as np
 
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.concat_tables(
-            [
-                pa.table({"node": t["a"].cast(pa.string())}),
-                pa.table({"node": t["b"].cast(pa.string())}),
-            ]
-        )
-
-    deg_df = (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="deg"))
-        .to_pandas()
-    )
-    deg = dict(zip(deg_df["node"], deg_df["deg"]))
-    deg_ref = ray.put(deg)
+    deg_ref = ray.put(_edge_degrees(edges))
 
     def orient(t: pa.Table) -> pa.Table:
         d = ray.get(deg_ref)

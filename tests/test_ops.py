@@ -1449,3 +1449,28 @@ def test_triangle_count_distributed_path_equal(ray_session, monkeypatch):
     monkeypatch.setenv("KAZU_TRI_MAX_DRIVER_EDGES", "1")
     got = triangle_count(ds)["n_triangles"].iloc[0]
     assert got == expected
+
+
+def test_two_hop_path_counts(ray_session):
+    """K4 + pendant + self-loop, counts hand-derived:
+    in K4 {A,B,C,D} with pendant E-D, deg = A:3 B:3 C:3 D:4 E:1;
+    2-paths(u) = sum over neighbors v of (deg(v)-1)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import two_hop_path_counts
+
+    nodes = ["A", "B", "C", "D"]
+    triples = [
+        {"subj": s, "pred": "co", "obj": o, "doc_id": 1}
+        for i, s in enumerate(nodes)
+        for o in nodes[i + 1 :]
+    ] + [
+        {"subj": "E", "pred": "co", "obj": "D", "doc_id": 2},
+        {"subj": "F", "pred": "co", "obj": "F", "doc_id": 3},  # self-loop: absent
+        {"subj": "B", "pred": "co", "obj": "A", "doc_id": 4},  # reversed dup
+    ]
+    got = (
+        two_hop_path_counts(rd.from_items(triples))
+        .to_pandas().set_index("node")["n_two_hop_paths"].to_dict()
+    )
+    assert got == {"A": 7, "B": 7, "C": 7, "D": 6, "E": 3}
