@@ -931,3 +931,56 @@ def test_exchange_groups_auto_raises_bucket_count(ray_session, monkeypatch):
             .to_pandas().sort_values("k").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_auto_sized_store_resumes_partial_build_under_pinned_count(
+    ray_session, tmp_path, monkeypatch
+):
+    """num_parts=None + a partially-built store (some partitions written,
+    some lost): the re-run must resume under the count pinned by the
+    first attempt — never recompute auto-sizing across attempts, even
+    when the sizing target changed — and rebuild exactly the missing
+    partitions."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.stages.materialize import load_manifests, materialize_partitioned
+
+    monkeypatch.setenv("KAZU_TARGET_PART_BYTES", "4096")
+    rows = pa.table(
+        {
+            "key": pa.array([f"k{i}" for i in range(2000)]),
+            "v": pa.array([f"{'x' * 32}{i}" for i in range(2000)]),
+        }
+    )
+    out = str(tmp_path / "store")
+    full = materialize_partitioned(
+        rd.from_arrow(rows).repartition(8), out, key_col="key", num_parts=None,
+        sort_cols=["key", "v"],
+    )
+    with open(os.path.join(out, "_format.json")) as f:
+        pinned = json.load(f)["num_parts"]
+    assert pinned == len(full) and pinned > 4
+    by_part = {m["partition_id"]: m for m in full}
+
+    # simulate a crash that lost two partitions (manifest + data)
+    lost = sorted(by_part)[:2]
+    for p_id in lost:
+        os.remove(os.path.join(out, "_manifests", f"{p_id}.json"))
+        shutil.rmtree(os.path.join(out, f"part={p_id}"), ignore_errors=True)
+
+    # resume with a DIFFERENT sizing target: pinned count must win
+    monkeypatch.setenv("KAZU_TARGET_PART_BYTES", str(256 * 1024 * 1024))
+    resumed = materialize_partitioned(
+        rd.from_arrow(rows).repartition(8), out, key_col="key", num_parts=None,
+        sort_cols=["key", "v"],
+    )
+    assert len(resumed) == pinned
+    assert sum(m["row_count"] for m in resumed) == 2000
+    # rebuilt partitions carry the same content hash as the first build
+    for m in load_manifests(out):
+        assert m["sha256"] == by_part[m["partition_id"]]["sha256"]
