@@ -326,7 +326,7 @@ def triangle_count(triples_ds, max_driver_edges: int | None = None):
     import os
 
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     if max_driver_edges is None:
         max_driver_edges = int(os.environ.get("KAZU_TRI_MAX_DRIVER_EDGES", 200_000))
