@@ -523,6 +523,26 @@ class _PartitionWriter:
         return manifest
 
 
+def _write_build_metrics(out_dir: str, metrics: dict) -> None:
+    """Per-build metrics artifact (north_rule: "per-partition lineage +
+    METRICS"): wall time, rows, which partitions this attempt wrote vs
+    resumed. Written atomically to ``_metrics/last_build.json`` —
+    deliberately OUTSIDE ``_manifests/`` so resume identity and the
+    incremental-update manifest-sha-equality contract are untouched
+    (metrics describe an attempt; manifests describe the data)."""
+    mdir = os.path.join(out_dir, "_metrics")
+    os.makedirs(mdir, exist_ok=True)
+    metrics = dict(metrics)
+    if metrics.get("wall_sec"):
+        metrics["rows_per_sec"] = round(
+            metrics.get("row_count", 0) / metrics["wall_sec"], 1
+        )
+    tmp = os.path.join(mdir, ".last_build.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(mdir, "last_build.json"))
+
+
 def materialize_partitioned(
     ds,
     out_dir: str,
@@ -580,6 +600,9 @@ def materialize_partitioned(
     pending = [p for p in range(num_parts) if p not in done_parts]
     if not pending:
         return load_manifests(out_dir)
+    import time as _time
+
+    _t_build = _time.monotonic()
 
     from kazu_ray.functions.hashing import bucket_ids
 
@@ -651,7 +674,18 @@ def materialize_partitioned(
                     f,
                 )
             os.replace(tmp_manifest, os.path.join(manifest_dir, f"{part}.json"))
-    return load_manifests(out_dir)
+    manifests = load_manifests(out_dir)
+    _write_build_metrics(
+        out_dir,
+        {
+            "wall_sec": round(_time.monotonic() - _t_build, 3),
+            "num_parts": num_parts,
+            "written_parts": sorted(pending),
+            "resumed_parts": sorted(done_parts),
+            "row_count": sum(m["row_count"] for m in manifests),
+        },
+    )
+    return manifests
 
 
 def materialize_triples(

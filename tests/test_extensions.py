@@ -984,3 +984,46 @@ def test_auto_sized_store_resumes_partial_build_under_pinned_count(
     # rebuilt partitions carry the same content hash as the first build
     for m in load_manifests(out):
         assert m["sha256"] == by_part[m["partition_id"]]["sha256"]
+
+
+def test_build_metrics_artifact(ray_session, tmp_path):
+    """Every store build writes _metrics/last_build.json: wall time,
+    rows, written-vs-resumed partitions; a full-resume no-op leaves the
+    previous attempt's metrics in place."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.stages.materialize import materialize_partitioned
+
+    rows = pa.table(
+        {"key": pa.array([f"k{i}" for i in range(300)]),
+         "v": pa.array(list(range(300)), type=pa.int64())}
+    )
+    out = str(tmp_path / "store")
+    materialize_partitioned(rd.from_arrow(rows), out, key_col="key", num_parts=4)
+    mpath = os.path.join(out, "_metrics", "last_build.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    assert m["row_count"] == 300 and m["num_parts"] == 4
+    assert m["written_parts"] == [0, 1, 2, 3] and m["resumed_parts"] == []
+    assert m["wall_sec"] > 0 and m["rows_per_sec"] > 0
+    first = m
+
+    # full resume: nothing pending, metrics unchanged
+    materialize_partitioned(rd.from_arrow(rows), out, key_col="key", num_parts=4)
+    with open(mpath) as f:
+        assert json.load(f) == first
+
+    # partial resume: one partition lost -> metrics show the split
+    os.remove(os.path.join(out, "_manifests", "2.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "part=2"), ignore_errors=True)
+    materialize_partitioned(rd.from_arrow(rows), out, key_col="key", num_parts=4)
+    with open(mpath) as f:
+        m2 = json.load(f)
+    assert m2["written_parts"] == [2] and m2["resumed_parts"] == [0, 1, 3]
+    assert m2["row_count"] == 300
