@@ -523,7 +523,9 @@ class _PartitionWriter:
         return manifest
 
 
-def _write_build_metrics(out_dir: str, metrics: dict) -> None:
+def _write_build_metrics(
+    out_dir: str, metrics: dict, file_name: str = "last_build.json"
+) -> None:
     """Per-build metrics artifact (north_rule: "per-partition lineage +
     METRICS"): wall time, rows, which partitions this attempt wrote vs
     resumed. Written atomically to ``_metrics/last_build.json`` —
@@ -537,10 +539,10 @@ def _write_build_metrics(out_dir: str, metrics: dict) -> None:
         metrics["rows_per_sec"] = round(
             metrics.get("row_count", 0) / metrics["wall_sec"], 1
         )
-    tmp = os.path.join(mdir, ".last_build.json.tmp")
+    tmp = os.path.join(mdir, f".{file_name}.tmp")
     with open(tmp, "w") as f:
         json.dump(metrics, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(mdir, "last_build.json"))
+    os.replace(tmp, os.path.join(mdir, file_name))
 
 
 def materialize_partitioned(
@@ -781,6 +783,9 @@ def update_partitioned(
 
     if not pending:
         return load_manifests(out_dir)
+    import time as _time
+
+    _t_update = _time.monotonic()
 
     pending_arr = pa.array(sorted(pending), type=pa.int32())
     filtered = with_part.map_batches(
@@ -813,7 +818,20 @@ def update_partitioned(
             received_fn=lambda p: writers[p].received_rows.remote(),
         )
         _ray.get([w.finalize.remote() for w in writers.values()])
-    return load_manifests(out_dir)
+    out = load_manifests(out_dir)
+    _write_build_metrics(
+        out_dir,
+        {
+            "update_id": update_id,
+            "wall_sec": round(_time.monotonic() - _t_update, 3),
+            "num_parts": num_parts,
+            "written_parts": sorted(pending),
+            "resumed_parts": sorted(set(manifests) - set(pending)),
+            "row_count": sum(m["row_count"] for m in out),
+        },
+        file_name="last_update.json",
+    )
+    return out
 
 
 def update_triple_store(triples_ds, out_dir: str, update_id: str) -> list[dict]:
