@@ -106,12 +106,16 @@ def run_resumable(
         os.replace(tmp_m, os.path.join(manifest_dir, f"{shard_id}.json"))
         ran += 1
         total_rows += rows
-    return {
+    result = {
         "shards_total": len(shards),
         "shards_run": ran,
         "shards_skipped": skipped,
         "rows": total_rows,
     }
+    from kazu_ray.stages.materialize import _write_build_metrics
+
+    _write_build_metrics(out_dir, dict(result), file_name="last_run.json")
+    return result
 
 
 def annotate_resumable(
@@ -187,9 +191,13 @@ def annotate_resumable(
         os.replace(tmp_m, os.path.join(manifest_dir, f"{shard_id}.json"))
         ran += 1
         total_rows += rows
-    return {
+    result = {
         "shards_total": len(shards),
         "shards_run": ran,
         "shards_skipped": skipped,
         "rows": total_rows,
     }
+    from kazu_ray.stages.materialize import _write_build_metrics
+
+    _write_build_metrics(out_dir, dict(result), file_name="last_run.json")
+    return result
