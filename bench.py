@@ -100,6 +100,11 @@ def run_secondary() -> dict[str, float]:
         "revenue_by_segment",
         "sessionize_events",
         "doc_token_stats",
+        # round-4 additions: one join-shaped and one OLAP-shaped query so
+        # BENCH tracks the exchange paths too (keys are a superset of
+        # earlier rounds' — comparisons on the shared keys still hold)
+        "asof_prior_view",
+        "rollup_revenue",
     ]
     # min of N passes, same estimator as the headline: a single pass is
     # dominated by one-time actor-pool spawn + worker imports (measured

@@ -174,8 +174,9 @@ class AnnotateStage:
         """NER + regex + split + linking for one section (section-local spans)."""
         from kazu_ray.lang import normalizer
 
-        spans = sentence_spans(text)
-        ents = match_entities(text, self.automaton)
+        toks = tokenize(text)
+        spans = sentence_spans(text, toks=toks)
+        ents = match_entities(text, self.automaton, toks=toks)
         for e in ents:
             e["sent_idx"] = sentence_index_for_span(spans, e["start"])
         if self.with_model_ner:

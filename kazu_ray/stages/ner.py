@@ -176,9 +176,12 @@ class DictionaryNerStage:
         texts = batch["text"].to_pylist()
         ents_col = []
         sents_col = []
+        from kazu_ray.lang.tokens import tokenize
+
         for text in texts:
-            spans = sentence_spans(text)
-            ents = match_entities(text, self.automaton)
+            toks = tokenize(text)
+            spans = sentence_spans(text, toks=toks)
+            ents = match_entities(text, self.automaton, toks=toks)
             for ent in ents:
                 ent["sent_idx"] = sentence_index_for_span(spans, ent["start"])
             ents_col.append(json.dumps(ents))
