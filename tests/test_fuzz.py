@@ -53,3 +53,48 @@ def test_annotate_sections_never_raises(stage, sections):
             assert text[e["start"] : e["end"]] == e["match"]
     for t in triples:
         assert t["subj"] < t["obj"]
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=300))
+def test_sentence_spans_tile_any_text(text):
+    """Sentencizer-port invariants on arbitrary text: spans tile [0, len)
+    exactly, and every span index lookup lands in range."""
+    from kazu_ray.lang.tokens import sentence_index_for_span, sentence_spans
+
+    spans = sentence_spans(text)
+    if not text:
+        assert spans == []
+        return
+    assert spans[0][0] == 0 and spans[-1][1] == len(text)
+    for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+        assert e1 == s2
+        assert s1 < e1
+    for pos in range(0, len(text), max(1, len(text) // 7)):
+        assert 0 <= sentence_index_for_span(spans, pos) < len(spans)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-10**6, 10**6), min_size=0, max_size=50), max_size=12
+    ),
+    st.integers(64, 4096),
+)
+def test_spill_buffer_roundtrip_property(chunks, cap):
+    """SpillableTableBuffer.read() must equal the plain concat of every
+    added chunk, for any chunk shapes and any byte cap (spill or not)."""
+    import pyarrow as pa
+
+    from kazu_ray.ops.exchange import SpillableTableBuffer
+
+    buf = SpillableTableBuffer(cap)
+    expected = []
+    for c in chunks:
+        t = pa.table({"v": pa.array(c, type=pa.int64())})
+        buf.add(t)
+        expected.extend(c)
+    out = buf.read()
+    got = out["v"].to_pylist() if out is not None else []
+    assert got == expected
+    assert buf.spill_dir is None  # cleaned up
