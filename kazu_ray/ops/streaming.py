@@ -91,7 +91,8 @@ class SessionBucketActor:
 
 
 def incremental_sessionize(
-    events_ds, key_col: str = "user_id", gap_minutes: int = 30, n_buckets: int = 8
+    events_ds, key_col: str = "user_id", gap_minutes: int = 30,
+    n_buckets: int | None = None,
 ):
     """Sessionize an event log through stateful bucket actors; returns a
     pandas frame of (user_id, session_start, session_end, n_events).
@@ -109,6 +110,13 @@ def incremental_sessionize(
     from kazu_ray.functions.hashing import bucket_ids
     from kazu_ray.ops.exchange import feed_to_actors, reaped_actors
 
+    if n_buckets is None:
+        # scale bucket count (= actor-held state shards) to the cluster;
+        # buffered state is two int64 columns per event, so per-bucket
+        # memory shrinks linearly as buckets grow
+        from kazu_ray.ops.dedup import shuffle_parts
+
+        n_buckets = shuffle_parts(per_cpu=0.25, lo=8, hi=128)
     gap_us = gap_minutes * 60 * 1_000_000
     actors = [SessionBucketActor.remote(gap_us) for _ in range(n_buckets)]
 
