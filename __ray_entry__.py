@@ -1030,6 +1030,20 @@ def _incremental_sessions(sf_dir: str):
     )
 
 
+def _source_rebalance(sf_dir: str):
+    """Source-mixture rebalancing summary: every source downsampled to
+    the smallest source's token mass by an integer-ppm md5 rule —
+    two streaming passes, broadcast rate dict, no doc-sized shuffle."""
+    import ray.data as rd
+
+    from kazu_ray.ops.sample import rebalance_sources
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return rebalance_sources(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from kazu_ray.ops import relational
     from kazu_ray.ops.text import LangIdStage
@@ -1126,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- retrieval / packing / sketches still in-window ---
         "tfidf_topk": _tfidf_topk,
         "packed_chunks": _packed_chunks,
+        "source_rebalance": _source_rebalance,
         "heavy_hitter_words": _heavy_hitter_words,
         "dup_span_stats": _dup_span_stats,
         "stratified_docs": _stratified_docs,
@@ -1525,6 +1540,27 @@ def oracle_sql() -> dict[str, str]:
                  bench_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
             SELECT DISTINCT s.doc_id
             FROM sh s JOIN bench_sh b ON s.s = b.s
+        """,
+        "source_rebalance": """
+            WITH tok AS (SELECT doc_id, source,
+                           (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tokens
+                         FROM documents),
+                 tot AS (SELECT source, count(*)::BIGINT AS orig_docs,
+                                sum(n_tokens)::BIGINT AS orig_tokens
+                         FROM tok GROUP BY source),
+                 m AS (SELECT min(orig_tokens) AS mint FROM tot),
+                 rates AS (SELECT source, orig_docs, orig_tokens,
+                                  least(1000000, (m.mint * 1000000) // orig_tokens)::BIGINT AS rate_ppm
+                           FROM tot, m),
+                 kept AS (SELECT t.source, count(*)::BIGINT AS kept_docs,
+                                 sum(t.n_tokens)::BIGINT AS kept_tokens
+                          FROM tok t JOIN rates r ON r.source = t.source
+                          WHERE (('0x' || substr(md5(t.doc_id::VARCHAR), 1, 8))::BIGINT) % 1000000 < r.rate_ppm
+                          GROUP BY t.source)
+            SELECT r.source, r.orig_docs, r.orig_tokens, r.rate_ppm,
+                   coalesce(k.kept_docs, 0)::BIGINT AS kept_docs,
+                   coalesce(k.kept_tokens, 0)::BIGINT AS kept_tokens
+            FROM rates r LEFT JOIN kept k ON k.source = r.source
         """,
         "packed_chunks": """
             WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens

@@ -109,3 +109,108 @@ def train_val_test_split(ds, key_col: str, val_percent: int = 10, test_percent: 
         return batch.append_column("split", pa.array(split, type=pa.string()))
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def rebalance_sources(
+    docs_ds, key_col: str = "doc_id", source_col: str = "source", text_col: str = "text"
+):
+    """Source-mixture rebalancing — the data-mixing step an LLM training
+    pipeline runs before packing: downsample every source to the
+    SMALLEST source's token mass so no source dominates the mixture.
+    Returns one summary row per source: (source, orig_docs, orig_tokens,
+    rate_ppm, kept_docs, kept_tokens) — all INTEGERS (the acceptance
+    rate is parts-per-million via integer division) so the DuckDB
+    oracle matches hash-exactly.
+
+    Per-doc acceptance is content-keyed (md5(doc_id) ppm bucket <
+    rate_ppm[source]), so the sample is reproducible across runs and
+    engines and resumable, like every operator in this module.
+
+    Scale shape: two streaming passes over a pruned (doc_id, source,
+    text) read. Pass 1 = per-batch per-source partials → groupby(source)
+    (source vocabulary is bounded, so the rate table is driver/broadcast
+    material). Pass 2 = broadcast rate dict, per-batch accept + partial
+    kept counts → groupby(source). No shuffle ever sees doc-sized data.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs_ds = docs_ds.materialize()  # consumed by two passes
+
+    def _tok_partials(batch: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(batch[text_col], " "), 1)
+        df = pd.DataFrame(
+            {
+                "source": batch[source_col].to_pandas(),
+                "n_tokens": pc.cast(n_tok, pa.int64()).to_pandas(),
+            }
+        )
+        g = df.groupby("source", as_index=False).agg(
+            orig_docs=("n_tokens", "size"), orig_tokens=("n_tokens", "sum")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], type=pa.string()),
+                "orig_docs": pa.array(g["orig_docs"], type=pa.int64()),
+                "orig_tokens": pa.array(g["orig_tokens"], type=pa.int64()),
+            }
+        )
+
+    tot = (
+        docs_ds.map_batches(_tok_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("orig_docs", alias_name="orig_docs"),
+            Sum("orig_tokens", alias_name="orig_tokens"),
+        )
+        .to_pandas()
+    )
+    min_tokens = int(tot["orig_tokens"].min())
+    rates = {
+        s: min(1_000_000, (min_tokens * 1_000_000) // int(t))
+        for s, t in zip(tot["source"], tot["orig_tokens"])
+    }
+    rates_ref = ray.put(rates)
+
+    def _kept_partials(batch: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        src = batch[source_col].to_pandas()
+        ppm = pd.Series(
+            [_bucket(str(v), 1_000_000) for v in batch[key_col].to_pylist()]
+        )
+        n_tok = pc.cast(
+            pc.add(pc.count_substring(batch[text_col], " "), 1), pa.int64()
+        ).to_pandas()
+        keep = ppm.values < src.map(r).values
+        df = pd.DataFrame({"source": src[keep], "n_tokens": n_tok[keep]})
+        g = df.groupby("source", as_index=False).agg(
+            kept_docs=("n_tokens", "size"), kept_tokens=("n_tokens", "sum")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], type=pa.string()),
+                "kept_docs": pa.array(g["kept_docs"], type=pa.int64()),
+                "kept_tokens": pa.array(g["kept_tokens"], type=pa.int64()),
+            }
+        )
+
+    kept = (
+        docs_ds.map_batches(_kept_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("kept_docs", alias_name="kept_docs"),
+            Sum("kept_tokens", alias_name="kept_tokens"),
+        )
+        .to_pandas()
+    )
+    out = tot.merge(kept, on="source", how="left").fillna(0)
+    out["rate_ppm"] = out["source"].map(rates)
+    for c in ("orig_docs", "orig_tokens", "rate_ppm", "kept_docs", "kept_tokens"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["source", "orig_docs", "orig_tokens", "rate_ppm", "kept_docs", "kept_tokens"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
