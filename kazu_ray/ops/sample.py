@@ -112,7 +112,11 @@ def train_val_test_split(ds, key_col: str, val_percent: int = 10, test_percent: 
 
 
 def rebalance_sources(
-    docs_ds, key_col: str = "doc_id", source_col: str = "source", text_col: str = "text"
+    docs_ds,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    materialize_input: bool = False,
 ):
     """Source-mixture rebalancing — the data-mixing step an LLM training
     pipeline runs before packing: downsample every source to the
@@ -131,13 +135,19 @@ def rebalance_sources(
     (source vocabulary is bounded, so the rate table is driver/broadcast
     material). Pass 2 = broadcast rate dict, per-batch accept + partial
     kept counts → groupby(source). No shuffle ever sees doc-sized data.
+    The two passes re-execute the input plan by default — for the usual
+    raw pruned ``read_parquet`` that is two cheap scans, strictly better
+    than parking the corpus in the object store; pass
+    ``materialize_input=True`` when the input carries expensive upstream
+    transforms worth paying memory/spill to not recompute.
     """
     import pandas as pd
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Sum
 
-    docs_ds = docs_ds.materialize()  # consumed by two passes
+    if materialize_input:
+        docs_ds = docs_ds.materialize()
 
     def _tok_partials(batch: pa.Table) -> pa.Table:
         n_tok = pc.add(pc.count_substring(batch[text_col], " "), 1)
