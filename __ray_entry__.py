@@ -200,6 +200,15 @@ def _kg_two_hop_paths(sf_dir: str):
     return two_hop_path_counts(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_clustering(sf_dir: str):
+    """Global clustering coefficient (integer ppm): triangles via the
+    size-dispatched counter; wedges from the node-sized degree table."""
+    from kazu_ray.ops.graph import clustering_coefficient
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return clustering_coefficient(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
 def _kg_degree_histogram(sf_dir: str):
     from kazu_ray.ops.graph import degree_histogram
     from kazu_ray.pipelines.kg import triples_dataset
@@ -1111,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _kg_triangles,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_two_hop_paths": _kg_two_hop_paths,
+        "kg_clustering": _kg_clustering,
         "mention_contexts": _mention_contexts,
         "kg_components": _kg_components,
         "kg_node_doc_counts": _kg_node_doc_counts,
@@ -1766,6 +1776,24 @@ def oracle_sql() -> dict[str, str]:
             FROM e ab
             JOIN e bc ON bc.a = ab.b
             JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        """,
+        "kg_clustering": """
+            WITH t AS (SELECT subj, obj
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                       FROM t WHERE subj <> obj),
+                 und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+                 deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+                 w AS (SELECT sum(d * (d - 1) // 2)::BIGINT AS n_wedges FROM deg),
+                 tri AS (SELECT count(*)::BIGINT AS n_triangles
+                         FROM e ab
+                         JOIN e bc ON bc.a = ab.b
+                         JOIN e ac ON ac.a = ab.a AND ac.b = bc.b)
+            SELECT tri.n_triangles, w.n_wedges,
+                   (CASE WHEN w.n_wedges > 0
+                         THEN (3 * tri.n_triangles * 1000000) // w.n_wedges
+                         ELSE 0 END)::BIGINT AS coeff_ppm
+            FROM tri, w
         """,
         "kg_two_hop_paths": """
             WITH t AS (SELECT subj, obj

@@ -458,3 +458,29 @@ def degree_histogram(triples_ds):
             batch_format="pyarrow",
         )
     )
+
+
+def clustering_coefficient(triples_ds, max_driver_edges: int | None = None):
+    """Global clustering coefficient of the co-occurrence graph —
+    3·triangles / wedges, reported as integer parts-per-million
+    (``coeff_ppm = (3·n_triangles·1e6) // n_wedges``) so the SQL oracle
+    is hash-exact. Triangles reuse the size-dispatched
+    :func:`triangle_count`; the wedge count needs NO wedge enumeration —
+    it is Σ_v deg(v)·(deg(v)−1)/2 over the node-sized degree table.
+    Returns a 1-row (n_triangles, n_wedges, coeff_ppm) DataFrame."""
+    edges = _distinct_edges(triples_ds)
+    deg = _edge_degrees(edges)
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    n_tri = int(
+        triangle_count(triples_ds, max_driver_edges=max_driver_edges)[
+            "n_triangles"
+        ].iloc[0]
+    )
+    coeff_ppm = (3 * n_tri * 1_000_000) // n_wedges if n_wedges else 0
+    return pd.DataFrame(
+        {
+            "n_triangles": [n_tri],
+            "n_wedges": [n_wedges],
+            "coeff_ppm": [coeff_ppm],
+        }
+    )

@@ -1474,3 +1474,22 @@ def test_two_hop_path_counts(ray_session):
         .to_pandas().set_index("node")["n_two_hop_paths"].to_dict()
     )
     assert got == {"A": 7, "B": 7, "C": 7, "D": 6, "E": 3}
+
+
+def test_clustering_coefficient(ray_session):
+    """K4 + pendant: triangles=4, wedges = C(3,2)*3 + C(4,2) + 0 = 15,
+    coeff_ppm = 12e6 // 15 = 800000."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import clustering_coefficient
+
+    nodes = ["A", "B", "C", "D"]
+    triples = [
+        {"subj": s, "pred": "co", "obj": o, "doc_id": 1}
+        for i, s in enumerate(nodes)
+        for o in nodes[i + 1 :]
+    ] + [{"subj": "E", "pred": "co", "obj": "D", "doc_id": 2}]
+    out = clustering_coefficient(rd.from_items(triples))
+    assert out.iloc[0].to_dict() == {
+        "n_triangles": 4, "n_wedges": 15, "coeff_ppm": 800000,
+    }
