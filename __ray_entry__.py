@@ -1148,13 +1148,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_topk": _knn_join_topk,
         "ivf_topk_cosine": _ivf_topk_cosine,
         # --- retrieval / packing / sketches still in-window ---
-        "tfidf_topk": _tfidf_topk,
         "packed_chunks": _packed_chunks,
         "source_rebalance": _source_rebalance,
         "heavy_hitter_words": _heavy_hitter_words,
         "dup_span_stats": _dup_span_stats,
         "stratified_docs": _stratified_docs,
         # ================= tail: doubly-green (r02 AND r03) =================
+        "tfidf_topk": _tfidf_topk,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "lang_distribution": _lang_distribution,
