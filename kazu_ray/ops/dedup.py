@@ -984,20 +984,47 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 50):
         .materialize()
     )
 
-    def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        lbl = int(g["label"].dropna().min())
-        node = int(g["node"].iloc[0])
-        dsts = [int(d) for d in g["dst"].dropna()]
-        return pd.DataFrame(
-            {"node": dsts + [node], "label": [lbl] * (len(dsts) + 1)}
+    # one propagation round, vectorized across ALL of a hash bucket's
+    # groups at once (exchange_groups co-locates by node; a per-group
+    # map_groups paid Python dispatch per node per round — measured 7×
+    # slower on the sf0.01 graph): label rows carry the node's current
+    # label, edge rows carry its neighbors, so the bucket-level pandas
+    # body is one groupby-min + one map + one concat, and it pre-combines
+    # messages per target node before the global fold.
+    def _propagate_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lbl = df.groupby("node")["label"].min()  # label rows only (edges are null)
+        edge_mask = df["dst"].notna()
+        m = pd.DataFrame(
+            {
+                "node": pd.concat(
+                    [df.loc[edge_mask, "dst"], lbl.index.to_series()],
+                    ignore_index=True,
+                ).astype("int64"),
+                "label": pd.concat(
+                    [df.loc[edge_mask, "node"].map(lbl), lbl.reset_index(drop=True)],
+                    ignore_index=True,
+                ).astype("int64"),
+            }
         )
+        g = m.groupby("node", as_index=False)["label"].min()
+        return pa.table(
+            {
+                "node": pa.array(g["node"], type=pa.int64()),
+                "label": pa.array(g["label"], type=pa.int64()),
+            }
+        )
+
+    _msg_empty = pa.table(
+        {"node": pa.array([], type=pa.int64()), "label": pa.array([], type=pa.int64())}
+    )
+
+    from kazu_ray.ops.exchange import exchange_groups
 
     prev_sum = None
     for _ in range(max_rounds):
-        msgs = (
-            labels.union(edges)
-            .groupby("node")
-            .map_groups(propagate, batch_format="pandas")
+        msgs = exchange_groups(
+            labels.union(edges), ["node"], shuffle_parts(), _propagate_bucket, _msg_empty
         )
         new_labels = (
             msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
