@@ -159,12 +159,17 @@ def pair_provenance(triples_ds, sample_k: int = 5):
     unreliably across engines).
 
     Shapes: one two-phase distinct bounds the shuffle to unique
-    (pair, doc) rows; the per-pair sort+head runs inside
-    ``groupby.map_groups`` — per-group state is the pair's distinct doc
-    set, and the emitted sample is capped at ``sample_k`` regardless of
-    how hot the pair is."""
-    import pandas as pd
+    (pair, doc) rows; the per-pair count + first-``sample_k`` sample is
+    computed vectorized across ALL of a hash bucket's pairs at once
+    (``exchange_groups``; per-pair ``map_groups`` paid Python dispatch
+    per pair): one sort by (pair, doc), a cumcount mask caps the sample
+    rows, and a single groupby aggregates count + comma-join — the
+    emitted sample stays ≤ ``sample_k`` regardless of how hot the pair
+    is."""
     from ray.data.aggregate import Count
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
 
     distinct = (
         triples_ds.groupby(["subj", "obj", "doc_id"])
@@ -174,27 +179,35 @@ def pair_provenance(triples_ds, sample_k: int = 5):
         )
     )
 
-    def summarize(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(g["doc_id"])
-        return pd.DataFrame(
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["subj", "obj", "doc_id"], kind="mergesort")
+        grp = df.groupby(["subj", "obj"], sort=False)
+        counts = grp.size().reset_index(name="n_docs")
+        head = df[grp.cumcount() < sample_k]
+        samples = (
+            head.groupby(["subj", "obj"], sort=False)["doc_id"]
+            .agg(",".join)
+            .reset_index(name="sample_docs")
+        )
+        out = counts.merge(samples, on=["subj", "obj"])
+        return pa.table(
             {
-                "subj": [g["subj"].iloc[0]],
-                "obj": [g["obj"].iloc[0]],
-                "n_docs": [len(docs)],
-                "sample_docs": [",".join(docs[:sample_k])],
+                "subj": pa.array(out["subj"], type=pa.string()),
+                "obj": pa.array(out["obj"], type=pa.string()),
+                "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+                "sample_docs": pa.array(out["sample_docs"], type=pa.string()),
             }
         )
 
-    out = distinct.groupby(["subj", "obj"]).map_groups(summarize, batch_format="pandas")
-
-    def fix_types(t: pa.Table) -> pa.Table:
-        return t.set_column(
-            t.schema.get_field_index("n_docs"),
-            "n_docs",
-            t["n_docs"].cast(pa.int64()),
-        )
-
-    return out.map_batches(fix_types, batch_format="pyarrow")
+    empty = pa.table(
+        {
+            "subj": pa.array([], type=pa.string()),
+            "obj": pa.array([], type=pa.string()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "sample_docs": pa.array([], type=pa.string()),
+        }
+    )
+    return exchange_groups(distinct, ["subj", "obj"], shuffle_parts(), per_bucket, empty)
 
 
 def _distinct_edges(triples_ds):

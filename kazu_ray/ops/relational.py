@@ -171,27 +171,50 @@ def hourly_event_counts(sf_dir: str):
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Per-user session count: groupby(user).map_groups over ts-sorted
-    events; a new session starts when the gap exceeds ``gap_minutes``."""
+    """Per-user session count; a new session starts when the gap
+    exceeds ``gap_minutes``. Vectorized across ALL of a hash bucket's
+    users at once (``exchange_groups``; a per-user ``map_groups`` paid
+    Python dispatch per user): one sort by (user, ts), one diff, one
+    boolean reduction — a session boundary is a user change or an
+    over-gap step, counted per user with a single groupby-sum."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
-        if len(ts) == 0:
-            return pd.DataFrame({"user_id": [], "n_sessions": [], "n_events": []})
-        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        n_sessions = 1 + int((gaps > gap_minutes * 60 * 1_000_000).sum())
-        return pd.DataFrame(
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0:1] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_break = np.empty(len(df), dtype=bool)
+        gap_break[0:1] = False
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+        df["new_session"] = (new_user | gap_break).astype(np.int64)
+        g = df.groupby("user_id", as_index=False).agg(
+            n_sessions=("new_session", "sum"), n_events=("new_session", "size")
+        )
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [n_sessions],
-                "n_events": [len(ts)],
+                "user_id": pa.array(g["user_id"], type=pa.int64()),
+                "n_sessions": pa.array(g["n_sessions"], type=pa.int64()),
+                "n_events": pa.array(g["n_events"], type=pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_sessions": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+        }
+    )
+    return exchange_groups(ds, ["user_id"], shuffle_parts(), per_bucket, empty)
 
 
 def top_parts_by_retail(sf_dir: str, k: int = 20):
