@@ -178,36 +178,52 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 16, how: str = "
 def asof_join_events(sf_dir: str, probe_type: str = "click", ref_type: str = "view"):
     """As-of join (ray_guide.md "Joins and lookups"): for each probe
     event, the same user's most recent STRICTLY-PRIOR reference event.
-    Implementation = the guide's recipe verbatim: both sides shuffle once
-    on the key (user), and ``pd.merge_asof`` runs over the ts-sorted
-    group. Returns (event_id, user_id, ts, prior_view_ts)."""
+    One hash exchange on the key co-locates each user's events, then
+    ``pd.merge_asof(by="user_id")`` runs ONCE per bucket — vectorized
+    across every user in it (a per-user ``map_groups`` paid Python
+    dispatch per user). Returns (event_id, user_id, ts, prior_view_ts)."""
     import pandas as pd
     import ray.data as rd
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        probes = g[g.event_type == probe_type].sort_values("ts")
-        refs = g[g.event_type == ref_type].sort_values("ts")
-        if probes.empty:
-            return pd.DataFrame(
-                {c: pd.Series(dtype=t) for c, t in
-                 [("event_id", "int64"), ("user_id", "int64"),
-                  ("ts", "datetime64[us]"), ("prior_view_ts", "datetime64[us]")]}
-            )
-        merged = pd.merge_asof(
-            probes[["event_id", "user_id", "ts"]],
-            refs[["ts"]].rename(columns={"ts": "prior_view_ts"}),
-            left_on="ts",
-            right_on="prior_view_ts",
-            direction="backward",
-            allow_exact_matches=False,  # strictly prior
-        )
-        return merged
+    empty = pa.table(
+        {
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.timestamp("us")),
+            "prior_view_ts": pa.array([], type=pa.timestamp("us")),
+        }
+    )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        # merge_asof(by=) requires both frames globally sorted on the ON key
+        probes = g[g.event_type == probe_type].sort_values("ts", kind="mergesort")
+        refs = g[g.event_type == ref_type].sort_values("ts", kind="mergesort")
+        if probes.empty:
+            return empty
+        if refs.empty:
+            merged = probes[["event_id", "user_id", "ts"]].copy()
+            merged["prior_view_ts"] = pd.NaT
+        else:
+            merged = pd.merge_asof(
+                probes[["event_id", "user_id", "ts"]],
+                refs[["user_id", "ts"]].rename(columns={"ts": "prior_view_ts"}),
+                by="user_id",
+                left_on="ts",
+                right_on="prior_view_ts",
+                direction="backward",
+                allow_exact_matches=False,  # strictly prior
+            )
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(empty.schema)
+
+    return exchange_groups(ds, ["user_id"], shuffle_parts(), per_bucket, empty)
 
 
 def interval_join_events(
