@@ -663,21 +663,43 @@ def _embedding_near_dups(sf_dir: str):
 
 
 def _top_events_per_user(sf_dir: str, k: int = 3):
-    """Top-k events per user by value — groupby().map_groups with a
-    per-group sort (the engine's window-function shape)."""
-    import pandas as pd
+    """Top-k events per user by value — the window-function shape,
+    vectorized across all of a hash bucket's users at once (one sort +
+    one cumcount mask; per-user map_groups paid Python dispatch per
+    user)."""
+    import pyarrow as pa
     import ray.data as rd
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
     )
 
-    def top_k(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)[
-            ["user_id", "event_id", "value"]
-        ]
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df[df.groupby("user_id").cumcount() < k]
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"], type=pa.int64()),
+                "event_id": pa.array(out["event_id"], type=pa.int64()),
+                "value": pa.array(out["value"], type=pa.float64()),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(top_k, batch_format="pandas")
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "value": pa.array([], type=pa.float64()),
+        }
+    )
+    return exchange_groups(ds, ["user_id"], shuffle_parts(), per_bucket, empty)
 
 
 def _monthly_order_revenue(sf_dir: str):
