@@ -236,53 +236,108 @@ def interval_join_events(
     the same user with the reference inside the probe's trailing window
     ``(probe.ts - window, probe.ts]``.
 
-    Partitioning: one shuffle keyed by user (``groupby(user_id)``);
-    inside each group a vectorized two-pointer sweep over the ts-sorted
-    sides emits the pairs — per-group cost O(n log n + output), never
-    the O(n·m) cross product. The key shuffle is the documented
-    assumption: a single user's events must fit a worker (true by
-    construction for bounded per-user activity; salt by time-bucket
-    if a user can exceed that). Returns
-    (event_id, user_id, ts, ref_event_id, ref_ts).
+    Partitioning: one hash exchange keyed by user co-locates each
+    user's events; inside a bucket the pairs are emitted VECTORIZED
+    ACROSS EVERY USER at once (a per-user ``map_groups`` paid Python
+    dispatch per user): with refs sorted by (user, ts) and a per-user
+    cumulative rank attached, two ``merge_asof(by=user)`` lookups give
+    each probe its user-segment [lo, hi) rank interval — hi = rank of
+    the last ref ≤ probe.ts, lo = rank of the last ref ≤ probe.ts −
+    window — and a ragged-range repeat/cumsum expansion materializes
+    exactly the output pairs. Per-bucket cost O(n log n + output),
+    never the O(n·m) cross product. The key shuffle is the documented
+    assumption: a single user's events must fit a worker (spill-backed
+    past the byte cap; salt by time-bucket if a user can exceed even
+    that). Returns (event_id, user_id, ts, ref_event_id, ref_ts).
     """
     import numpy as np
     import pandas as pd
     import ray.data as rd
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
 
     window = pd.Timedelta(minutes=window_minutes)
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
 
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "event_id": pd.Series(dtype="int64"),
-            "user_id": pd.Series(dtype="int64"),
-            "ts": pd.Series(dtype="datetime64[us]"),
-            "ref_event_id": pd.Series(dtype="int64"),
-            "ref_ts": pd.Series(dtype="datetime64[us]"),
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.timestamp("us")),
+            "ref_event_id": pa.array([], type=pa.int64()),
+            "ref_ts": pa.array([], type=pa.timestamp("us")),
         }
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        probes = g[g.event_type == probe_type].sort_values(["ts", "event_id"])
-        refs = g[g.event_type == ref_type].sort_values(["ts", "event_id"])
-        if probes.empty or refs.empty:
-            return empty.copy()
-        ref_ts = refs["ts"].to_numpy()
-        # for each probe: refs in (probe.ts - window, probe.ts]
-        lo = np.searchsorted(ref_ts, (probes["ts"] - window).to_numpy(), side="right")
-        hi = np.searchsorted(ref_ts, probes["ts"].to_numpy(), side="right")
-        counts = hi - lo
-        if counts.sum() == 0:
-            return empty.copy()
-        probe_idx = np.repeat(np.arange(len(probes)), counts)
-        ref_idx = np.concatenate(
-            [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        probes = g[g.event_type == probe_type].sort_values(
+            ["ts", "event_id"], kind="mergesort"
         )
+        refs = g[g.event_type == ref_type].sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        if probes.empty or refs.empty:
+            return empty
+        refs = refs.reset_index(drop=True)
+        # per-user segment bounds + within-user rank over the ts-sorted refs
+        first_pos = refs.groupby("user_id", sort=False).cumcount().to_numpy()
+        seg_start = np.arange(len(refs)) - first_pos  # global index of user's first ref
+        ref_rank = refs[["user_id", "ts"]].copy()
+        ref_rank["rank"] = first_pos + 1  # rank = 1-based count of refs ≤ this ts
+
+        def last_rank_leq(keys: pd.DataFrame, on: str) -> np.ndarray:
+            m = pd.merge_asof(
+                keys.sort_values(on, kind="mergesort"),
+                # merge_asof requires BOTH frames globally sorted on the
+                # ON key (the by= grouping does not relax that)
+                ref_rank.rename(columns={"ts": on}).sort_values(
+                    on, kind="mergesort"
+                ),
+                by="user_id",
+                on=on,
+                direction="backward",
+                allow_exact_matches=True,
+            ).sort_index()
+            # merge_asof output preserves left length; restore probe order
+            return m["rank"].fillna(0).to_numpy().astype(np.int64)
+
+        probes = probes.reset_index(drop=True)
+        hi = last_rank_leq(
+            probes[["user_id", "ts"]].assign(_k=np.arange(len(probes))).set_index("_k"),
+            "ts",
+        )
+        lo_keys = probes[["user_id"]].copy()
+        # Timedelta arithmetic upcasts to ns; keep the ref frame's unit
+        lo_keys["ts"] = (probes["ts"] - window).astype(refs["ts"].dtype)
+        lo = last_rank_leq(
+            lo_keys.assign(_k=np.arange(len(probes))).set_index("_k"), "ts"
+        )
+        counts = hi - lo
+        counts[counts < 0] = 0
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        # user's segment start per probe: ranks are within-user, so the
+        # global ref index interval is [user_start + lo, user_start + hi)
+        user_first = pd.Series(seg_start, index=refs.index).groupby(
+            refs["user_id"]
+        ).first()
+        probe_user_start = probes["user_id"].map(user_first).to_numpy()
+        keep = counts > 0
+        probe_idx = np.repeat(np.arange(len(probes))[keep], counts[keep])
+        starts = (probe_user_start[keep] + lo[keep]).astype(np.int64)
+        # ragged ranges: start_i + (0 .. count_i-1), fully vectorized
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts[keep])[:-1]]), counts[keep]
+        )
+        ref_idx = np.repeat(starts, counts[keep]) + offs
         p = probes.iloc[probe_idx]
         r = refs.iloc[ref_idx]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "event_id": p["event_id"].to_numpy(),
                 "user_id": p["user_id"].to_numpy(),
@@ -291,9 +346,6 @@ def interval_join_events(
                 "ref_ts": r["ts"].to_numpy(),
             }
         )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(empty.schema)
 
-    import ray.data as _rd
-
-    joined = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    # anchor the schema so a zero-pair result still compares against SQL
-    return _rd.from_pandas(empty).union(joined)
+    return exchange_groups(ds, ["user_id"], shuffle_parts(), per_bucket, empty)
