@@ -924,24 +924,32 @@ def connected_components_auto(pairs_ds, max_driver_pairs: int | None = None):
 
 def connected_components_distributed(pairs_ds, max_rounds: int = 50):
     """The scale path :func:`connected_components`'s docstring promises:
-    iterative min-label propagation, fully on Datasets — for adversarial
-    graphs whose PAIR set itself is too large to collect.
+    iterative min-label propagation for adversarial graphs whose PAIR
+    set itself is too large to collect — BSP-style over bucket ACTORS.
 
-    Join-free formulation (this Ray version's ``Dataset.join`` chokes on
-    the schema-less empty blocks its own aggregates emit): each round
-    unions edge rows (node=src, dst) with label rows (node, label) and
-    one ``groupby(node).map_groups`` emits the node's current min label
-    to itself and every neighbor; a ``groupby.min`` then folds the
-    messages. Converged when the global label sum stops decreasing
-    (monotone and bounded). Rounds needed = component diameter —
-    near-dup clusters are short chains. Returns a Dataset of
-    (doc_id, component).
+    This is one of the few places the Dataset API genuinely can't
+    express the semantics (iterative computation over persistent
+    per-partition state): a Dataset formulation must re-shuffle the
+    full edge set EVERY round (measured 236 s for 500k edges / ~15
+    rounds), while the graph never changes. Here the directed edge set
+    ships ONCE into hash-bucket actors (same feed/verify mechanics as
+    every exchange, ``ops/exchange.py``); each round every actor
+    computes per-destination min labels with numpy, pushes
+    pre-combined messages DIRECTLY to the owning peer actors (no
+    driver transit — the driver only awaits the accept refs, which
+    also avoids the push-waits-on-push actor deadlock), and folds its
+    inbox with ``np.minimum.at``. Converged when no label changes
+    anywhere — per-round exchange volume is node-sized messages, not
+    the edge set. Rounds needed = max distance to a component's min
+    node. Returns a Dataset of (doc_id, component); raises if
+    ``max_rounds`` is hit without convergence (silent wrong labels are
+    worse than a loud failure).
     """
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray as _ray
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     if isinstance(pairs_ds, pd.DataFrame):
         pairs_ds = rd.from_arrow(
@@ -953,98 +961,165 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 50):
             )
         )
 
-    # Arrow blocks throughout: a union of mixed pandas/Arrow block types
-    # breaks the shuffle's block builder in this Ray version. Edge and
-    # initial-label construction are per-batch maps + one groupby — the
-    # pair set never touches the driver (this IS the above-driver-bound
-    # path, so a driver gather here would defeat it).
+    from kazu_ray.ops.exchange import feed_to_actors, reaped_actors
+
+    n_buckets = shuffle_parts()
+    actors = [
+        _CC_BUCKET_CLS.remote(i, n_buckets) for i in range(n_buckets)
+    ]
+
     def _edges_batch(t: pa.Table) -> pa.Table:
         a = pc.cast(t["id_a"], pa.int64())
         b = pc.cast(t["id_b"], pa.int64())
-        both = pa.concat_tables(
+        return pa.concat_tables(
             [pa.table({"node": a, "dst": b}), pa.table({"node": b, "dst": a})]
         )
-        return both.append_column("label", pa.nulls(both.num_rows, type=pa.int64()))
 
-    edges = pairs_ds.map_batches(_edges_batch, batch_format="pyarrow").materialize()
+    directed = pairs_ds.map_batches(_edges_batch, batch_format="pyarrow")
 
-    labels = (
-        edges.groupby("node")
-        .aggregate(Min("node", alias_name="label"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "node": pc.cast(t["node"], pa.int64()),
-                    "dst": pa.nulls(t.num_rows, type=pa.int64()),
-                    "label": pc.cast(t["label"], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+    def _assign(batch: pa.Table):
+        from kazu_ray.functions.hashing import bucket_ids
+
+        return pa.array(bucket_ids(batch["node"], n_buckets), type=pa.int32())
+
+    with reaped_actors(actors):
+        feed_to_actors(
+            directed,
+            n_buckets,
+            _assign,
+            lambda b, sub: actors[b].add.remote(sub),
+            received_fn=lambda b: actors[b].received_rows.remote(),
         )
-        .materialize()
-    )
+        _ray.get([a.seal.remote() for a in actors])
+        converged = False
+        for _ in range(max_rounds):
+            accept_refs = _ray.get(
+                [a.push_messages.remote(actors) for a in actors]
+            )
+            _ray.get([r for refs in accept_refs for r in refs])
+            changed = _ray.get([a.fold.remote() for a in actors])
+            if sum(changed) == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components_distributed did not converge in "
+                f"{max_rounds} rounds"
+            )
+        result_refs = [a.result.remote() for a in actors]
+        _ray.wait(result_refs, num_returns=len(result_refs), fetch_local=False)
+    return rd.from_arrow_refs(result_refs)
 
-    # one propagation round, vectorized across ALL of a hash bucket's
-    # groups at once (exchange_groups co-locates by node; a per-group
-    # map_groups paid Python dispatch per node per round — measured 7×
-    # slower on the sf0.01 graph): label rows carry the node's current
-    # label, edge rows carry its neighbors, so the bucket-level pandas
-    # body is one groupby-min + one map + one concat, and it pre-combines
-    # messages per target node before the global fold.
-    def _propagate_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        lbl = df.groupby("node")["label"].min()  # label rows only (edges are null)
-        edge_mask = df["dst"].notna()
-        m = pd.DataFrame(
-            {
-                "node": pd.concat(
-                    [df.loc[edge_mask, "dst"], lbl.index.to_series()],
-                    ignore_index=True,
-                ).astype("int64"),
-                "label": pd.concat(
-                    [df.loc[edge_mask, "node"].map(lbl), lbl.reset_index(drop=True)],
-                    ignore_index=True,
-                ).astype("int64"),
-            }
+
+class _CCBucket:
+    """One hash bucket of the BSP min-label propagation: holds the
+    bucket's directed out-edges (node→dst for every node hashing here)
+    and its nodes' current labels as numpy arrays. Plain-Python class,
+    wrapped by ``ray.remote`` at module import so the algorithm is
+    unit-testable without a cluster."""
+
+    def __init__(self, idx: int, n_buckets: int):
+        self.idx = idx
+        self.n = n_buckets
+        self._chunks: list = []
+        self.received = 0
+        self.inbox: list = []
+        self.nodes = None
+
+    def add(self, table) -> int:
+        self._chunks.append(table)
+        self.received += table.num_rows
+        return table.num_rows
+
+    def received_rows(self) -> int:
+        return self.received
+
+    def seal(self) -> int:
+        import numpy as np
+        import pyarrow as pa
+
+        if not self._chunks:
+            self.nodes = np.empty(0, dtype=np.int64)
+            self.labels = self.nodes.copy()
+            self.src_idx = np.empty(0, dtype=np.int64)
+            self.dst = np.empty(0, dtype=np.int64)
+            return 0
+        t = pa.concat_tables(self._chunks)
+        self._chunks = []
+        src = t["node"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        src, self.dst = src[order], dst[order]
+        self.nodes = np.unique(src)
+        self.src_idx = np.searchsorted(self.nodes, src)  # per-edge node index
+        self.labels = self.nodes.copy()  # init: every node labels itself
+        return len(self.nodes)
+
+    def push_messages(self, peers) -> list:
+        """Per-destination min of my nodes' current labels, pre-combined
+        and pushed straight to each destination's owning actor. Returns
+        the accept ObjectRefs — the DRIVER awaits them (an actor waiting
+        on a peer's method while that peer waits on ours would
+        deadlock)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from kazu_ray.functions.hashing import bucket_ids
+
+        if len(self.dst) == 0:
+            return []
+        m = (
+            pd.DataFrame(
+                {"node": self.dst, "label": self.labels[self.src_idx]}
+            )
+            .groupby("node", as_index=False)["label"]
+            .min()
         )
-        g = m.groupby("node", as_index=False)["label"].min()
+        buckets = bucket_ids(pa.array(m["node"], type=pa.int64()), self.n)
+        refs = []
+        for j in np.unique(buckets):
+            sub = m[buckets == j]
+            refs.append(
+                peers[int(j)].accept.remote(
+                    pa.table(
+                        {
+                            "node": pa.array(sub["node"], type=pa.int64()),
+                            "label": pa.array(sub["label"], type=pa.int64()),
+                        }
+                    )
+                )
+            )
+        return refs
+
+    def accept(self, table) -> int:
+        self.inbox.append(table)
+        return table.num_rows
+
+    def fold(self) -> int:
+        import numpy as np
+        import pyarrow as pa
+
+        if not self.inbox:
+            return 0
+        m = pa.concat_tables(self.inbox)
+        self.inbox = []
+        idx = np.searchsorted(self.nodes, m["node"].to_numpy(zero_copy_only=False))
+        before = self.labels.copy()
+        np.minimum.at(self.labels, idx, m["label"].to_numpy(zero_copy_only=False))
+        return int((self.labels != before).sum())
+
+    def result(self):
+        import pyarrow as pa
+
         return pa.table(
             {
-                "node": pa.array(g["node"], type=pa.int64()),
-                "label": pa.array(g["label"], type=pa.int64()),
+                "doc_id": pa.array(self.nodes, type=pa.int64()),
+                "component": pa.array(self.labels, type=pa.int64()),
             }
         )
 
-    _msg_empty = pa.table(
-        {"node": pa.array([], type=pa.int64()), "label": pa.array([], type=pa.int64())}
-    )
 
-    from kazu_ray.ops.exchange import exchange_groups
+import ray as _ray_mod
 
-    prev_sum = None
-    for _ in range(max_rounds):
-        msgs = exchange_groups(
-            labels.union(edges), ["node"], shuffle_parts(), _propagate_bucket, _msg_empty
-        )
-        new_labels = (
-            msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
-        )
-        cur = new_labels.sum("label")
-        # re-attach the dst=None column for the next round's union
-        labels = new_labels.map_batches(
-            lambda t: pa.table(
-                {
-                    "node": pa.compute.cast(t["node"], pa.int64()),
-                    "dst": pa.nulls(t.num_rows, type=pa.int64()),
-                    "label": pa.compute.cast(t["label"], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        ).materialize()
-        if cur == prev_sum:
-            break
-        prev_sum = cur
-    return labels.map_batches(
-        lambda t: pa.table({"doc_id": t["node"], "component": t["label"]}),
-        batch_format="pyarrow",
-    )
+_CC_BUCKET_CLS = _ray_mod.remote(num_cpus=0)(_CCBucket)

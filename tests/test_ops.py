@@ -1493,3 +1493,40 @@ def test_clustering_coefficient(ray_session):
     assert out.iloc[0].to_dict() == {
         "n_triangles": 4, "n_wedges": 15, "coeff_ppm": 800000,
     }
+
+
+def test_cc_bucket_actor_kernel_plain_python():
+    """_CCBucket is unit-testable without a cluster: one bucket holding
+    the whole graph must converge to min-labels through the same
+    seal/push/fold API the BSP loop drives (peer = itself, via a local
+    handle shim)."""
+    import pyarrow as pa
+
+    from kazu_ray.ops.dedup import _CCBucket
+
+    class _LocalRef:
+        def __init__(self, v): self.v = v
+
+    class _LocalHandle:
+        def __init__(self, inner): self._inner = inner
+        @property
+        def accept(self): return self
+        def remote(self, table): return _LocalRef(self._inner.accept(table))
+
+    b = _CCBucket(0, 1)
+    # chain 1-2-3 plus isolated pair 8-9
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (8, 9), (9, 8)]
+    b.add(pa.table({
+        "node": pa.array([e[0] for e in edges], type=pa.int64()),
+        "dst": pa.array([e[1] for e in edges], type=pa.int64()),
+    }))
+    assert b.received_rows() == 6
+    assert b.seal() == 5
+    for _ in range(10):
+        b.push_messages([_LocalHandle(b)])
+        if b.fold() == 0:
+            break
+    out = b.result().to_pydict()
+    assert dict(zip(out["doc_id"], out["component"])) == {
+        1: 1, 2: 1, 3: 1, 8: 8, 9: 8,
+    }
