@@ -386,35 +386,64 @@ def triangle_count(triples_ds, max_driver_edges: int | None = None):
 
     oriented = edges.map_batches(orient, batch_format="pyarrow")
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        ns = np.sort(g["dst"].to_numpy())
-        k = len(ns)
-        if k < 2:
-            return pd.DataFrame({"a": [], "b": [], "w": [], "e": []}).astype(
-                {"a": str, "b": str, "w": "int64", "e": "int64"}
+    # wedge generation per hash bucket (exchange_groups; a per-source
+    # map_groups paid Python dispatch per NODE): one sort groups each
+    # node's out-neighborhood into a contiguous segment, then a numpy
+    # triu per segment emits its pairs — the inner loop runs once per
+    # node but does no frame construction or Ray dispatch, and each
+    # segment is O(sqrt(m)) by the degree orientation.
+    def wedges_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["src", "dst"], kind="mergesort")
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], src[1:] != src[:-1]))
+        )
+        bounds = np.append(starts, len(src))
+        a_parts, b_parts = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, k=1)
+            ns = dst[s:e]
+            a_parts.append(ns[i])
+            b_parts.append(ns[j])
+        if not a_parts:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.string()),
+                    "b": pa.array([], type=pa.string()),
+                    "w": pa.array([], type=pa.int64()),
+                    "e": pa.array([], type=pa.int64()),
+                }
             )
-        i, j = np.triu_indices(k, k=1)
-        return pd.DataFrame(
-            {"a": ns[i], "b": ns[j], "w": 1, "e": 0}
+        a_all = np.concatenate(a_parts)
+        b_all = np.concatenate(b_parts)
+        n_out = len(a_all)
+        return pa.table(
+            {
+                "a": pa.array(a_all, type=pa.string()),
+                "b": pa.array(b_all, type=pa.string()),
+                "w": pa.array(np.ones(n_out, dtype=np.int64)),
+                "e": pa.array(np.zeros(n_out, dtype=np.int64)),
+            }
         )
 
-    wedge_rows = (
-        oriented.groupby("src")
-        .map_groups(wedges, batch_format="pandas")
-        .map_batches(
-            # normalize to Arrow blocks: mixed pandas/Arrow block types
-            # break this Ray version's shuffle block builder (same
-            # hazard as connected_components_distributed)
-            lambda t: pa.table(
-                {
-                    "a": t["a"].cast(pa.string()),
-                    "b": t["b"].cast(pa.string()),
-                    "w": t["w"].cast(pa.int64()),
-                    "e": t["e"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    _wedge_empty = pa.table(
+        {
+            "a": pa.array([], type=pa.string()),
+            "b": pa.array([], type=pa.string()),
+            "w": pa.array([], type=pa.int64()),
+            "e": pa.array([], type=pa.int64()),
+        }
+    )
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    wedge_rows = exchange_groups(
+        oriented, ["src"], shuffle_parts(), wedges_bucket, _wedge_empty
     )
     edge_rows = edges.map_batches(
         lambda t: pa.table(
