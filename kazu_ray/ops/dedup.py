@@ -961,9 +961,27 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 50):
             )
         )
 
-    from kazu_ray.ops.exchange import feed_to_actors, reaped_actors
+    from kazu_ray.ops.exchange import (
+        auto_partition_count,
+        feed_to_actors,
+        reaped_actors,
+    )
 
+    # bucket count scales with the cluster AND, when the pair set is
+    # already materialized (the connected_components_auto path), with
+    # its measured bytes — each actor holds ~2·|E|/n_buckets directed
+    # edges for the whole computation, so a 100× edge set needs more
+    # buckets, not a retune
     n_buckets = shuffle_parts()
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(pairs_ds, MaterializedDataset):
+            n_buckets = max(
+                n_buckets, auto_partition_count(2 * pairs_ds.size_bytes())
+            )
+    except ImportError:
+        pass
     actors = [
         _CC_BUCKET_CLS.remote(i, n_buckets) for i in range(n_buckets)
     ]
