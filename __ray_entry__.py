@@ -200,6 +200,15 @@ def _kg_two_hop_paths(sf_dir: str):
     return two_hop_path_counts(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_node_triangles(sf_dir: str):
+    """Per-node triangle participation — fully distributed (wedges carry
+    centers; closing-pair check per hash bucket)."""
+    from kazu_ray.ops.graph import node_triangle_counts
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return node_triangle_counts(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
 def _kg_clustering(sf_dir: str):
     """Global clustering coefficient (integer ppm): triangles via the
     size-dispatched counter; wedges from the node-sized degree table."""
@@ -1144,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_two_hop_paths": _kg_two_hop_paths,
         "kg_clustering": _kg_clustering,
+        "kg_node_triangles": _kg_node_triangles,
         "mention_contexts": _mention_contexts,
         "kg_components": _kg_components,
         "kg_node_doc_counts": _kg_node_doc_counts,
@@ -1171,13 +1181,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_topk": _knn_join_topk,
         "ivf_topk_cosine": _ivf_topk_cosine,
         # --- retrieval / packing / sketches still in-window ---
-        "packed_chunks": _packed_chunks,
         "source_rebalance": _source_rebalance,
         "heavy_hitter_words": _heavy_hitter_words,
         "dup_span_stats": _dup_span_stats,
         "stratified_docs": _stratified_docs,
         # ================= tail: doubly-green (r02 AND r03) =================
         "tfidf_topk": _tfidf_topk,
+        "packed_chunks": _packed_chunks,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "lang_distribution": _lang_distribution,
@@ -1799,6 +1809,21 @@ def oracle_sql() -> dict[str, str]:
             FROM e ab
             JOIN e bc ON bc.a = ab.b
             JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        """,
+        "kg_node_triangles": """
+            WITH t AS (SELECT subj, obj
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                       FROM t WHERE subj <> obj),
+                 tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+                         FROM e ab
+                         JOIN e bc ON bc.a = ab.b
+                         JOIN e ac ON ac.a = ab.a AND ac.b = bc.b)
+            SELECT node, count(*)::BIGINT AS n_triangles
+            FROM (SELECT x AS node FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+            GROUP BY node
         """,
         "kg_clustering": """
             WITH t AS (SELECT subj, obj

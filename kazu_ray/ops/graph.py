@@ -526,3 +526,128 @@ def clustering_coefficient(triples_ds, max_driver_edges: int | None = None):
             "coeff_ppm": [coeff_ppm],
         }
     )
+
+
+def node_triangle_counts(triples_ds):
+    """Per-node triangle participation counts — the local-clustering /
+    anomaly signal (a node in many triangles sits in a dense
+    neighborhood). Fully distributed at every size: degree-oriented
+    wedge generation exactly as :func:`triangle_count`'s scale path,
+    except wedge rows CARRY THEIR CENTER, and the closing-pair check
+    runs per hash bucket (wedges and edges co-located by the closing
+    pair; bucket state is spill-backed) — each closed wedge
+    {center, a, b} is one triangle, found once, crediting all three
+    corners. Output is (node, n_triangles) for nodes in ≥1 triangle.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    edges = _distinct_edges(triples_ds)
+    deg_ref = ray.put(_edge_degrees(edges))
+
+    def orient(t: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        a = t["a"].to_pandas()
+        b = t["b"].to_pandas()
+        da = a.map(d)
+        db = b.map(d)
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pa.table({"src": a.where(fwd, b), "dst": b.where(fwd, a)})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["src", "dst"], kind="mergesort")
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
+        bounds = np.append(starts, len(src))
+        a_parts, b_parts, c_parts = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, k=1)
+            ns = dst[s:e]
+            a_parts.append(ns[i])
+            b_parts.append(ns[j])
+            c_parts.append(np.repeat(src[s], len(i)))
+        if not a_parts:
+            return _W_EMPTY
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_parts), type=pa.string()),
+                "b": pa.array(np.concatenate(b_parts), type=pa.string()),
+                "center": pa.array(np.concatenate(c_parts), type=pa.string()),
+            }
+        )
+
+    _W_EMPTY = pa.table(
+        {
+            "a": pa.array([], type=pa.string()),
+            "b": pa.array([], type=pa.string()),
+            "center": pa.array([], type=pa.string()),
+        }
+    )
+
+    wedge_rows = exchange_groups(
+        oriented, ["src"], shuffle_parts(), wedges_bucket, _W_EMPTY
+    )
+    edge_rows = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t["a"].cast(pa.string()),
+                "b": t["b"].cast(pa.string()),
+                "center": pa.nulls(t.num_rows, type=pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def close_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        is_edge = df["center"].isna()
+        e = df[is_edge][["a", "b"]].drop_duplicates()
+        w = df[~is_edge]
+        closed = w.merge(e, on=["a", "b"])
+        if closed.empty:
+            return pa.table(
+                {
+                    "node": pa.array([], type=pa.string()),
+                    "partial": pa.array([], type=pa.int64()),
+                }
+            )
+        corners = pd.concat(
+            [closed["a"], closed["b"], closed["center"]], ignore_index=True
+        )
+        g = corners.value_counts()
+        return pa.table(
+            {
+                "node": pa.array(g.index, type=pa.string()),
+                "partial": pa.array(g.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    _N_EMPTY = pa.table(
+        {"node": pa.array([], type=pa.string()), "partial": pa.array([], type=pa.int64())}
+    )
+    partials = exchange_groups(
+        wedge_rows.union(edge_rows), ["a", "b"], shuffle_parts(), close_bucket, _N_EMPTY
+    )
+    return (
+        partials.groupby("node")
+        .aggregate(Sum("partial", alias_name="n_triangles"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].cast(pa.string()),
+                    "n_triangles": t["n_triangles"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

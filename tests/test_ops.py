@@ -1530,3 +1530,30 @@ def test_cc_bucket_actor_kernel_plain_python():
     assert dict(zip(out["doc_id"], out["component"])) == {
         1: 1, 2: 1, 3: 1, 8: 8, 9: 8,
     }
+
+
+def test_node_triangle_counts(ray_session):
+    """Two K4s sharing hub H: K4 corners sit in 3 triangles each, H in
+    6; pendant/self-loop nodes are absent (0 triangles)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import node_triangle_counts
+
+    k4a = ["H", "A1", "A2", "A3"]
+    k4b = ["H", "B1", "B2", "B3"]
+    triples = [
+        {"subj": s, "pred": "co", "obj": o, "doc_id": 1}
+        for grp in (k4a, k4b)
+        for i, s in enumerate(grp)
+        for o in grp[i + 1 :]
+    ] + [
+        {"subj": "A1", "pred": "co", "obj": "P1", "doc_id": 2},
+        {"subj": "L", "pred": "co", "obj": "L", "doc_id": 3},
+    ]
+    got = (
+        node_triangle_counts(rd.from_items(triples))
+        .to_pandas().set_index("node")["n_triangles"].to_dict()
+    )
+    assert got == {
+        "H": 6, "A1": 3, "A2": 3, "A3": 3, "B1": 3, "B2": 3, "B3": 3,
+    }
