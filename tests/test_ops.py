@@ -1557,3 +1557,77 @@ def test_node_triangle_counts(ray_session):
     assert got == {
         "H": 6, "A1": 3, "A2": 3, "A3": 3, "B1": 3, "B2": 3, "B3": 3,
     }
+
+
+def test_graph_suite_matches_bruteforce_on_random_graphs(ray_session):
+    """Every graph operator vs a set-based brute force on three random
+    graphs (different densities, with self-loops and reversed dups
+    planted)."""
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import (
+        clustering_coefficient,
+        node_triangle_counts,
+        triangle_count,
+        two_hop_path_counts,
+    )
+
+    for seed, n_nodes, n_edges in [(1, 12, 20), (2, 25, 80), (3, 40, 60)]:
+        rng = np.random.RandomState(seed)
+        triples = [
+            {
+                "subj": f"N{int(a):02d}",
+                "pred": "co",
+                "obj": f"N{int(b):02d}",
+                "doc_id": int(i),
+            }
+            for i, (a, b) in enumerate(
+                zip(rng.randint(0, n_nodes, n_edges), rng.randint(0, n_nodes, n_edges))
+            )
+        ]
+        triples.append({"subj": "N00", "pred": "co", "obj": "N00", "doc_id": 999})
+        ds = rd.from_items(triples)
+
+        adj: dict[str, set] = {}
+        for t in triples:
+            a, b = t["subj"], t["obj"]
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+        # triangles (global + per-node)
+        tri_nodes: dict[str, int] = {}
+        n_tri = 0
+        for x, y, z in itertools.combinations(sorted(adj), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                n_tri += 1
+                for v in (x, y, z):
+                    tri_nodes[v] = tri_nodes.get(v, 0) + 1
+        assert triangle_count(ds)["n_triangles"].iloc[0] == n_tri, seed
+        got_nt = (
+            node_triangle_counts(ds)
+            .to_pandas().set_index("node")["n_triangles"].to_dict()
+        )
+        assert got_nt == tri_nodes, seed
+
+        # two-hop paths
+        want_2h = {
+            u: sum(len(adj[v]) - 1 for v in adj[u]) for u in adj
+        }
+        got_2h = (
+            two_hop_path_counts(ds)
+            .to_pandas().set_index("node")["n_two_hop_paths"].to_dict()
+        )
+        assert got_2h == want_2h, seed
+
+        # clustering coefficient
+        n_wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        cc = clustering_coefficient(ds).iloc[0]
+        assert cc["n_wedges"] == n_wedges, seed
+        assert cc["coeff_ppm"] == (
+            (3 * n_tri * 1_000_000) // n_wedges if n_wedges else 0
+        ), seed
