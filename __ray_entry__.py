@@ -209,6 +209,39 @@ def _kg_node_triangles(sf_dir: str):
     return node_triangle_counts(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_pagerank(sf_dir: str):
+    """Fixed-iteration integer-scaled PageRank (damping 0.85, 3 power
+    steps): node-sized rank vector broadcast per iteration, one
+    streaming edge pass each — oracle = the same 3 steps unrolled in
+    SQL over the undirected distinct-edge list (integer //, hash-exact)."""
+    from kazu_ray.ops.graph import pagerank
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return pagerank(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
+def _kg_link_prediction(sf_dir: str):
+    """Resource-Allocation link prediction over non-adjacent node pairs:
+    bucket-local wedge enumeration (full neighborhoods, hub centers
+    above the documented degree cap excluded BY CONTRACT — the oracle
+    applies the same cap), existing-edge veto via the e-marker union
+    groupby."""
+    from kazu_ray.ops.graph import link_prediction
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return link_prediction(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
+def _kg_bfs_distances(sf_dir: str):
+    """Multi-source BFS distance (≤3 hops) from the 5 lexmin nodes:
+    node-sized distance vector broadcast per hop, one streaming edge
+    relaxation pass each; oracle = 3 unrolled Bellman-Ford steps."""
+    from kazu_ray.ops.graph import bfs_distances
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return bfs_distances(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
 def _kg_clustering(sf_dir: str):
     """Global clustering coefficient (integer ppm): triangles via the
     size-dispatched counter; wedges from the node-sized degree table."""
@@ -1154,6 +1187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop_paths": _kg_two_hop_paths,
         "kg_clustering": _kg_clustering,
         "kg_node_triangles": _kg_node_triangles,
+        "kg_pagerank": _kg_pagerank,
+        "kg_link_prediction": _kg_link_prediction,
+        "kg_bfs_distances": _kg_bfs_distances,
         "mention_contexts": _mention_contexts,
         "kg_components": _kg_components,
         "kg_node_doc_counts": _kg_node_doc_counts,
@@ -1174,10 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": _minhash_pairs,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "near_dup_clusters": _near_dup_clusters,
-        "simhash_near_dups": _simhash_dups,
-        "embedding_near_dups": _embedding_near_dups,
         # --- similarity search ---
-        "topk_cosine": _topk_cosine,
         "knn_join_topk": _knn_join_topk,
         "ivf_topk_cosine": _ivf_topk_cosine,
         # --- retrieval / packing / sketches still in-window ---
@@ -1186,6 +1219,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": _dup_span_stats,
         "stratified_docs": _stratified_docs,
         # ================= tail: doubly-green (r02 AND r03) =================
+        # (simhash/embedding near-dups + topk_cosine rotated here to make
+        # window room for the round-4 graph ops — code untouched since
+        # their r03-green rows; scripts/check_correctness.py still gates
+        # them locally every round)
+        "simhash_near_dups": _simhash_dups,
+        "embedding_near_dups": _embedding_near_dups,
+        "topk_cosine": _topk_cosine,
         "tfidf_topk": _tfidf_topk,
         "packed_chunks": _packed_chunks,
         "doc_token_stats": _doc_token_stats,
@@ -1843,6 +1883,72 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END)::BIGINT AS coeff_ppm
             FROM tri, w
         """,
+        "kg_pagerank": """
+            WITH t AS (SELECT subj, obj
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                       FROM t WHERE subj <> obj),
+                 und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+                 deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+                 r1 AS (SELECT und.u AS node,
+                               150000000000 + (85 * SUM(1000000000000 // deg.d)) // 100 AS r
+                        FROM und JOIN deg ON deg.node = und.v
+                        GROUP BY und.u),
+                 r2 AS (SELECT und.u AS node,
+                               150000000000 + (85 * SUM(r1.r // deg.d)) // 100 AS r
+                        FROM und JOIN r1 ON r1.node = und.v
+                                 JOIN deg ON deg.node = und.v
+                        GROUP BY und.u),
+                 r3 AS (SELECT und.u AS node,
+                               150000000000 + (85 * SUM(r2.r // deg.d)) // 100 AS r
+                        FROM und JOIN r2 ON r2.node = und.v
+                                 JOIN deg ON deg.node = und.v
+                        GROUP BY und.u)
+            SELECT node, r::BIGINT AS "rank" FROM r3
+        """,
+        "kg_link_prediction": """
+            WITH t AS (SELECT subj, obj
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                       FROM t WHERE subj <> obj),
+                 und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+                 deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+                 wedge AS (SELECT n1.u AS u, n2.u AS w, deg.d AS d
+                           FROM und n1
+                           JOIN und n2 ON n1.v = n2.v AND n1.u < n2.u
+                           JOIN deg ON deg.node = n1.v
+                           WHERE deg.d <= 10000),
+                 agg AS (SELECT u, w, count(*)::BIGINT AS n_common,
+                                SUM(1000000000000 // d)::BIGINT AS ra_score
+                         FROM wedge GROUP BY u, w)
+            SELECT agg.u, agg.w, agg.n_common, agg.ra_score
+            FROM agg ANTI JOIN e ON e.a = agg.u AND e.b = agg.w
+        """,
+        "kg_bfs_distances": """
+            WITH t AS (SELECT subj, obj
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                       FROM t WHERE subj <> obj),
+                 und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+                 seeds AS (SELECT DISTINCT u AS node FROM und ORDER BY node LIMIT 5),
+                 r0 AS (SELECT node, 0 AS d FROM seeds),
+                 r1 AS (SELECT node, min(d) AS d FROM (
+                            SELECT node, d FROM r0
+                            UNION ALL
+                            SELECT und.u, r0.d + 1 FROM und JOIN r0 ON r0.node = und.v
+                        ) GROUP BY node),
+                 r2 AS (SELECT node, min(d) AS d FROM (
+                            SELECT node, d FROM r1
+                            UNION ALL
+                            SELECT und.u, r1.d + 1 FROM und JOIN r1 ON r1.node = und.v
+                        ) GROUP BY node),
+                 r3 AS (SELECT node, min(d) AS d FROM (
+                            SELECT node, d FROM r2
+                            UNION ALL
+                            SELECT und.u, r2.d + 1 FROM und JOIN r2 ON r2.node = und.v
+                        ) GROUP BY node)
+            SELECT node, d::BIGINT AS dist FROM r3
+        """,
         "kg_two_hop_paths": """
             WITH t AS (SELECT subj, obj
                        FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
@@ -2025,3 +2131,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.cluster_id
         """,
     }
+
+
+# Queries whose oracle SQL reads a /tmp artifact written by a DIFFERENT
+# query (the flagship triples / entities / extracted-text tables). The
+# driver runs queries in registry order, where each producer precedes
+# its consumers; out-of-order harnesses (alphabetical pytest params,
+# single-query rehearsals) call ensure_oracle_artifacts() first.
+ORACLE_ARTIFACT_PRODUCERS = {
+    "triples": "kg_triples",
+    "entities": "kg_entities",
+    "kg_text": "kg_text_hashes",
+}
+
+
+def ensure_oracle_artifacts(name: str, sf_dir: str) -> None:
+    """Run the producer query for any cross-query oracle artifact that
+    ``name``'s oracle SQL references but which is absent on disk."""
+    import os
+
+    sql = oracle_sql().get(name)
+    if not sql:
+        return
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    q = queries()
+    for artifact, producer in ORACLE_ARTIFACT_PRODUCERS.items():
+        path = f"/tmp/kazu_ray_oracle/{artifact}_{tag}"
+        if producer != name and f"{artifact}_{tag}" in sql and not os.path.isdir(path):
+            q[producer](sf_dir)

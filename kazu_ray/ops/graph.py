@@ -651,3 +651,300 @@ def node_triangle_counts(triples_ds):
             batch_format="pyarrow",
         )
     )
+
+
+def pagerank(triples_ds, n_iters: int = 3, scale: int = 10**12):
+    """Fixed-iteration PageRank over the undirected co-occurrence graph
+    (damping 0.85), kept in INTEGER arithmetic so the result is
+    reduction-order independent and the SQL oracle (the same ``n_iters``
+    power steps unrolled) matches bit-for-bit:
+
+        rank_0(u)   = scale
+        rank_k+1(u) = (15*scale)//100
+                      + (85 * SUM_{v in N(u)} (rank_k(v) // deg(v))) // 100
+
+    Each term ``rank_k(v) // deg(v)`` is a deterministic per-edge value
+    and integer sums commute, so partial per-batch aggregation is exact.
+
+    Shapes: the rank vector is NODE-sized (bounded, module docstring) —
+    it is broadcast via one ``ray.put`` per iteration and updated from a
+    node-sized driver collect; the EDGE set stays a Dataset and is
+    scanned once per iteration (materialized once up front so iterations
+    reuse the shuffled distinct-edge blocks instead of re-deriving them
+    from triples). At cluster scale this is the classic
+    broadcast-PageRank shape for bounded vocabularies: O(E) streaming
+    work per iteration, no per-iteration shuffle of the edge set.
+    Nodes whose only co-occurrence is a self-loop have no edges and are
+    absent (consistent with the rest of the suite). Returns a
+    (node, rank) DataFrame, rank at iteration ``n_iters``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = _distinct_edges(triples_ds)
+    deg = _edge_degrees(edges)
+    base = (15 * scale) // 100
+    ranks = {n: scale for n in deg}
+
+    for _ in range(n_iters):
+        state_ref = ray.put((ranks, deg))
+
+        def partial(t: pa.Table) -> pa.Table:
+            r, d = ray.get(state_ref)
+            a = t["a"].to_pandas()
+            b = t["b"].to_pandas()
+            # edge (a,b): a receives rank(b)//deg(b), b receives
+            # rank(a)//deg(a) — computed vectorized via Series.map
+            contrib_to_a = (b.map(r) // b.map(d)).astype("int64")
+            contrib_to_b = (a.map(r) // a.map(d)).astype("int64")
+            df = pd.DataFrame(
+                {
+                    "node": pd.concat([a, b], ignore_index=True),
+                    "partial": pd.concat(
+                        [contrib_to_a, contrib_to_b], ignore_index=True
+                    ),
+                }
+            )
+            g = df.groupby("node", as_index=False)["partial"].sum()
+            return pa.table(
+                {
+                    "node": pa.array(g["node"], type=pa.string()),
+                    "partial": pa.array(g["partial"], type=pa.int64()),
+                }
+            )
+
+        sums = (
+            edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("partial", alias_name="s"))
+            .to_pandas()
+        )
+        # every node with an edge has >=1 neighbor, so the groupby
+        # covers the full vocabulary — no dangling-node special case
+        ranks = {
+            n: base + (85 * int(s)) // 100
+            for n, s in zip(sums["node"], sums["s"])
+        }
+
+    nodes = sorted(ranks)
+    return pd.DataFrame({"node": nodes, "rank": [ranks[n] for n in nodes]}).astype(
+        {"rank": "int64"}
+    )
+
+
+def link_prediction(
+    triples_ds,
+    max_center_degree: int | None = None,
+    scale: int = 10**12,
+):
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) over
+    the co-occurrence graph: for every NON-adjacent pair (u, w) with at
+    least one common neighbor, the common-neighbor count and the
+    integer-scaled RA score Σ_{v ∈ N(u)∩N(w)} scale // deg(v)
+    (RA ≈ Adamic-Adar but with 1/deg instead of 1/log deg — exactly
+    representable in integers, so the SQL oracle is hash-exact).
+
+    Wedge centers above ``max_center_degree`` (default 10_000,
+    ``KAZU_LP_MAX_CENTER_DEG`` env override) are EXCLUDED — that is part
+    of the operator's contract, applied identically in the SQL oracle:
+    a degree-D hub center contributes ~D²/2 candidate pairs each worth
+    scale//D ≈ 0, i.e. the skew blowup of wedge enumeration buys no
+    signal. This is the standard hub cut for RA/AA at web scale; the
+    drop is loud in the contract, not silent.
+
+    Shapes: wedges are generated PER HASH BUCKET of the center (full
+    undirected neighborhood, sorted pairs — unlike the triangle path,
+    which may degree-orient, every common neighbor must produce its
+    wedge here); the existing-edge veto is the e-marker union trick
+    (wedge rows and edge rows meet in ONE combiner-friendly groupby —
+    no join, no per-group state). Output streams as a Dataset of
+    (u, w, n_common, ra_score).
+    """
+    import os
+
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    if max_center_degree is None:
+        max_center_degree = int(os.environ.get("KAZU_LP_MAX_CENTER_DEG", 10_000))
+
+    edges = _distinct_edges(triples_ds)
+    deg_ref = ray.put(_edge_degrees(edges))
+
+    def undirect(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "center": pa.concat_arrays(
+                    [t["a"].cast(pa.string()).combine_chunks(),
+                     t["b"].cast(pa.string()).combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [t["b"].cast(pa.string()).combine_chunks(),
+                     t["a"].cast(pa.string()).combine_chunks()]
+                ),
+            }
+        )
+
+    und = edges.map_batches(undirect, batch_format="pyarrow")
+
+    cap = max_center_degree
+
+    def wedges_bucket(t: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        df = t.to_pandas().sort_values(["center", "nbr"], kind="mergesort")
+        df = df[df["center"].map(d) <= cap]
+        center = df["center"].to_numpy()
+        nbr = df["nbr"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], center[1:] != center[:-1])))
+        bounds = np.append(starts, len(center))
+        u_parts, w_parts, ra_parts = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, k=1)
+            ns = nbr[s:e]  # sorted, so pairs come out u < w
+            u_parts.append(ns[i])
+            w_parts.append(ns[j])
+            ra_parts.append(
+                np.full(len(i), scale // d[center[s]], dtype=np.int64)
+            )
+        if not u_parts:
+            return _LP_EMPTY
+        u_all = np.concatenate(u_parts)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(u_parts), type=pa.string()),
+                "w": pa.array(np.concatenate(w_parts), type=pa.string()),
+                "cn": pa.array(np.ones(len(u_all), dtype=np.int64)),
+                "ra": pa.array(np.concatenate(ra_parts)),
+                "e": pa.array(np.zeros(len(u_all), dtype=np.int64)),
+            }
+        )
+
+    wedge_rows = exchange_groups(
+        und, ["center"], shuffle_parts(), wedges_bucket, _LP_EMPTY
+    )
+    edge_rows = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "u": t["a"].cast(pa.string()),
+                "w": t["b"].cast(pa.string()),
+                "cn": pa.array([0] * t.num_rows, type=pa.int64()),
+                "ra": pa.array([0] * t.num_rows, type=pa.int64()),
+                "e": pa.array([1] * t.num_rows, type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    return (
+        wedge_rows.union(edge_rows)
+        .groupby(["u", "w"])
+        .aggregate(
+            Sum("cn", alias_name="n_common"),
+            Sum("ra", alias_name="ra_score"),
+            Max("e", alias_name="_edge"),
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pa.compute.and_(
+                    pa.compute.equal(t["_edge"].cast(pa.int64()), 0),
+                    pa.compute.greater(t["n_common"].cast(pa.int64()), 0),
+                )
+            ).select(["u", "w", "n_common", "ra_score"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t["u"].cast(pa.string()),
+                    "w": t["w"].cast(pa.string()),
+                    "n_common": t["n_common"].cast(pa.int64()),
+                    "ra_score": t["ra_score"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+_LP_EMPTY = pa.table(
+    {
+        "u": pa.array([], type=pa.string()),
+        "w": pa.array([], type=pa.string()),
+        "cn": pa.array([], type=pa.int64()),
+        "ra": pa.array([], type=pa.int64()),
+        "e": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def bfs_distances(triples_ds, n_seeds: int = 5, max_hops: int = 3):
+    """Multi-source BFS distance (≤ ``max_hops``) from the ``n_seeds``
+    lexicographically smallest nodes of the co-occurrence graph — the
+    "distance from the core vocabulary" signal, and the general k-hop
+    reachability primitive. Deterministic seed rule so the SQL oracle
+    (the same Bellman-Ford relaxation unrolled ``max_hops`` times over
+    the undirected edge list) reproduces it exactly.
+
+    Shapes: the distance vector is NODE-sized (bounded, module
+    docstring) — broadcast once per hop; each hop is ONE streaming pass
+    over the edge Dataset emitting per-batch-combined relaxation
+    partials, reduced by a node-sized ``groupby.min``. ``max_hops``
+    passes total, edge set materialized once. Unreached nodes are
+    absent from the output (node, dist)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    edges = _distinct_edges(triples_ds)
+    deg = _edge_degrees(edges)
+    seeds = sorted(deg)[:n_seeds]
+    dist = {n: 0 for n in seeds}
+
+    for _ in range(max_hops):
+        dist_ref = ray.put(dist)
+
+        def partial(t: pa.Table) -> pa.Table:
+            d = ray.get(dist_ref)
+            a = t["a"].to_pandas()
+            b = t["b"].to_pandas()
+            cand = pd.DataFrame(
+                {
+                    "node": pd.concat([a, b], ignore_index=True),
+                    "dist": pd.concat(
+                        [b.map(d), a.map(d)], ignore_index=True
+                    )
+                    + 1,
+                }
+            ).dropna()
+            g = cand.groupby("node", as_index=False)["dist"].min()
+            return pa.table(
+                {
+                    "node": pa.array(g["node"], type=pa.string()),
+                    "dist": pa.array(g["dist"], type=pa.int64()),
+                }
+            )
+
+        relaxed = (
+            edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .to_pandas()
+        )
+        new_dist = dict(dist)
+        for n, dv in zip(relaxed["node"], relaxed["dist"]):
+            if n not in new_dist or dv < new_dist[n]:
+                new_dist[n] = int(dv)
+        if new_dist == dist:
+            break
+        dist = new_dist
+
+    nodes = sorted(dist)
+    return pd.DataFrame({"node": nodes, "dist": [dist[n] for n in nodes]}).astype(
+        {"dist": "int64"}
+    )

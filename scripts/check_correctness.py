@@ -84,6 +84,7 @@ def main():
         if only and name not in only:
             continue
         try:
+            entry.ensure_oracle_artifacts(name, sf_dir)
             res = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"{name:28s} ENGINE-ERR {type(e).__name__}: {e}")

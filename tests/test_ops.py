@@ -1559,6 +1559,31 @@ def test_node_triangle_counts(ray_session):
     }
 
 
+def test_link_prediction_hub_center_cap(ray_session):
+    """Wedge centers above max_center_degree are excluded BY CONTRACT:
+    a star hub past the cap contributes no candidate pairs, while the
+    same graph under a higher cap predicts every leaf pair."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import link_prediction
+
+    triples = [
+        {"subj": "HUB", "pred": "co", "obj": f"L{i}", "doc_id": i}
+        for i in range(6)
+    ]
+    ds = rd.from_items(triples)
+
+    # cap below the hub degree: the only wedge centers are leaves
+    # (degree 1, no pairs) -> empty prediction set
+    assert link_prediction(ds, max_center_degree=5).count() == 0
+
+    # cap at the hub degree: all C(6,2)=15 leaf pairs, RA = scale//6
+    lp = link_prediction(ds, max_center_degree=6).to_pandas()
+    assert len(lp) == 15
+    assert set(lp["n_common"]) == {1}
+    assert set(lp["ra_score"]) == {10**12 // 6}
+
+
 def test_graph_suite_matches_bruteforce_on_random_graphs(ray_session):
     """Every graph operator vs a set-based brute force on three random
     graphs (different densities, with self-loops and reversed dups
@@ -1569,8 +1594,11 @@ def test_graph_suite_matches_bruteforce_on_random_graphs(ray_session):
     import ray.data as rd
 
     from kazu_ray.ops.graph import (
+        bfs_distances,
         clustering_coefficient,
+        link_prediction,
         node_triangle_counts,
+        pagerank,
         triangle_count,
         two_hop_path_counts,
     )
@@ -1631,3 +1659,45 @@ def test_graph_suite_matches_bruteforce_on_random_graphs(ray_session):
         assert cc["coeff_ppm"] == (
             (3 * n_tri * 1_000_000) // n_wedges if n_wedges else 0
         ), seed
+
+        # integer-scaled pagerank (3 power steps, damping 0.85)
+        scale, base = 10**12, (15 * 10**12) // 100
+        r = {n: scale for n in adj}
+        for _ in range(3):
+            r = {
+                u: base + (85 * sum(r[v] // len(adj[v]) for v in adj[u])) // 100
+                for u in adj
+            }
+        got_pr = pagerank(ds).set_index("node")["rank"].to_dict()
+        assert got_pr == r, seed
+
+        # RA link prediction (non-adjacent pairs, >=1 common neighbor)
+        want_lp = {}
+        for u, w in itertools.combinations(sorted(adj), 2):
+            if w in adj[u]:
+                continue
+            common = adj[u] & adj[w]
+            if common:
+                want_lp[(u, w)] = (
+                    len(common),
+                    sum(scale // len(adj[v]) for v in common),
+                )
+        lp = link_prediction(ds).to_pandas()
+        got_lp = {
+            (row.u, row.w): (row.n_common, row.ra_score)
+            for row in lp.itertuples()
+        }
+        assert got_lp == want_lp, seed
+
+        # multi-source BFS (<=3 hops from the 5 lexmin nodes)
+        seeds = sorted(adj)[:5]
+        want_bfs = {n: 0 for n in seeds}
+        frontier = set(seeds)
+        for hop in (1, 2, 3):
+            frontier = {
+                v for u in frontier for v in adj[u] if v not in want_bfs
+            }
+            for v in frontier:
+                want_bfs[v] = hop
+        got_bfs = bfs_distances(ds).set_index("node")["dist"].to_dict()
+        assert got_bfs == want_bfs, seed

@@ -54,6 +54,9 @@ def _oracle_names():
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
 
+    # alphabetical param order runs some consumers before their
+    # cross-query oracle artifact producer on a clean /tmp
+    e.ensure_oracle_artifacts(name, SF_DIR)
     ray_df = _canon(_to_pandas(e.queries()[name](SF_DIR)))
     con = _duck(SF_DIR)
     sql_df = _canon(con.execute(e.oracle_sql()[name]).df())
