@@ -487,6 +487,27 @@ def _near_dup_clusters(sf_dir: str):
     return connected_components_auto(pairs)
 
 
+def _dedup_survivors(sf_dir: str):
+    """End-to-end near-dup REMOVAL: LSH pairs → exact-Jaccard verify →
+    components → per-cluster representative (longest doc, tie → lexmin
+    doc_id). One row per clustered doc with kept ∈ {0,1}; the oracle
+    re-derives the whole chain (shingle self-join Jaccard, recursive
+    min-label CC, window argmax) in SQL."""
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import (
+        cluster_representatives,
+        connected_components_auto,
+        minhash_candidate_pairs,
+        verify_pairs_jaccard_ds,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = verify_pairs_jaccard_ds(minhash_candidate_pairs(ds), ds, threshold=0.6)
+    comp = connected_components_auto(pairs)
+    return cluster_representatives(ds, comp)
+
+
 def _simhash_dups(sf_dir: str):
     """SimHash near-dup pairs: bucket by 16-bit chunks, hamming ≤ 2 verify.
 
@@ -1202,7 +1223,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_views": lambda sf_dir: __import__(
             "kazu_ray.ops.joins", fromlist=["interval_join_events"]
         ).interval_join_events(sf_dir, window_minutes=120),
-        "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_segment": relational.revenue_by_segment,
         "monthly_order_revenue": _monthly_order_revenue,
         # --- dedup (near_dup_clusters rides the components code path) ---
@@ -1210,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": _minhash_pairs,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "near_dup_clusters": _near_dup_clusters,
+        "dedup_survivors": _dedup_survivors,
         # --- similarity search ---
         "knn_join_topk": _knn_join_topk,
         "ivf_topk_cosine": _ivf_topk_cosine,
@@ -1226,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _simhash_dups,
         "embedding_near_dups": _embedding_near_dups,
         "topk_cosine": _topk_cosine,
+        "q1_pricing_summary": relational.q1_pricing_summary,
         "tfidf_topk": _tfidf_topk,
         "packed_chunks": _packed_chunks,
         "doc_token_stats": _doc_token_stats,
@@ -1825,6 +1847,61 @@ def oracle_sql() -> dict[str, str]:
                  )
             SELECT id AS doc_id, min(lbl)::BIGINT AS component
             FROM reach GROUP BY id
+        """,
+        "dedup_survivors": """
+            WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                 sh AS (
+                    SELECT doc_id,
+                           unnest(list_distinct(
+                               CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                                    ELSE list_transform(generate_series(1, len(ws) - 2),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                               END)) AS s
+                    FROM w
+                 ),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2
+                 ),
+                 pairs AS (
+                    SELECT id_a, id_b
+                    FROM inter
+                    JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+                    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+                 ),
+                 nodes AS (
+                    SELECT DISTINCT id FROM (
+                        SELECT id_a AS id FROM pairs
+                        UNION ALL SELECT id_b FROM pairs
+                    )
+                 ),
+                 edges AS (
+                    SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs
+                 ),
+                 reach(id, lbl) AS (
+                    SELECT id, id FROM nodes
+                    UNION
+                    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+                 ),
+                 comp AS (SELECT id AS doc_id, min(lbl) AS component
+                          FROM reach GROUP BY id),
+                 sized AS (SELECT c.doc_id, c.component,
+                                  length(d.text) AS n_chars
+                           FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+                 win AS (SELECT s.component, min(s.doc_id) AS winner
+                         FROM sized s
+                         JOIN (SELECT component, max(n_chars) AS mx
+                               FROM sized GROUP BY component) m
+                           ON m.component = s.component AND s.n_chars = m.mx
+                         GROUP BY s.component)
+            SELECT s.doc_id, s.component::BIGINT AS component,
+                   s.n_chars::BIGINT AS n_chars,
+                   (CASE WHEN s.doc_id = w2.winner THEN 1 ELSE 0 END)::BIGINT AS kept
+            FROM sized s JOIN win w2 ON w2.component = s.component
         """,
         "kg_pair_doc_counts": """
             WITH t AS (SELECT subj, obj, doc_id

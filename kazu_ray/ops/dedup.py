@@ -1141,3 +1141,94 @@ class _CCBucket:
 import ray as _ray_mod
 
 _CC_BUCKET_CLS = _ray_mod.remote(num_cpus=0)(_CCBucket)
+
+
+def cluster_representatives(docs_ds, comp_df):
+    """Representative selection over near-dup clusters — the removal
+    step of a dedup pipeline: within each cluster keep the LONGEST doc
+    (by character count), ties broken by the smallest doc_id. Returns a
+    Dataset of one row per CLUSTERED doc: (doc_id, component, n_chars,
+    kept 0/1); unclustered docs are implicitly kept and not emitted
+    (same convention as the cluster table itself).
+
+    Shapes: the cluster map and the per-component winner table are both
+    bounded by the clustered-doc count (the LSH pair contract that
+    already bounds ``connected_components_auto``'s output) — each is
+    broadcast ONCE via ``ray.put``; the corpus streams through two
+    ``map_batches`` passes and the argmax is a component-keyed
+    ``groupby`` max + a tie-break min, never a per-cluster gather.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    if len(comp_df) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "component": pa.array([], type=pa.int64()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                    "kept": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    comp_ref = ray.put(
+        dict(zip(comp_df["doc_id"].tolist(), comp_df["component"].tolist()))
+    )
+
+    import pyarrow.compute as pc
+
+    def members_batch(t: pa.Table) -> pa.Table:
+        cmap = ray.get(comp_ref)
+        ids = t["doc_id"].to_pandas()
+        comp = ids.map(cmap)
+        mask = comp.notna().to_numpy()
+        n_chars = pc.utf8_length(t["text"].cast(pa.string())).to_pandas()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], type=pa.int64()),
+                "component": pa.array(comp[mask], type=pa.int64()),
+                "n_chars": pa.array(n_chars[mask], type=pa.int64()),
+            }
+        )
+
+    members = docs_ds.map_batches(members_batch, batch_format="pyarrow").materialize()
+
+    max_chars = (
+        members.groupby("component")
+        .aggregate(Max("n_chars", alias_name="max_chars"))
+        .to_pandas()
+    )
+    mx_ref = ray.put(dict(zip(max_chars["component"], max_chars["max_chars"])))
+
+    def at_max(t: pa.Table) -> pa.Table:
+        mx = ray.get(mx_ref)
+        comp = t["component"].to_pandas()
+        keep = (t["n_chars"].to_pandas() == comp.map(mx)).to_numpy()
+        return t.filter(pa.array(keep)).select(["component", "doc_id"])
+
+    winners = (
+        members.map_batches(at_max, batch_format="pyarrow")
+        .groupby("component")
+        .aggregate(Min("doc_id", alias_name="winner"))
+        .to_pandas()
+    )
+    win_ref = ray.put(dict(zip(winners["component"], winners["winner"])))
+
+    def mark(t: pa.Table) -> pa.Table:
+        w = ray.get(win_ref)
+        comp = t["component"].to_pandas()
+        kept = (t["doc_id"].to_pandas() == comp.map(w)).astype("int64")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "component": t["component"],
+                "n_chars": t["n_chars"],
+                "kept": pa.array(kept, type=pa.int64()),
+            }
+        )
+
+    return members.map_batches(mark, batch_format="pyarrow")
+

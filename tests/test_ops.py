@@ -802,6 +802,45 @@ def test_near_dup_clusters_query_via_distributed_path(ray_session, monkeypatch):
     )
 
 
+def test_cluster_representatives_argmax_and_tiebreak(ray_session):
+    """Representative selection: longest doc wins; equal lengths break
+    to the smallest doc_id; docs outside any cluster are not emitted;
+    an empty cluster table yields an empty (typed) Dataset."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import cluster_representatives
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "short"},
+            {"doc_id": 2, "text": "much longer text here"},
+            {"doc_id": 3, "text": "same len"},
+            {"doc_id": 4, "text": "samf len"},
+            {"doc_id": 5, "text": "unclustered loner"},
+        ]
+    )
+    comp = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "component": [1, 1, 3, 3]}
+    )
+    out = (
+        cluster_representatives(docs, comp)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3, 4]
+    # cluster 1: doc 2 is longer; cluster 3: tie on length -> lexmin id 3
+    assert dict(zip(out["doc_id"], out["kept"])) == {1: 0, 2: 1, 3: 1, 4: 0}
+    assert dict(zip(out["doc_id"], out["n_chars"]))[2] == len(
+        "much longer text here"
+    )
+
+    empty = cluster_representatives(docs, comp.iloc[0:0])
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"doc_id", "component", "n_chars", "kept"}
+
+
 def test_simhash_hot_bucket_drop_is_reported(ray_session):
     """Planted hot bucket (200 identical docs > MAX_BUCKET=128): the
     recall cap must surface through the side-channel counter, not only
