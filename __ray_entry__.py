@@ -242,6 +242,24 @@ def _kg_bfs_distances(sf_dir: str):
     return bfs_distances(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_edge_embeddedness(sf_dir: str):
+    """Per-edge common-neighbor counts (tie strength): center-carrying
+    degree-oriented wedges, each closed wedge credits its three edges;
+    triangle-free edges report 0 via a per-edge zero partial."""
+    from kazu_ray.ops.graph import edge_embeddedness
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return edge_embeddedness(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
+def _kg_component_sizes(sf_dir: str):
+    """Component-size histogram over the node-sized component table."""
+    from kazu_ray.ops.graph import component_size_histogram
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return component_size_histogram(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
 def _kg_clustering(sf_dir: str):
     """Global clustering coefficient (integer ppm): triangles via the
     size-dispatched counter; wedges from the node-sized degree table."""
@@ -1211,6 +1229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _kg_pagerank,
         "kg_link_prediction": _kg_link_prediction,
         "kg_bfs_distances": _kg_bfs_distances,
+        "kg_edge_embeddedness": _kg_edge_embeddedness,
+        "kg_component_sizes": _kg_component_sizes,
         "mention_contexts": _mention_contexts,
         "kg_components": _kg_components,
         "kg_node_doc_counts": _kg_node_doc_counts,
@@ -1223,8 +1243,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_views": lambda sf_dir: __import__(
             "kazu_ray.ops.joins", fromlist=["interval_join_events"]
         ).interval_join_events(sf_dir, window_minutes=120),
-        "revenue_by_segment": relational.revenue_by_segment,
-        "monthly_order_revenue": _monthly_order_revenue,
         # --- dedup (near_dup_clusters rides the components code path) ---
         "exact_dedup": _exact_dedup,
         "minhash_near_dups": _minhash_pairs,
@@ -1248,6 +1266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _embedding_near_dups,
         "topk_cosine": _topk_cosine,
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "revenue_by_segment": relational.revenue_by_segment,
+        "monthly_order_revenue": _monthly_order_revenue,
         "tfidf_topk": _tfidf_topk,
         "packed_chunks": _packed_chunks,
         "doc_token_stats": _doc_token_stats,
@@ -2025,6 +2045,36 @@ def oracle_sql() -> dict[str, str]:
                             SELECT und.u, r2.d + 1 FROM und JOIN r2 ON r2.node = und.v
                         ) GROUP BY node)
             SELECT node, d::BIGINT AS dist FROM r3
+        """,
+        "kg_edge_embeddedness": """
+            WITH t AS (SELECT subj, obj
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                       FROM t WHERE subj <> obj),
+                 und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e)
+            SELECT e.a, e.b, count(n2.v)::BIGINT AS n_common
+            FROM e
+            LEFT JOIN und n1 ON n1.u = e.a
+            LEFT JOIN und n2 ON n2.u = e.b AND n2.v = n1.v
+            GROUP BY e.a, e.b
+        """,
+        "kg_component_sizes": """
+            WITH RECURSIVE t AS (SELECT subj, obj
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 e AS (SELECT DISTINCT subj AS a, obj AS b FROM t),
+                 nodes AS (SELECT DISTINCT n FROM (SELECT a AS n FROM e
+                                                   UNION ALL SELECT b FROM e)),
+                 edges AS (SELECT a AS src, b AS dst FROM e
+                           UNION ALL SELECT b, a FROM e),
+                 reach(id, lbl) AS (
+                    SELECT n, n FROM nodes
+                    UNION
+                    SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.id
+                 ),
+                 comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+                 sz AS (SELECT component, count(*) AS size FROM comp GROUP BY component)
+            SELECT size::BIGINT AS size, count(*)::BIGINT AS n_components
+            FROM sz GROUP BY size
         """,
         "kg_two_hop_paths": """
             WITH t AS (SELECT subj, obj

@@ -948,3 +948,150 @@ def bfs_distances(triples_ds, n_seeds: int = 5, max_hops: int = 3):
     return pd.DataFrame({"node": nodes, "dist": [dist[n] for n in nodes]}).astype(
         {"dist": "int64"}
     )
+
+
+def edge_embeddedness(triples_ds):
+    """Per-EDGE common-neighbor counts (embeddedness / tie strength —
+    Granovetter-style strong-tie signal): for every distinct edge, the
+    number of triangles it participates in. Same degree-oriented
+    center-carrying wedge machinery as :func:`node_triangle_counts`
+    (each triangle closes exactly once, O(m^1.5) wedges, no hub cap
+    needed), except each closed wedge {center, a, b} credits its THREE
+    edges (center,a), (center,b), (a,b) instead of its corners. Edges
+    in no triangle report 0 (left join against the edge set via a
+    0-partial row per edge). Streams as (a, b, n_common)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    edges = _distinct_edges(triples_ds)
+    deg_ref = ray.put(_edge_degrees(edges))
+
+    def orient(t: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        a = t["a"].to_pandas()
+        b = t["b"].to_pandas()
+        da = a.map(d)
+        db = b.map(d)
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pa.table({"src": a.where(fwd, b), "dst": b.where(fwd, a)})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["src", "dst"], kind="mergesort")
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
+        bounds = np.append(starts, len(src))
+        a_parts, b_parts, c_parts = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, k=1)
+            ns = dst[s:e]
+            a_parts.append(ns[i])
+            b_parts.append(ns[j])
+            c_parts.append(np.repeat(src[s], len(i)))
+        if not a_parts:
+            return _EE_WEDGE_EMPTY
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_parts), type=pa.string()),
+                "b": pa.array(np.concatenate(b_parts), type=pa.string()),
+                "center": pa.array(np.concatenate(c_parts), type=pa.string()),
+            }
+        )
+
+    wedge_rows = exchange_groups(
+        oriented, ["src"], shuffle_parts(), wedges_bucket, _EE_WEDGE_EMPTY
+    )
+    edge_rows = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t["a"].cast(pa.string()),
+                "b": t["b"].cast(pa.string()),
+                "center": pa.nulls(t.num_rows, type=pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def close_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        is_edge = df["center"].isna()
+        e = df[is_edge][["a", "b"]].drop_duplicates()
+        w = df[~is_edge]
+        closed = w.merge(e, on=["a", "b"])
+        # every edge reports, triangle-free ones at 0
+        frames = [e.assign(partial=0)]
+        if not closed.empty:
+            # closed wedge {center, a, b}: credit (a,b) here (it is
+            # bucket-local); (center,a)/(center,b) go to the groupby as
+            # normalized min/max pairs
+            frames.append(closed[["a", "b"]].assign(partial=1))
+            for left, right in (("center", "a"), ("center", "b")):
+                lo = closed[[left, right]].min(axis=1)
+                hi = closed[[left, right]].max(axis=1)
+                frames.append(pd.DataFrame({"a": lo, "b": hi, "partial": 1}))
+        out = pd.concat(frames, ignore_index=True)
+        g = out.groupby(["a", "b"], as_index=False)["partial"].sum()
+        return pa.table(
+            {
+                "a": pa.array(g["a"], type=pa.string()),
+                "b": pa.array(g["b"], type=pa.string()),
+                "partial": pa.array(g["partial"], type=pa.int64()),
+            }
+        )
+
+    partials = exchange_groups(
+        wedge_rows.union(edge_rows), ["a", "b"], shuffle_parts(), close_bucket,
+        _EE_PARTIAL_EMPTY,
+    )
+    return (
+        partials.groupby(["a", "b"])
+        .aggregate(Sum("partial", alias_name="n_common"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "a": t["a"].cast(pa.string()),
+                    "b": t["b"].cast(pa.string()),
+                    "n_common": t["n_common"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+_EE_WEDGE_EMPTY = pa.table(
+    {
+        "a": pa.array([], type=pa.string()),
+        "b": pa.array([], type=pa.string()),
+        "center": pa.array([], type=pa.string()),
+    }
+)
+_EE_PARTIAL_EMPTY = pa.table(
+    {
+        "a": pa.array([], type=pa.string()),
+        "b": pa.array([], type=pa.string()),
+        "partial": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def component_size_histogram(triples_ds):
+    """Component-size distribution (size → number of components) — the
+    fragmentation signal of the co-occurrence graph. One groupby over
+    the node-sized component table from :func:`kg_components` (bounded,
+    module docstring), so the histogram is at most max-size rows."""
+    comp = kg_components(triples_ds)
+    sizes = comp.groupby("component").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame(
+        {"size": hist.index.astype("int64"), "n_components": hist.to_numpy()}
+    ).astype({"n_components": "int64"})

@@ -1635,6 +1635,8 @@ def test_graph_suite_matches_bruteforce_on_random_graphs(ray_session):
     from kazu_ray.ops.graph import (
         bfs_distances,
         clustering_coefficient,
+        component_size_histogram,
+        edge_embeddedness,
         link_prediction,
         node_triangle_counts,
         pagerank,
@@ -1740,3 +1742,34 @@ def test_graph_suite_matches_bruteforce_on_random_graphs(ray_session):
                 want_bfs[v] = hop
         got_bfs = bfs_distances(ds).set_index("node")["dist"].to_dict()
         assert got_bfs == want_bfs, seed
+
+        # per-edge embeddedness (0-rows for triangle-free edges)
+        want_ee = {
+            (u, v): len(adj[u] & adj[v])
+            for u in sorted(adj)
+            for v in sorted(adj[u])
+            if u < v
+        }
+        ee = edge_embeddedness(ds).to_pandas()
+        got_ee = {(r.a, r.b): r.n_common for r in ee.itertuples()}
+        assert got_ee == want_ee, seed
+
+        # component-size histogram (self-loop-only nodes are singletons)
+        comp_lbl = {n: n for n in adj}
+        changed = True
+        while changed:
+            changed = False
+            for u in adj:
+                for v in adj[u]:
+                    m = min(comp_lbl[u], comp_lbl[v])
+                    if comp_lbl[u] != m or comp_lbl[v] != m:
+                        comp_lbl[u] = comp_lbl[v] = m
+                        changed = True
+        from collections import Counter
+
+        want_hist = dict(Counter(Counter(comp_lbl.values()).values()))
+        iso = {t["subj"] for t in triples if t["subj"] == t["obj"]} - set(adj)
+        if iso:
+            want_hist[1] = want_hist.get(1, 0) + len(iso)
+        hist = component_size_histogram(ds)
+        assert dict(zip(hist["size"], hist["n_components"])) == want_hist, seed
