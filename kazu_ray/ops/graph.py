@@ -35,29 +35,53 @@ def pair_doc_counts(triples_ds):
     SQL oracle matches bit-for-bit (float log scores would drift with
     reduction order; NOTES.md #26).
 
-    Shapes: pair support = two-phase distinct ((subj, obj, doc_id)
-    groupby → (subj, obj) count) — no per-key distinct sets, so hub
-    pairs never concentrate state; marginals reuse the salted node
-    doc-count aggregate and come back node-sized (bounded, see module
-    docstring), then broadcast-join onto the pair table via ``ray.put``.
+    Shapes: pair support = per-batch distinct combiner on
+    (subj, obj, doc_id) (:func:`_batch_distinct` — triples repeat a
+    pair once per mention, so this collapses before anything moves),
+    then ONE hash exchange keyed on the pair whose bucket kernel
+    finishes the distinct and counts docs per pair vectorized — no
+    per-key distinct sets, so hub pairs never concentrate state, and no
+    global range-partition sort (the old form paid TWO ``Dataset.
+    groupby`` sorts over the full triple set); marginals reuse the
+    salted node doc-count aggregate and come back node-sized (bounded,
+    see module docstring), then broadcast-join onto the pair table via
+    ``ray.put``.
     """
     import ray
-    from ray.data.aggregate import Count
 
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
     from kazu_ray.stages.materialize import node_doc_counts_salted
 
     marginals = node_doc_counts_salted(triples_ds).to_pandas()
     node_docs = dict(zip(marginals["node"], marginals["n_docs"]))
     node_ref = ray.put(node_docs)
 
-    pair_support = (
-        triples_ds.groupby(["subj", "obj", "doc_id"])
-        .aggregate(Count(alias_name="_one"))
-        .map_batches(
-            lambda t: t.select(["subj", "obj"]), batch_format="pyarrow"
+    local = triples_ds.map_batches(
+        _batch_distinct(["subj", "obj", "doc_id"]), batch_format="pyarrow"
+    )
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["subj", "obj", "doc_id"])
+            .aggregate([])
+            .group_by(["subj", "obj"])
+            .aggregate([("doc_id", "count")])
+            .rename_columns(["subj", "obj", "n_docs_pair"])
         )
-        .groupby(["subj", "obj"])
-        .aggregate(Count(alias_name="n_docs_pair"))
+
+    pair_support = exchange_groups(
+        local,
+        ["subj", "obj"],
+        shuffle_parts(),
+        count_bucket,
+        pa.table(
+            {
+                "subj": pa.array([], type=pa.string()),
+                "obj": pa.array([], type=pa.string()),
+                "n_docs_pair": pa.array([], type=pa.int64()),
+            }
+        ),
     )
 
     def attach(batch: pa.Table) -> pa.Table:
@@ -98,14 +122,23 @@ def kg_components(triples_ds):
     import ray
     from ray.data.aggregate import Count
 
-    from kazu_ray.ops.dedup import connected_components_auto
+    from kazu_ray.ops.dedup import connected_components_auto, shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
 
-    edges = (
-        triples_ds.groupby(["subj", "obj"])
-        .aggregate(Count(alias_name="_one"))
-        .map_batches(lambda t: t.select(["subj", "obj"]), batch_format="pyarrow")
-        .materialize()
-    )
+    edges = exchange_groups(
+        triples_ds.map_batches(
+            _batch_distinct(["subj", "obj"]), batch_format="pyarrow"
+        ),
+        ["subj", "obj"],
+        shuffle_parts(),
+        _batch_distinct(["subj", "obj"]),
+        pa.table(
+            {
+                "subj": pa.array([], type=pa.string()),
+                "obj": pa.array([], type=pa.string()),
+            }
+        ),
+    ).materialize()
 
     # dense sorted id assignment from the NODE table only (node-sized,
     # legitimate driver material per the module docstring); the edge
@@ -158,29 +191,30 @@ def pair_provenance(triples_ds, sample_k: int = 5):
     hash-exact against the SQL oracle; list-typed columns compare
     unreliably across engines).
 
-    Shapes: one two-phase distinct bounds the shuffle to unique
-    (pair, doc) rows; the per-pair count + first-``sample_k`` sample is
-    computed vectorized across ALL of a hash bucket's pairs at once
-    (``exchange_groups``; per-pair ``map_groups`` paid Python dispatch
-    per pair): one sort by (pair, doc), a cumcount mask caps the sample
-    rows, and a single groupby aggregates count + comma-join — the
-    emitted sample stays ≤ ``sample_k`` regardless of how hot the pair
-    is."""
-    from ray.data.aggregate import Count
-
+    Shapes: a per-batch distinct combiner (:func:`_batch_distinct`)
+    bounds the shuffle to block-local-unique (pair, doc) rows — the
+    pair-keyed hash exchange then co-locates each pair, so finishing
+    the distinct is a bucket-local ``drop_duplicates`` (the old form
+    paid a global range-partition SORT for it); the per-pair count +
+    first-``sample_k`` sample is computed vectorized across ALL of a
+    hash bucket's pairs at once (``exchange_groups``; per-pair
+    ``map_groups`` paid Python dispatch per pair): one sort by
+    (pair, doc), a cumcount mask caps the sample rows, and a single
+    groupby aggregates count + comma-join — the emitted sample stays
+    ≤ ``sample_k`` regardless of how hot the pair is."""
     from kazu_ray.ops.dedup import shuffle_parts
     from kazu_ray.ops.exchange import exchange_groups
 
-    distinct = (
-        triples_ds.groupby(["subj", "obj", "doc_id"])
-        .aggregate(Count(alias_name="_one"))
-        .map_batches(
-            lambda t: t.select(["subj", "obj", "doc_id"]), batch_format="pyarrow"
-        )
+    distinct = triples_ds.map_batches(
+        _batch_distinct(["subj", "obj", "doc_id"]), batch_format="pyarrow"
     )
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["subj", "obj", "doc_id"], kind="mergesort")
+        df = (
+            t.to_pandas()
+            .drop_duplicates(["subj", "obj", "doc_id"])
+            .sort_values(["subj", "obj", "doc_id"], kind="mergesort")
+        )
         grp = df.groupby(["subj", "obj"], sort=False)
         counts = grp.size().reset_index(name="n_docs")
         head = df[grp.cumcount() < sample_k]
@@ -210,32 +244,54 @@ def pair_provenance(triples_ds, sample_k: int = 5):
     return exchange_groups(distinct, ["subj", "obj"], shuffle_parts(), per_bucket, empty)
 
 
+def _batch_distinct(cols: list[str]):
+    """Per-batch distinct combiner: an Arrow ``group_by`` with no
+    aggregates collapses a batch to its unique key rows in C++ — the
+    cheap local pass that bounds a global-distinct shuffle by
+    blocks × block-local-distinct instead of total rows (triples repeat
+    the same pair once per mention, so this is a ~10-100× cut before
+    any data moves)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.select(cols).group_by(cols).aggregate([])
+
+    return fn
+
+
 def _distinct_edges(triples_ds):
     """Distinct undirected co-occurrence edges (a < b), self-loops
-    dropped, as a materialized Dataset (never collected)."""
-    from ray.data.aggregate import Count
+    dropped, as a materialized Dataset (never collected).
 
-    return (
-        triples_ds.map_batches(
-            lambda t: pa.table(
-                {
-                    "a": pa.compute.min_element_wise(t["subj"], t["obj"]),
-                    "b": pa.compute.max_element_wise(t["subj"], t["obj"]),
-                }
-            ),
-            batch_format="pyarrow",
+    Shapes: every graph op starts here, so this is the layer's hottest
+    exchange — per-batch Arrow distinct combiner first (see
+    :func:`_batch_distinct`), then the adaptive hash exchange with a
+    per-bucket distinct (hash co-location is all a distinct needs; the
+    old ``Dataset.groupby`` paid a global range-partition SORT of every
+    pre-combined row)."""
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        pairs = pa.table(
+            {
+                "a": pa.compute.min_element_wise(t["subj"], t["obj"]),
+                "b": pa.compute.max_element_wise(t["subj"], t["obj"]),
+            }
         )
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_one"))
-        .map_batches(
-            # drop self-loops (they close no triangle / extend no path)
-            lambda t: t.filter(
-                pa.compute.not_equal(t["a"], t["b"])
-            ).select(["a", "b"]),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+        # drop self-loops (they close no triangle / extend no path)
+        pairs = pairs.filter(pa.compute.not_equal(pairs["a"], pairs["b"]))
+        return pairs.group_by(["a", "b"]).aggregate([])
+
+    local = triples_ds.map_batches(local_pairs, batch_format="pyarrow")
+    return exchange_groups(
+        local, ["a", "b"], shuffle_parts(), _batch_distinct(["a", "b"]),
+        _EDGE_EMPTY,
+    ).materialize()
+
+
+_EDGE_EMPTY = pa.table(
+    {"a": pa.array([], type=pa.string()), "b": pa.array([], type=pa.string())}
+)
 
 
 def _edge_degrees(edges):
@@ -400,33 +456,37 @@ def triangle_count(triples_ds, max_driver_edges: int | None = None):
             np.concatenate(([True], src[1:] != src[:-1]))
         )
         bounds = np.append(starts, len(src))
+        # int-code the (sorted) dst values once per bucket so pair keys
+        # and the combiner below run on int64 (codes ordered as strings
+        # keeps a < b intact)
+        dst_codes, dst_uniques = pd.factorize(df["dst"], sort=True)
+        dst_codes = dst_codes.astype(np.int64)
+        n_codes = len(dst_uniques)
         a_parts, b_parts = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             k = e - s
             if k < 2:
                 continue
             i, j = np.triu_indices(k, k=1)
-            ns = dst[s:e]
+            ns = dst_codes[s:e]
             a_parts.append(ns[i])
             b_parts.append(ns[j])
         if not a_parts:
-            return pa.table(
-                {
-                    "a": pa.array([], type=pa.string()),
-                    "b": pa.array([], type=pa.string()),
-                    "w": pa.array([], type=pa.int64()),
-                    "e": pa.array([], type=pa.int64()),
-                }
-            )
-        a_all = np.concatenate(a_parts)
-        b_all = np.concatenate(b_parts)
-        n_out = len(a_all)
+            return _wedge_empty
+        # combiner: collapse this bucket's wedges per (a, b) before the
+        # closing exchange (one row per distinct pair, w = wedge count)
+        key = np.concatenate(a_parts) * n_codes + np.concatenate(b_parts)
+        key.sort()
+        kstarts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        w = np.diff(np.append(kstarts, len(key))).astype(np.int64)
+        uk = key[kstarts]
+        uniq = np.asarray(dst_uniques)
         return pa.table(
             {
-                "a": pa.array(a_all, type=pa.string()),
-                "b": pa.array(b_all, type=pa.string()),
-                "w": pa.array(np.ones(n_out, dtype=np.int64)),
-                "e": pa.array(np.zeros(n_out, dtype=np.int64)),
+                "a": pa.array(uniq[uk // n_codes], type=pa.string()),
+                "b": pa.array(uniq[uk % n_codes], type=pa.string()),
+                "w": pa.array(w),
+                "e": pa.array(np.zeros(len(uk), dtype=np.int64)),
             }
         )
 
@@ -457,22 +517,22 @@ def triangle_count(triples_ds, max_driver_edges: int | None = None):
         batch_format="pyarrow",
     )
 
-    closed = (
-        wedge_rows.union(edge_rows)
-        .groupby(["a", "b"])
-        .aggregate(Sum("w", alias_name="w"), Sum("e", alias_name="e"))
-        .map_batches(
-            # e is 0/1 (edges are distinct): triangles at this closing
-            # pair = wedge count iff the closing edge exists
-            lambda t: pa.table(
-                {
-                    "partial": pa.compute.multiply(
-                        t["w"].cast(pa.int64()), t["e"].cast(pa.int64())
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    def close_pairs_bucket(t: pa.Table) -> pa.Table:
+        # e is 0/1 (edges are distinct): triangles at this closing
+        # pair = wedge count iff the closing edge exists; hash
+        # co-location on the pair makes this bucket-local
+        g = t.group_by(["a", "b"]).aggregate([("w", "sum"), ("e", "sum")])
+        partial = pa.compute.sum(
+            pa.compute.multiply(g["w_sum"], g["e_sum"])
+        ).as_py() or 0
+        return pa.table({"partial": pa.array([partial], type=pa.int64())})
+
+    closed = exchange_groups(
+        wedge_rows.union(edge_rows),
+        ["a", "b"],
+        shuffle_parts(),
+        close_pairs_bucket,
+        pa.table({"partial": pa.array([], type=pa.int64())}),
     )
     total = closed.aggregate(Sum("partial", alias_name="n_triangles"))
     return pd.DataFrame({"n_triangles": [int(total["n_triangles"] or 0)]})
@@ -1075,19 +1135,26 @@ def edge_embeddedness(triples_ds):
         wedge_rows.union(edge_rows), ["a", "b"], shuffle_parts(), close_bucket,
         _EE_PARTIAL_EMPTY,
     )
-    return (
-        partials.groupby(["a", "b"])
-        .aggregate(Sum("partial", alias_name="n_common"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "a": t["a"].cast(pa.string()),
-                    "b": t["b"].cast(pa.string()),
-                    "n_common": t["n_common"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["a", "b"])
+            .aggregate([("partial", "sum")])
+            .rename_columns(["a", "b", "n_common"])
         )
+
+    return exchange_groups(
+        partials,
+        ["a", "b"],
+        shuffle_parts(),
+        sum_bucket,
+        pa.table(
+            {
+                "a": pa.array([], type=pa.string()),
+                "b": pa.array([], type=pa.string()),
+                "n_common": pa.array([], type=pa.int64()),
+            }
+        ),
     )
 
 
