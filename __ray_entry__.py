@@ -68,6 +68,7 @@ def _kg_triples(sf_dir: str):
     shutil.rmtree(oracle_dir, ignore_errors=True)
     os.makedirs(oracle_dir, exist_ok=True)
     triples.write_parquet(oracle_dir)
+    stamp_oracle_artifact(oracle_dir)
     return rd.read_parquet(oracle_dir)
 
 
@@ -91,6 +92,7 @@ def _kg_entities(sf_dir: str):
     shutil.rmtree(oracle_dir, ignore_errors=True)
     os.makedirs(oracle_dir, exist_ok=True)
     ents.write_parquet(oracle_dir)
+    stamp_oracle_artifact(oracle_dir)
     return rd.read_parquet(oracle_dir)
 
 
@@ -328,6 +330,7 @@ def _text_hashes(sf_dir: str):
     os.makedirs(oracle_dir, exist_ok=True)
     # single streaming pass: write the full rows, read back the 2 columns
     docs.map_batches(fmt, batch_format="pyarrow").write_parquet(oracle_dir)
+    stamp_oracle_artifact(oracle_dir)
     return rd.read_parquet(oracle_dir, columns=["url", "text_sha256"])
 
 
@@ -1112,6 +1115,63 @@ def _domain_counts(sf_dir: str):
     return domain_counts(rd.read_parquet(oracle_dir))
 
 
+def _write_linkgraph_pages(sf_dir: str) -> str:
+    """Write the (url, html) projection of the synthetic pages corpus to
+    the oracle artifact path (column-pruned — the link graph never needs
+    text/lang), so DuckDB re-extracts anchors from the SAME raw html
+    bytes the engine parsed."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from kazu_ray.sources.corpus import ensure_pages_parquet
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    oracle_dir = f"/tmp/kazu_ray_oracle/linkgraph_{tag}"
+    pages_dir = ensure_pages_parquet(sf_dir)
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    os.makedirs(oracle_dir, exist_ok=True)
+    rd.read_parquet(pages_dir, columns=["url", "html"]).write_parquet(oracle_dir)
+    stamp_oracle_artifact(oracle_dir)
+    return oracle_dir
+
+
+def _host_link_graph(sf_dir: str):
+    """Host-level outlink graph (src_host, dst_host, n_links) parsed
+    from the raw page html — per-batch combiner, hosts²-bounded result
+    (kazu_ray/ops/web.py::host_link_graph)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_link_graph
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_link_graph(rd.read_parquet(oracle_dir))
+
+
+def _host_degrees(sf_dir: str):
+    """Per-host degrees over the link graph: total outgoing anchors,
+    distinct target hosts, distinct referring hosts."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_degrees
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_degrees(rd.read_parquet(oracle_dir))
+
+
+def _host_pagerank(sf_dir: str):
+    """Weighted directed PageRank over the host link graph (3 power
+    iterations, integer 17/20 damping — hash-exact vs the unrolled SQL
+    oracle)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_pagerank
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_pagerank(rd.read_parquet(oracle_dir))
+
+
 def _split_assign(sf_dir: str):
     """Deterministic train/val/test assignment by md5(doc_id) bucket —
     reproducible split sizes per split, checked against the identical
@@ -1211,10 +1271,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_sessions": _incremental_sessions,
         "url_dedup": _url_dedup,
         "domain_counts": _domain_counts,
-        "top_parts_by_retail": relational.top_parts_by_retail,
+        # --- NEW round-4 cont.: host-level web link graph ---
+        "host_link_graph": _host_link_graph,
+        "host_degrees": _host_degrees,
+        "host_pagerank": _host_pagerank,
         "top_events_per_user": _top_events_per_user,
-        "segment_ship_priority": relational.segment_ship_priority,
-        "sliding_event_counts": relational.sliding_event_counts,
         # --- KG pipeline + graph analytics (code touched this round) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1268,6 +1329,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_segment": relational.revenue_by_segment,
         "monthly_order_revenue": _monthly_order_revenue,
+        # rotated out of the window for the round-4 link-graph queries
+        # (all driver-green in r03, code untouched)
+        "top_parts_by_retail": relational.top_parts_by_retail,
+        "segment_ship_priority": relational.segment_ship_priority,
+        "sliding_event_counts": relational.sliding_event_counts,
         "tfidf_topk": _tfidf_topk,
         "packed_chunks": _packed_chunks,
         "doc_token_stats": _doc_token_stats,
@@ -1826,6 +1892,107 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, sha256(text) AS text_sha256
             FROM read_parquet('/tmp/kazu_ray_oracle/kg_text_sf0.01/*.parquet')
         """,
+        "host_link_graph": """
+            WITH pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            links AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            )
+            SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+            FROM links GROUP BY 1, 2
+        """,
+        "host_degrees": """
+            WITH pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            links AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            outs AS (
+                SELECT src_host AS host, count(*) AS out_links,
+                       count(DISTINCT dst_host) AS out_hosts
+                FROM links GROUP BY 1
+            ),
+            ins AS (
+                SELECT dst_host AS host, count(DISTINCT src_host) AS in_hosts
+                FROM links GROUP BY 1
+            )
+            SELECT COALESCE(o.host, i.host) AS host,
+                   COALESCE(o.out_links, 0)::BIGINT AS out_links,
+                   COALESCE(o.out_hosts, 0)::BIGINT AS out_hosts,
+                   COALESCE(i.in_hosts, 0)::BIGINT AS in_hosts
+            FROM outs o FULL OUTER JOIN ins i ON o.host = i.host
+        """,
+        "host_pagerank": """
+            WITH pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            links AS (
+                SELECT src_host, dst_host, count(*)::BIGINT AS w
+                FROM raw GROUP BY 1, 2
+            ),
+            outs AS (SELECT src_host, sum(w)::BIGINT AS ow FROM links GROUP BY 1),
+            hosts AS (
+                SELECT DISTINCT host FROM (
+                    SELECT src_host AS host FROM links
+                    UNION ALL SELECT dst_host FROM links
+                )
+            ),
+            r0 AS (SELECT host, 1000000000000::BIGINT AS r FROM hosts),
+            c1 AS (
+                SELECT l.dst_host AS host, sum((r.r * l.w) // o.ow)::BIGINT AS c
+                FROM links l
+                JOIN r0 r ON r.host = l.src_host
+                JOIN outs o ON o.src_host = l.src_host
+                GROUP BY 1
+            ),
+            r1 AS (
+                SELECT h.host,
+                       (3 * 1000000000000 // 20 + COALESCE(17 * c.c // 20, 0))::BIGINT AS r
+                FROM hosts h LEFT JOIN c1 c ON c.host = h.host
+            ),
+            c2 AS (
+                SELECT l.dst_host AS host, sum((r.r * l.w) // o.ow)::BIGINT AS c
+                FROM links l
+                JOIN r1 r ON r.host = l.src_host
+                JOIN outs o ON o.src_host = l.src_host
+                GROUP BY 1
+            ),
+            r2 AS (
+                SELECT h.host,
+                       (3 * 1000000000000 // 20 + COALESCE(17 * c.c // 20, 0))::BIGINT AS r
+                FROM hosts h LEFT JOIN c2 c ON c.host = h.host
+            ),
+            c3 AS (
+                SELECT l.dst_host AS host, sum((r.r * l.w) // o.ow)::BIGINT AS c
+                FROM links l
+                JOIN r2 r ON r.host = l.src_host
+                JOIN outs o ON o.src_host = l.src_host
+                GROUP BY 1
+            ),
+            r3 AS (
+                SELECT h.host,
+                       (3 * 1000000000000 // 20 + COALESCE(17 * c.c // 20, 0))::BIGINT AS r
+                FROM hosts h LEFT JOIN c3 c ON c.host = h.host
+            )
+            SELECT host, r AS rank_scaled FROM r3
+        """,
         "near_dup_clusters": """
             WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
                  sh AS (
@@ -2269,14 +2436,44 @@ ORACLE_ARTIFACT_PRODUCERS = {
     "triples": "kg_triples",
     "entities": "kg_entities",
     "kg_text": "kg_text_hashes",
+    "linkgraph": "host_link_graph",
 }
+
+
+def _artifact_content_version() -> str:
+    """Version string stamped into cross-query oracle artifacts — any
+    change to generated corpus/ontology content must invalidate cached
+    artifacts under /tmp, or a consumer query recomputing fresh results
+    would be compared against a stale producer table (this bit us when
+    the pages corpus grew outlinks: triples_sf0.01 on disk still had
+    the old urls)."""
+    from kazu_ray.ontology.generate import ONTOLOGY_VERSION
+    from kazu_ray.sources.corpus import CORPUS_VERSION
+
+    return f"o{ONTOLOGY_VERSION}_c{CORPUS_VERSION}"
+
+
+def stamp_oracle_artifact(oracle_dir: str) -> None:
+    import os
+
+    with open(os.path.join(oracle_dir, "_CONTENT_VERSION"), "w") as f:
+        f.write(_artifact_content_version())
+
+
+def _artifact_fresh(oracle_dir: str) -> bool:
+    import os
+
+    marker = os.path.join(oracle_dir, "_CONTENT_VERSION")
+    if not os.path.isdir(oracle_dir) or not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        return f.read().strip() == _artifact_content_version()
 
 
 def ensure_oracle_artifacts(name: str, sf_dir: str) -> None:
     """Run the producer query for any cross-query oracle artifact that
-    ``name``'s oracle SQL references but which is absent on disk."""
-    import os
-
+    ``name``'s oracle SQL references but which is absent on disk OR was
+    written from a different generated-content version (stale)."""
     sql = oracle_sql().get(name)
     if not sql:
         return
@@ -2284,5 +2481,5 @@ def ensure_oracle_artifacts(name: str, sf_dir: str) -> None:
     q = queries()
     for artifact, producer in ORACLE_ARTIFACT_PRODUCERS.items():
         path = f"/tmp/kazu_ray_oracle/{artifact}_{tag}"
-        if producer != name and f"{artifact}_{tag}" in sql and not os.path.isdir(path):
+        if producer != name and f"{artifact}_{tag}" in sql and not _artifact_fresh(path):
             q[producer](sf_dir)

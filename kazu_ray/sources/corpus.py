@@ -34,15 +34,46 @@ from kazu_ray.ontology.generate import generate_ontology_tables
 
 EPOCH_US = 1_600_000_000_000_000  # fixed base timestamp (µs)
 
+# Bump when generated PAGE CONTENT changes (links, shell, hosts…) —
+# ensure_pages_parquet keys its /tmp cache on this so a content change
+# can never silently reuse a stale corpus (the ONTOLOGY_VERSION lesson).
+CORPUS_VERSION = 2
+
 # realistic-ish page shell: head (dropped whole by the extractor),
-# escaped body text. Kept deterministic and invertible so the per-row
-# sha256 extraction invariant is testable byte-for-byte.
+# escaped body text, and a <nav> outlink block on its own line — the
+# extractor keeps only the longest text line, so short "ref" anchors
+# never perturb the extracted-text sha invariant. Kept deterministic
+# and invertible so the invariant is testable byte-for-byte.
 HTML_SHELL = (
     "<html><head><title>doc {doc_id}</title>"
     '<meta charset="utf-8"><script>var x=1;</script></head>'
     "<body><h1>Document {doc_id}</h1>\n<p>{body}</p>\n"
+    "<nav>{links}</nav>\n"
     '<div class="footer">generated</div></body></html>'
 )
+
+# host bank for page source hosts and outlink targets: Zipf-weighted
+# choice plants the hub-host skew a real crawl's link graph has
+HOST_BANK = [f"w{i:02d}.example.org" for i in range(40)]
+
+
+def outlinks_for_doc(doc_id: int) -> list[str]:
+    """Outlink URLs as a pure function of doc_id (separate rng stream —
+    adding links must not shift the text/lang draws of existing
+    corpora). 0-4 links, Zipf-weighted target host."""
+    rng = random.Random(f"links:{doc_id}")
+    n = rng.randint(0, 4)
+    return [
+        f"https://{_zipf_choice(rng, HOST_BANK)}/d/{rng.randint(0, 99999)}"
+        for _ in range(n)
+    ]
+
+
+def src_host_for_doc(doc_id: int) -> str:
+    """The page's own host — Zipf-weighted so page counts per host skew
+    like a real crawl (hub sites have many pages)."""
+    rng = random.Random(f"srchost:{doc_id}")
+    return _zipf_choice(rng, HOST_BANK)
 
 TEMPLATES = [
     "{GENE} mutations are often implicated in {DISEASE}.",
@@ -137,12 +168,15 @@ def synthesize_pages_batch(batch: pa.Table) -> pa.Table:
     for doc_id in doc_ids:
         rng = random.Random(f"pagemeta:{doc_id}")
         text = page_text_for_doc(doc_id)
-        urls.append(f"https://example.org/doc/{doc_id:08d}")
+        urls.append(f"https://{src_host_for_doc(doc_id)}/doc/{doc_id:08d}")
         tss.append(EPOCH_US + int(doc_id) * 1_000_000)
         import html as _html
 
+        links = "".join(f'<a href="{u}">ref</a>' for u in outlinks_for_doc(doc_id))
         htmls.append(
-            HTML_SHELL.format(doc_id=doc_id, body=_html.escape(text)).encode("utf-8")
+            HTML_SHELL.format(
+                doc_id=doc_id, body=_html.escape(text), links=links
+            ).encode("utf-8")
         )
         # ~5% rows publish no pre-extracted text → html path
         texts.append(None if rng.random() < 0.05 else text)
@@ -201,10 +235,13 @@ def ensure_pages_parquet(
 
     from kazu_ray.ontology.generate import ONTOLOGY_VERSION
 
-    # keyed by ontology version: the mention bank derives from the
-    # generated ontology tables, so corpus content changes with them
+    # keyed by ontology version (the mention bank derives from the
+    # generated ontology tables) AND the corpus version (shell/link/host
+    # changes), so corpus content changes can never reuse a stale cache
     tag = sf_dir.rstrip("/").split("/")[-1]
-    out_dir = os.path.join(out_root, f"{tag}_x{multiplier}_{ONTOLOGY_VERSION}")
+    out_dir = os.path.join(
+        out_root, f"{tag}_x{multiplier}_{ONTOLOGY_VERSION}_c{CORPUS_VERSION}"
+    )
     done_marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done_marker):
         return out_dir

@@ -442,6 +442,104 @@ def test_url_dedup_keeps_latest_capture(ray_session):
     assert not dd["canonical_url"].str.contains("gclid|utm_|#").any()
 
 
+def test_host_link_graph_exact_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_degrees, host_link_graph
+
+    def page(url, links):
+        nav = "".join(f'<a href="{u}">ref</a>' for u in links)
+        return (
+            url,
+            f"<html><body><p>text body line long enough</p>\n<nav>{nav}</nav>"
+            "</body></html>".encode(),
+        )
+
+    rows = [
+        page("https://a.org/1", ["https://B.org/x", "https://b.org/y", "https://c.org/z"]),
+        page("https://a.org/2", ["https://b.org/q"]),
+        page("https://b.org/1", ["https://a.org/h", "https://a.org/h"]),
+        page("https://c.org/1", []),
+    ]
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "html": pa.array([r[1] for r in rows], type=pa.binary()),
+            }
+        )
+    )
+    lg = (
+        host_link_graph(pages)
+        .to_pandas()
+        .sort_values(["src_host", "dst_host"], ignore_index=True)
+    )
+    # host-case normalized (B.org → b.org), duplicate anchors counted
+    assert lg.values.tolist() == [
+        ["a.org", "b.org", 3],
+        ["a.org", "c.org", 1],
+        ["b.org", "a.org", 2],
+    ]
+    hd = host_degrees(pages)
+    assert hd.values.tolist() == [
+        # host, out_links, out_hosts, in_hosts
+        ["a.org", 4, 2, 1],
+        ["b.org", 2, 1, 1],
+        ["c.org", 0, 0, 1],
+    ]
+
+
+def test_host_pagerank_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_pagerank
+
+    # a links to b once; b is dangling (receives, never distributes)
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["https://a.org/1"], type=pa.string()),
+                "html": pa.array(
+                    [b'<html><body><p>x</p><nav><a href="https://b.org/p">ref</a></nav></body></html>'],
+                    type=pa.binary(),
+                ),
+            }
+        )
+    )
+    pr = host_pagerank(pages)
+    s = 10**12
+    base = 3 * s // 20
+    # after iter-1 a's rank settles at base; b converges to
+    # base + 17*base//20 (its sole inflow is a's base rank)
+    assert pr.values.tolist() == [
+        ["a.org", base],
+        ["b.org", base + 17 * base // 20],
+    ]
+
+
+def test_corpus_outlinks_never_perturb_extracted_text():
+    """The nav anchor line must never win the longest-line rule — the
+    per-url text-sha invariant is corpus-content-version independent."""
+    from kazu_ray.sources.corpus import (
+        outlinks_for_doc,
+        page_text_for_doc,
+        synthesize_pages_batch,
+    )
+    from kazu_ray.stages.extract import html_to_text
+
+    import pyarrow as pa
+
+    ids = list(range(300))
+    batch = synthesize_pages_batch(pa.table({"doc_id": pa.array(ids)}))
+    any_links = False
+    for doc_id, h in zip(ids, batch["html"].to_pylist()):
+        any_links = any_links or bool(outlinks_for_doc(doc_id))
+        assert html_to_text(h) == page_text_for_doc(doc_id)
+    assert any_links  # the corpus actually plants links
+
+
 def test_cms_overcount_only_and_merge():
     from kazu_ray.ops.sketches import CountMinSketch
 
