@@ -1172,6 +1172,17 @@ def _host_pagerank(sf_dir: str):
     return host_pagerank(rd.read_parquet(oracle_dir))
 
 
+def _crawl_frontier(sf_dir: str):
+    """Uncrawled outlink URLs + ref counts: page-scale e-marker
+    anti-join exchange (kazu_ray/ops/web.py::crawl_frontier)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import crawl_frontier
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return crawl_frontier(rd.read_parquet(oracle_dir))
+
+
 def _split_assign(sf_dir: str):
     """Deterministic train/val/test assignment by md5(doc_id) bucket —
     reproducible split sizes per split, checked against the identical
@@ -1275,7 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_graph": _host_link_graph,
         "host_degrees": _host_degrees,
         "host_pagerank": _host_pagerank,
-        "top_events_per_user": _top_events_per_user,
+        "crawl_frontier": _crawl_frontier,
         # --- KG pipeline + graph analytics (code touched this round) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1334,6 +1345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_retail": relational.top_parts_by_retail,
         "segment_ship_priority": relational.segment_ship_priority,
         "sliding_event_counts": relational.sliding_event_counts,
+        "top_events_per_user": _top_events_per_user,
         "tfidf_topk": _tfidf_topk,
         "packed_chunks": _packed_chunks,
         "doc_token_stats": _doc_token_stats,
@@ -1992,6 +2004,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM hosts h LEFT JOIN c3 c ON c.host = h.host
             )
             SELECT host, r AS rank_scaled FROM r3
+        """,
+        "crawl_frontier": """
+            WITH pages AS (
+                SELECT url, decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            outl AS (
+                SELECT unnest(regexp_extract_all(h, '<a\\s+href="(https?://[^"]+)"', 1)) AS url
+                FROM pages
+            ),
+            agg AS (SELECT url, count(*)::BIGINT AS n_refs FROM outl GROUP BY 1)
+            SELECT a.url, a.n_refs
+            FROM agg a
+            ANTI JOIN pages p ON p.url = a.url
         """,
         "near_dup_clusters": """
             WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -292,3 +292,82 @@ def host_pagerank(pages_ds, iterations: int = 3, scale: int = 10**12):
         .reset_index()
         .sort_values("host", ignore_index=True)
     )
+
+
+_HREF_FULL_RE = __import__("re").compile(rb'<a\s+href="(https?://[^"]+)"')
+
+
+def crawl_frontier(pages_ds):
+    """Crawl frontier: every outlink URL that is NOT itself a crawled
+    page, with its reference count — the next-fetch worklist a crawler
+    derives from a finished crawl batch. Unlike the host graph this is
+    PAGE-scale on both sides (outlink urls and crawled urls both grow
+    with the corpus), so the anti-join must really distribute.
+
+    Shapes: one e-marker union exchange keyed on the url — outlink rows
+    (url, n partial, crawled=0) pre-combined per batch, crawled-page
+    rows (url, 0, crawled=1) — hash co-location brings each url's
+    partials and its (at most one) crawled marker to one bucket, where
+    a vectorized groupby sums refs, maxes the marker, and filters
+    crawled==0. No global sort, no broadcast of a page-scale set, hot
+    urls bounded by blocks × 1 partial row."""
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    def outlink_partials(batch: pa.Table) -> pa.Table:
+        refs: dict[bytes, int] = {}
+        for h in batch["html"].to_pylist():
+            if h is None:
+                continue
+            for u in _HREF_FULL_RE.findall(h):
+                refs[u] = refs.get(u, 0) + 1
+        urls = pa.array(
+            [u.decode("utf-8", "replace") for u in refs], type=pa.string()
+        )
+        n = pa.array(list(refs.values()), type=pa.int64())
+        return pa.table(
+            {
+                "url": urls,
+                "n": n,
+                "crawled": pa.array([0] * len(refs), type=pa.int64()),
+            }
+        )
+
+    def crawled_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"].cast(pa.string()),
+                "n": pa.array([0] * batch.num_rows, type=pa.int64()),
+                "crawled": pa.array([1] * batch.num_rows, type=pa.int64()),
+            }
+        )
+
+    union = pages_ds.map_batches(
+        outlink_partials, batch_format="pyarrow"
+    ).union(pages_ds.map_batches(crawled_rows, batch_format="pyarrow"))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by("url")
+            .aggregate([("n", "sum"), ("crawled", "max")])
+            .rename_columns(["url", "n_refs", "_crawled"])
+        )
+        import pyarrow.compute as pc
+
+        g = g.filter(
+            pc.and_(pc.equal(g["_crawled"], 0), pc.greater(g["n_refs"], 0))
+        )
+        return g.select(["url", "n_refs"])
+
+    return exchange_groups(
+        union,
+        ["url"],
+        shuffle_parts(),
+        per_bucket,
+        pa.table(
+            {
+                "url": pa.array([], type=pa.string()),
+                "n_refs": pa.array([], type=pa.int64()),
+            }
+        ),
+    )

@@ -37,7 +37,7 @@ EPOCH_US = 1_600_000_000_000_000  # fixed base timestamp (µs)
 # Bump when generated PAGE CONTENT changes (links, shell, hosts…) —
 # ensure_pages_parquet keys its /tmp cache on this so a content change
 # can never silently reuse a stale corpus (the ONTOLOGY_VERSION lesson).
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 # realistic-ish page shell: head (dropped whole by the extractor),
 # escaped body text, and a <nav> outlink block on its own line — the
@@ -60,13 +60,21 @@ HOST_BANK = [f"w{i:02d}.example.org" for i in range(40)]
 def outlinks_for_doc(doc_id: int) -> list[str]:
     """Outlink URLs as a pure function of doc_id (separate rng stream —
     adding links must not shift the text/lang draws of existing
-    corpora). 0-4 links, Zipf-weighted target host."""
+    corpora). 0-4 links, Zipf-weighted target host; ~40% are INTERNAL
+    links to a recent page's exact url (so frontier/anti-join analyses
+    have real already-crawled hits — a link to doc_id-k is in-corpus
+    whenever that id exists at the current scale), the rest point
+    outside the crawl."""
     rng = random.Random(f"links:{doc_id}")
     n = rng.randint(0, 4)
-    return [
-        f"https://{_zipf_choice(rng, HOST_BANK)}/d/{rng.randint(0, 99999)}"
-        for _ in range(n)
-    ]
+    out = []
+    for _ in range(n):
+        if rng.random() < 0.4 and doc_id > 0:
+            t = max(0, doc_id - rng.randint(1, 500))
+            out.append(f"https://{src_host_for_doc(t)}/doc/{t:08d}")
+        else:
+            out.append(f"https://{_zipf_choice(rng, HOST_BANK)}/d/{rng.randint(0, 99999)}")
+    return out
 
 
 def src_host_for_doc(doc_id: int) -> str:

@@ -519,6 +519,36 @@ def test_host_pagerank_hand_computed(ray_session):
     ]
 
 
+def test_crawl_frontier_excludes_crawled(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import crawl_frontier
+
+    def page(url, links):
+        nav = "".join(f'<a href="{u}">ref</a>' for u in links)
+        return url, f"<html><body><p>x</p><nav>{nav}</nav></body></html>".encode()
+
+    rows = [
+        # links to b (crawled → excluded) and to two frontier urls
+        page("https://a.org/1", ["https://b.org/1", "https://x.org/new", "https://x.org/new"]),
+        page("https://b.org/1", ["https://y.org/other"]),
+    ]
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "html": pa.array([r[1] for r in rows], type=pa.binary()),
+            }
+        )
+    )
+    fr = crawl_frontier(pages).to_pandas().sort_values("url", ignore_index=True)
+    assert fr.values.tolist() == [
+        ["https://x.org/new", 2],
+        ["https://y.org/other", 1],
+    ]
+
+
 def test_corpus_outlinks_never_perturb_extracted_text():
     """The nav anchor line must never win the longest-line rule — the
     per-url text-sha invariant is corpus-content-version independent."""
