@@ -1183,6 +1183,17 @@ def _crawl_frontier(sf_dir: str):
     return crawl_frontier(rd.read_parquet(oracle_dir))
 
 
+def _page_outlink_stats(sf_dir: str):
+    """Per-page outdegree / external-share profile: pure streaming
+    per-row transform, no shuffle."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import page_outlink_stats
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return page_outlink_stats(rd.read_parquet(oracle_dir))
+
+
 def _split_assign(sf_dir: str):
     """Deterministic train/val/test assignment by md5(doc_id) bucket —
     reproducible split sizes per split, checked against the identical
@@ -1287,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degrees": _host_degrees,
         "host_pagerank": _host_pagerank,
         "crawl_frontier": _crawl_frontier,
+        "page_outlink_stats": _page_outlink_stats,
         # --- KG pipeline + graph analytics (code touched this round) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1316,7 +1328,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kazu_ray.ops.joins", fromlist=["interval_join_events"]
         ).interval_join_events(sf_dir, window_minutes=120),
         # --- dedup (near_dup_clusters rides the components code path) ---
-        "exact_dedup": _exact_dedup,
         "minhash_near_dups": _minhash_pairs,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "near_dup_clusters": _near_dup_clusters,
@@ -1337,6 +1348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _simhash_dups,
         "embedding_near_dups": _embedding_near_dups,
         "topk_cosine": _topk_cosine,
+        "exact_dedup": _exact_dedup,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_segment": relational.revenue_by_segment,
         "monthly_order_revenue": _monthly_order_revenue,
@@ -2004,6 +2016,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM hosts h LEFT JOIN c3 c ON c.host = h.host
             )
             SELECT host, r AS rank_scaled FROM r3
+        """,
+        "page_outlink_stats": """
+            WITH pages AS (
+                SELECT url,
+                       lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS own,
+                       list_transform(
+                           regexp_extract_all(decode(html), '<a\\s+href="https?://([^/"]+)', 1),
+                           t -> lower(t)) AS ts
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            )
+            SELECT url,
+                   len(ts)::BIGINT AS n_outlinks,
+                   len(list_distinct(ts))::BIGINT AS n_hosts,
+                   len(list_filter(ts, t -> t <> own))::BIGINT AS n_external
+            FROM pages
         """,
         "crawl_frontier": """
             WITH pages AS (

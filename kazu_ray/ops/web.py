@@ -371,3 +371,35 @@ def crawl_frontier(pages_ds):
             }
         ),
     )
+
+
+def page_outlink_stats(pages_ds):
+    """Per-page outlink profile: (url, n_outlinks, n_hosts, n_external)
+    — outdegree and external-link share are standard page-quality /
+    spam signals. Pure per-row streaming transform (one regex pass per
+    page, no shuffle at any scale); "external" = target host differs
+    from the page's own host."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        n_out, n_hosts, n_ext = [], [], []
+        for u, h in zip(urls, htmls):
+            own = (u or "").split("://", 1)[-1].split("/", 1)[0].lower()
+            targets = [] if h is None else [
+                m.decode("utf-8", "replace").lower()
+                for m in _HREF_RE.findall(h)
+            ]
+            n_out.append(len(targets))
+            n_hosts.append(len(set(targets)))
+            n_ext.append(sum(1 for t in targets if t != own))
+        return pa.table(
+            {
+                "url": batch["url"].cast(pa.string()),
+                "n_outlinks": pa.array(n_out, type=pa.int64()),
+                "n_hosts": pa.array(n_hosts, type=pa.int64()),
+                "n_external": pa.array(n_ext, type=pa.int64()),
+            }
+        )
+
+    return pages_ds.map_batches(stats, batch_format="pyarrow")
