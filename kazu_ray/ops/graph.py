@@ -294,6 +294,17 @@ _EDGE_EMPTY = pa.table(
 )
 
 
+def _node_codes(deg: dict):
+    """Sorted dense int codes for the node vocabulary (node-sized,
+    module docstring): (node→code dict, code→node numpy array). Code
+    order == string sort order, so min/max comparisons on codes agree
+    with the string contracts."""
+    import numpy as np
+
+    nodes = np.array(sorted(deg), dtype=object)
+    return {n: i for i, n in enumerate(nodes)}, nodes
+
+
 def _edge_degrees(edges):
     """Distinct-neighbor degree per node over a :func:`_distinct_edges`
     Dataset — node-sized (legitimate driver/broadcast material, module
@@ -598,7 +609,11 @@ def node_triangle_counts(triples_ds):
     pair; bucket state is spill-backed) — each closed wedge
     {center, a, b} is one triangle, found once, crediting all three
     corners. Output is (node, n_triangles) for nodes in ≥1 triangle.
-    """
+
+    Like :func:`edge_embeddedness`, the wedge/close path runs on dense
+    INT32 node codes (:func:`_node_codes`) — the wedge exchange ships
+    3 × int32 instead of 3 strings; the final node-sized aggregate
+    decodes back to strings."""
     import numpy as np
     import ray
     from ray.data.aggregate import Sum
@@ -607,23 +622,35 @@ def node_triangle_counts(triples_ds):
     from kazu_ray.ops.exchange import exchange_groups
 
     edges = _distinct_edges(triples_ds)
-    deg_ref = ray.put(_edge_degrees(edges))
+    deg = _edge_degrees(edges)
+    code, inv = _node_codes(deg)
+    dcode = {code[n]: d for n, d in deg.items()}
+    code_ref = ray.put(code)
+    dcode_ref = ray.put(dcode)
+    inv_ref = ray.put(inv)
 
     def orient(t: pa.Table) -> pa.Table:
-        d = ray.get(deg_ref)
-        a = t["a"].to_pandas()
-        b = t["b"].to_pandas()
-        da = a.map(d)
-        db = b.map(d)
+        c = ray.get(code_ref)
+        dc = ray.get(dcode_ref)
+        a = t["a"].to_pandas().map(c).astype("int32")
+        b = t["b"].to_pandas().map(c).astype("int32")
+        da = a.map(dc)
+        db = b.map(dc)
         fwd = (da < db) | ((da == db) & (a < b))
-        return pa.table({"src": a.where(fwd, b), "dst": b.where(fwd, a)})
+        return pa.table(
+            {
+                "src": pa.array(a.where(fwd, b), type=pa.int32()),
+                "dst": pa.array(b.where(fwd, a), type=pa.int32()),
+            }
+        )
 
     oriented = edges.map_batches(orient, batch_format="pyarrow")
 
     def wedges_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["src", "dst"], kind="mergesort")
-        src = df["src"].to_numpy()
-        dst = df["dst"].to_numpy()
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
         starts = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
         bounds = np.append(starts, len(src))
         a_parts, b_parts, c_parts = [], [], []
@@ -635,82 +662,76 @@ def node_triangle_counts(triples_ds):
             ns = dst[s:e]
             a_parts.append(ns[i])
             b_parts.append(ns[j])
-            c_parts.append(np.repeat(src[s], len(i)))
+            c_parts.append(np.full(len(i), src[s], dtype=np.int32))
         if not a_parts:
-            return _W_EMPTY
+            return _EE_WEDGE_EMPTY
         return pa.table(
             {
-                "a": pa.array(np.concatenate(a_parts), type=pa.string()),
-                "b": pa.array(np.concatenate(b_parts), type=pa.string()),
-                "center": pa.array(np.concatenate(c_parts), type=pa.string()),
+                "a": pa.array(np.concatenate(a_parts), type=pa.int32()),
+                "b": pa.array(np.concatenate(b_parts), type=pa.int32()),
+                "center": pa.array(np.concatenate(c_parts), type=pa.int32()),
             }
         )
 
-    _W_EMPTY = pa.table(
-        {
-            "a": pa.array([], type=pa.string()),
-            "b": pa.array([], type=pa.string()),
-            "center": pa.array([], type=pa.string()),
-        }
+    wedge_rows = exchange_groups(
+        oriented, ["src"], shuffle_parts(), wedges_bucket, _EE_WEDGE_EMPTY
     )
 
-    wedge_rows = exchange_groups(
-        oriented, ["src"], shuffle_parts(), wedges_bucket, _W_EMPTY
-    )
-    edge_rows = edges.map_batches(
-        lambda t: pa.table(
+    def edge_marker(t: pa.Table) -> pa.Table:
+        c = ray.get(code_ref)
+        return pa.table(
             {
-                "a": t["a"].cast(pa.string()),
-                "b": t["b"].cast(pa.string()),
-                "center": pa.nulls(t.num_rows, type=pa.string()),
+                "a": pa.array(t["a"].to_pandas().map(c), type=pa.int32()),
+                "b": pa.array(t["b"].to_pandas().map(c), type=pa.int32()),
+                "center": pa.nulls(t.num_rows, type=pa.int32()),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    edge_rows = edges.map_batches(edge_marker, batch_format="pyarrow")
 
     def close_bucket(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         is_edge = df["center"].isna()
         e = df[is_edge][["a", "b"]].drop_duplicates()
-        w = df[~is_edge]
+        w = df[~is_edge].astype({"center": "int32"})
         closed = w.merge(e, on=["a", "b"])
         if closed.empty:
-            return pa.table(
-                {
-                    "node": pa.array([], type=pa.string()),
-                    "partial": pa.array([], type=pa.int64()),
-                }
-            )
+            return _NTC_PARTIAL_EMPTY
         corners = pd.concat(
             [closed["a"], closed["b"], closed["center"]], ignore_index=True
         )
         g = corners.value_counts()
         return pa.table(
             {
-                "node": pa.array(g.index, type=pa.string()),
+                "node": pa.array(g.index.to_numpy(np.int32), type=pa.int32()),
                 "partial": pa.array(g.to_numpy(), type=pa.int64()),
             }
         )
 
-    _N_EMPTY = pa.table(
-        {"node": pa.array([], type=pa.string()), "partial": pa.array([], type=pa.int64())}
-    )
     partials = exchange_groups(
-        wedge_rows.union(edge_rows), ["a", "b"], shuffle_parts(), close_bucket, _N_EMPTY
+        wedge_rows.union(edge_rows), ["a", "b"], shuffle_parts(), close_bucket,
+        _NTC_PARTIAL_EMPTY,
     )
+
+    def decode(t: pa.Table) -> pa.Table:
+        iv = ray.get(inv_ref)
+        return pa.table(
+            {
+                "node": pa.array(iv[t["node"].to_numpy()], type=pa.string()),
+                "n_triangles": t["n_triangles"].cast(pa.int64()),
+            }
+        )
+
     return (
         partials.groupby("node")
         .aggregate(Sum("partial", alias_name="n_triangles"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t["node"].cast(pa.string()),
-                    "n_triangles": t["n_triangles"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .map_batches(decode, batch_format="pyarrow")
     )
+
+
+_NTC_PARTIAL_EMPTY = pa.table(
+    {"node": pa.array([], type=pa.int32()), "partial": pa.array([], type=pa.int64())}
+)
 
 
 def pagerank(triples_ds, n_iters: int = 3, scale: int = 10**12):
@@ -1042,32 +1063,50 @@ def edge_embeddedness(triples_ds):
     needed), except each closed wedge {center, a, b} credits its THREE
     edges (center,a), (center,b), (a,b) instead of its corners. Edges
     in no triangle report 0 (left join against the edge set via a
-    0-partial row per edge). Streams as (a, b, n_common)."""
+    0-partial row per edge). Streams as (a, b, n_common).
+
+    The whole wedge/close path runs on dense INT32 node codes
+    (:func:`_node_codes` — code order == string order, so orientation
+    and min/max normalization agree with the string contract): wedge
+    rows are the layer's largest exchange and 3 × int32 ships ~5×
+    fewer bytes than 3 strings, with int-keyed groupbys to match;
+    strings reappear only in the edge-sized decode at the output."""
     import numpy as np
     import ray
-    from ray.data.aggregate import Sum
 
     from kazu_ray.ops.dedup import shuffle_parts
     from kazu_ray.ops.exchange import exchange_groups
 
     edges = _distinct_edges(triples_ds)
-    deg_ref = ray.put(_edge_degrees(edges))
+    deg = _edge_degrees(edges)
+    code, inv = _node_codes(deg)
+    dcode = {code[n]: d for n, d in deg.items()}
+    code_ref = ray.put(code)
+    dcode_ref = ray.put(dcode)
+    inv_ref = ray.put(inv)
 
     def orient(t: pa.Table) -> pa.Table:
-        d = ray.get(deg_ref)
-        a = t["a"].to_pandas()
-        b = t["b"].to_pandas()
-        da = a.map(d)
-        db = b.map(d)
+        c = ray.get(code_ref)
+        dc = ray.get(dcode_ref)
+        a = t["a"].to_pandas().map(c).astype("int32")
+        b = t["b"].to_pandas().map(c).astype("int32")
+        da = a.map(dc)
+        db = b.map(dc)
         fwd = (da < db) | ((da == db) & (a < b))
-        return pa.table({"src": a.where(fwd, b), "dst": b.where(fwd, a)})
+        return pa.table(
+            {
+                "src": pa.array(a.where(fwd, b), type=pa.int32()),
+                "dst": pa.array(b.where(fwd, a), type=pa.int32()),
+            }
+        )
 
     oriented = edges.map_batches(orient, batch_format="pyarrow")
 
     def wedges_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["src", "dst"], kind="mergesort")
-        src = df["src"].to_numpy()
-        dst = df["dst"].to_numpy()
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
         starts = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
         bounds = np.append(starts, len(src))
         a_parts, b_parts, c_parts = [], [], []
@@ -1079,43 +1118,45 @@ def edge_embeddedness(triples_ds):
             ns = dst[s:e]
             a_parts.append(ns[i])
             b_parts.append(ns[j])
-            c_parts.append(np.repeat(src[s], len(i)))
+            c_parts.append(np.full(len(i), src[s], dtype=np.int32))
         if not a_parts:
             return _EE_WEDGE_EMPTY
         return pa.table(
             {
-                "a": pa.array(np.concatenate(a_parts), type=pa.string()),
-                "b": pa.array(np.concatenate(b_parts), type=pa.string()),
-                "center": pa.array(np.concatenate(c_parts), type=pa.string()),
+                "a": pa.array(np.concatenate(a_parts), type=pa.int32()),
+                "b": pa.array(np.concatenate(b_parts), type=pa.int32()),
+                "center": pa.array(np.concatenate(c_parts), type=pa.int32()),
             }
         )
 
     wedge_rows = exchange_groups(
         oriented, ["src"], shuffle_parts(), wedges_bucket, _EE_WEDGE_EMPTY
     )
-    edge_rows = edges.map_batches(
-        lambda t: pa.table(
+
+    def edge_marker(t: pa.Table) -> pa.Table:
+        c = ray.get(code_ref)
+        return pa.table(
             {
-                "a": t["a"].cast(pa.string()),
-                "b": t["b"].cast(pa.string()),
-                "center": pa.nulls(t.num_rows, type=pa.string()),
+                "a": pa.array(t["a"].to_pandas().map(c), type=pa.int32()),
+                "b": pa.array(t["b"].to_pandas().map(c), type=pa.int32()),
+                "center": pa.nulls(t.num_rows, type=pa.int32()),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    edge_rows = edges.map_batches(edge_marker, batch_format="pyarrow")
 
     def close_bucket(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         is_edge = df["center"].isna()
         e = df[is_edge][["a", "b"]].drop_duplicates()
-        w = df[~is_edge]
+        w = df[~is_edge].astype({"center": "int32"})
         closed = w.merge(e, on=["a", "b"])
         # every edge reports, triangle-free ones at 0
         frames = [e.assign(partial=0)]
         if not closed.empty:
             # closed wedge {center, a, b}: credit (a,b) here (it is
             # bucket-local); (center,a)/(center,b) go to the groupby as
-            # normalized min/max pairs
+            # normalized min/max pairs (code order == string order)
             frames.append(closed[["a", "b"]].assign(partial=1))
             for left, right in (("center", "a"), ("center", "b")):
                 lo = closed[[left, right]].min(axis=1)
@@ -1125,8 +1166,8 @@ def edge_embeddedness(triples_ds):
         g = out.groupby(["a", "b"], as_index=False)["partial"].sum()
         return pa.table(
             {
-                "a": pa.array(g["a"], type=pa.string()),
-                "b": pa.array(g["b"], type=pa.string()),
+                "a": pa.array(g["a"], type=pa.int32()),
+                "b": pa.array(g["b"], type=pa.int32()),
                 "partial": pa.array(g["partial"], type=pa.int64()),
             }
         )
@@ -1136,18 +1177,26 @@ def edge_embeddedness(triples_ds):
         _EE_PARTIAL_EMPTY,
     )
 
-    def sum_bucket(t: pa.Table) -> pa.Table:
-        return (
+    def sum_decode_bucket(t: pa.Table) -> pa.Table:
+        iv = ray.get(inv_ref)
+        g = (
             t.group_by(["a", "b"])
             .aggregate([("partial", "sum")])
             .rename_columns(["a", "b", "n_common"])
+        )
+        return pa.table(
+            {
+                "a": pa.array(iv[g["a"].to_numpy()], type=pa.string()),
+                "b": pa.array(iv[g["b"].to_numpy()], type=pa.string()),
+                "n_common": g["n_common"].cast(pa.int64()),
+            }
         )
 
     return exchange_groups(
         partials,
         ["a", "b"],
         shuffle_parts(),
-        sum_bucket,
+        sum_decode_bucket,
         pa.table(
             {
                 "a": pa.array([], type=pa.string()),
@@ -1160,15 +1209,15 @@ def edge_embeddedness(triples_ds):
 
 _EE_WEDGE_EMPTY = pa.table(
     {
-        "a": pa.array([], type=pa.string()),
-        "b": pa.array([], type=pa.string()),
-        "center": pa.array([], type=pa.string()),
+        "a": pa.array([], type=pa.int32()),
+        "b": pa.array([], type=pa.int32()),
+        "center": pa.array([], type=pa.int32()),
     }
 )
 _EE_PARTIAL_EMPTY = pa.table(
     {
-        "a": pa.array([], type=pa.string()),
-        "b": pa.array([], type=pa.string()),
+        "a": pa.array([], type=pa.int32()),
+        "b": pa.array([], type=pa.int32()),
         "partial": pa.array([], type=pa.int64()),
     }
 )
