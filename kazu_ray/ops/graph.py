@@ -437,18 +437,28 @@ def triangle_count(triples_ds, max_driver_edges: int | None = None):
     # ---- distributed path: degree-oriented wedge counting ----
     import numpy as np
 
-    deg_ref = ray.put(_edge_degrees(edges))
+    deg = _edge_degrees(edges)
+    code, inv = _node_codes(deg)
+    dcode = {code[n]: d for n, d in deg.items()}
+    code_ref = ray.put(code)
+    dcode_ref = ray.put(dcode)
+    n_codes = len(inv)
 
     def orient(t: pa.Table) -> pa.Table:
-        d = ray.get(deg_ref)
-        a = t["a"].to_pandas()
-        b = t["b"].to_pandas()
-        da = a.map(d)
-        db = b.map(d)
+        c = ray.get(code_ref)
+        dc = ray.get(dcode_ref)
+        a = t["a"].to_pandas().map(c).astype("int32")
+        b = t["b"].to_pandas().map(c).astype("int32")
+        da = a.map(dc)
+        db = b.map(dc)
         # orient from the lower-(degree, name) endpoint; a<b already
+        # (code order == string order)
         fwd = (da < db) | ((da == db) & (a < b))
         return pa.table(
-            {"src": a.where(fwd, b), "dst": b.where(fwd, a)}
+            {
+                "src": pa.array(a.where(fwd, b), type=pa.int32()),
+                "dst": pa.array(b.where(fwd, a), type=pa.int32()),
+            }
         )
 
     oriented = edges.map_batches(orient, batch_format="pyarrow")
@@ -458,28 +468,24 @@ def triangle_count(triples_ds, max_driver_edges: int | None = None):
     # node's out-neighborhood into a contiguous segment, then a numpy
     # triu per segment emits its pairs — the inner loop runs once per
     # node but does no frame construction or Ray dispatch, and each
-    # segment is O(sqrt(m)) by the degree orientation.
+    # segment is O(sqrt(m)) by the degree orientation. Everything runs
+    # on global int32 node codes (the wedge exchange ships ints).
     def wedges_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["src", "dst"], kind="mergesort")
-        src = df["src"].to_numpy()
-        dst = df["dst"].to_numpy()
+        src = t["src"].to_numpy().astype(np.int64)
+        dst = t["dst"].to_numpy().astype(np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
         starts = np.flatnonzero(
             np.concatenate(([True], src[1:] != src[:-1]))
         )
         bounds = np.append(starts, len(src))
-        # int-code the (sorted) dst values once per bucket so pair keys
-        # and the combiner below run on int64 (codes ordered as strings
-        # keeps a < b intact)
-        dst_codes, dst_uniques = pd.factorize(df["dst"], sort=True)
-        dst_codes = dst_codes.astype(np.int64)
-        n_codes = len(dst_uniques)
         a_parts, b_parts = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             k = e - s
             if k < 2:
                 continue
             i, j = np.triu_indices(k, k=1)
-            ns = dst_codes[s:e]
+            ns = dst[s:e]
             a_parts.append(ns[i])
             b_parts.append(ns[j])
         if not a_parts:
@@ -491,11 +497,10 @@ def triangle_count(triples_ds, max_driver_edges: int | None = None):
         kstarts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
         w = np.diff(np.append(kstarts, len(key))).astype(np.int64)
         uk = key[kstarts]
-        uniq = np.asarray(dst_uniques)
         return pa.table(
             {
-                "a": pa.array(uniq[uk // n_codes], type=pa.string()),
-                "b": pa.array(uniq[uk % n_codes], type=pa.string()),
+                "a": pa.array((uk // n_codes).astype(np.int32)),
+                "b": pa.array((uk % n_codes).astype(np.int32)),
                 "w": pa.array(w),
                 "e": pa.array(np.zeros(len(uk), dtype=np.int64)),
             }
@@ -503,8 +508,8 @@ def triangle_count(triples_ds, max_driver_edges: int | None = None):
 
     _wedge_empty = pa.table(
         {
-            "a": pa.array([], type=pa.string()),
-            "b": pa.array([], type=pa.string()),
+            "a": pa.array([], type=pa.int32()),
+            "b": pa.array([], type=pa.int32()),
             "w": pa.array([], type=pa.int64()),
             "e": pa.array([], type=pa.int64()),
         }
@@ -516,17 +521,18 @@ def triangle_count(triples_ds, max_driver_edges: int | None = None):
     wedge_rows = exchange_groups(
         oriented, ["src"], shuffle_parts(), wedges_bucket, _wedge_empty
     )
-    edge_rows = edges.map_batches(
-        lambda t: pa.table(
+    def edge_marker(t: pa.Table) -> pa.Table:
+        c = ray.get(code_ref)
+        return pa.table(
             {
-                "a": t["a"].cast(pa.string()),
-                "b": t["b"].cast(pa.string()),
+                "a": pa.array(t["a"].to_pandas().map(c), type=pa.int32()),
+                "b": pa.array(t["b"].to_pandas().map(c), type=pa.int32()),
                 "w": pa.array([0] * t.num_rows, type=pa.int64()),
                 "e": pa.array([1] * t.num_rows, type=pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    edge_rows = edges.map_batches(edge_marker, batch_format="pyarrow")
 
     def close_pairs_bucket(t: pa.Table) -> pa.Table:
         # e is 0/1 (edges are distinct): triangles at this closing
@@ -859,19 +865,25 @@ def link_prediction(
         max_center_degree = int(os.environ.get("KAZU_LP_MAX_CENTER_DEG", 10_000))
 
     edges = _distinct_edges(triples_ds)
-    deg_ref = ray.put(_edge_degrees(edges))
+    deg = _edge_degrees(edges)
+    code, inv = _node_codes(deg)
+    # per-code degree vector (node-sized): deg and scale//deg by code
+    deg_by_code = np.zeros(len(inv), dtype=np.int64)
+    for n, d in deg.items():
+        deg_by_code[code[n]] = d
+    code_ref = ray.put(code)
+    degv_ref = ray.put(deg_by_code)
+    inv_ref = ray.put(inv)
+    n_codes = len(inv)
 
     def undirect(t: pa.Table) -> pa.Table:
+        c = ray.get(code_ref)
+        a = pa.array(t["a"].to_pandas().map(c), type=pa.int32())
+        b = pa.array(t["b"].to_pandas().map(c), type=pa.int32())
         return pa.table(
             {
-                "center": pa.concat_arrays(
-                    [t["a"].cast(pa.string()).combine_chunks(),
-                     t["b"].cast(pa.string()).combine_chunks()]
-                ),
-                "nbr": pa.concat_arrays(
-                    [t["b"].cast(pa.string()).combine_chunks(),
-                     t["a"].cast(pa.string()).combine_chunks()]
-                ),
+                "center": pa.concat_arrays([a, b]),
+                "nbr": pa.concat_arrays([b, a]),
             }
         )
 
@@ -880,16 +892,13 @@ def link_prediction(
     cap = max_center_degree
 
     def wedges_bucket(t: pa.Table) -> pa.Table:
-        d = ray.get(deg_ref)
-        df = t.to_pandas().sort_values(["center", "nbr"], kind="mergesort")
-        df = df[df["center"].map(d) <= cap]
-        center = df["center"].to_numpy()
-        # int-code neighbors once per bucket (sort=True keeps code order
-        # == string order, so sorted code pairs stay u < w); per-center
-        # pair enumeration and the combiner below run on int64 codes.
-        nbr_codes, nbr_uniques = pd.factorize(df["nbr"], sort=True)
-        nbr_codes = nbr_codes.astype(np.int64)
-        n_codes = len(nbr_uniques)
+        dv = ray.get(degv_ref)
+        center = t["center"].to_numpy().astype(np.int64)
+        nbr = t["nbr"].to_numpy().astype(np.int64)
+        keep = dv[center] <= cap
+        center, nbr = center[keep], nbr[keep]
+        order = np.lexsort((nbr, center))
+        center, nbr = center[order], nbr[order]
         starts = np.flatnonzero(np.concatenate(([True], center[1:] != center[:-1])))
         bounds = np.append(starts, len(center))
         u_parts, w_parts, ra_parts = [], [], []
@@ -898,11 +907,11 @@ def link_prediction(
             if k < 2:
                 continue
             i, j = np.triu_indices(k, k=1)
-            ns = nbr_codes[s:e]  # sorted, so pairs come out u < w
+            ns = nbr[s:e]  # sorted, so pairs come out u < w (code order)
             u_parts.append(ns[i])
             w_parts.append(ns[j])
             ra_parts.append(
-                np.full(len(i), scale // d[center[s]], dtype=np.int64)
+                np.full(len(i), scale // dv[center[s]], dtype=np.int64)
             )
         if not u_parts:
             return _LP_EMPTY
@@ -917,11 +926,10 @@ def link_prediction(
         cn = np.diff(np.append(kstarts, len(ks)))
         ra_sum = np.add.reduceat(ras, kstarts)
         uk = ks[kstarts]
-        uniq = np.asarray(nbr_uniques)
         return pa.table(
             {
-                "u": pa.array(uniq[uk // n_codes], type=pa.string()),
-                "w": pa.array(uniq[uk % n_codes], type=pa.string()),
+                "u": pa.array((uk // n_codes).astype(np.int32)),
+                "w": pa.array((uk % n_codes).astype(np.int32)),
                 "cn": pa.array(cn.astype(np.int64)),
                 "ra": pa.array(ra_sum),
                 "e": pa.array(np.zeros(len(uk), dtype=np.int64)),
@@ -931,20 +939,23 @@ def link_prediction(
     wedge_rows = exchange_groups(
         und, ["center"], shuffle_parts(), wedges_bucket, _LP_EMPTY
     )
-    edge_rows = edges.map_batches(
-        lambda t: pa.table(
+
+    def edge_marker(t: pa.Table) -> pa.Table:
+        c = ray.get(code_ref)
+        return pa.table(
             {
-                "u": t["a"].cast(pa.string()),
-                "w": t["b"].cast(pa.string()),
+                "u": pa.array(t["a"].to_pandas().map(c), type=pa.int32()),
+                "w": pa.array(t["b"].to_pandas().map(c), type=pa.int32()),
                 "cn": pa.array([0] * t.num_rows, type=pa.int64()),
                 "ra": pa.array([0] * t.num_rows, type=pa.int64()),
                 "e": pa.array([1] * t.num_rows, type=pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    edge_rows = edges.map_batches(edge_marker, batch_format="pyarrow")
 
     def reduce_pairs_bucket(t: pa.Table) -> pa.Table:
+        iv = ray.get(inv_ref)
         df = t.to_pandas()
         g = df.groupby(["u", "w"], sort=False).agg(
             n_common=("cn", "sum"), ra_score=("ra", "sum"), _edge=("e", "max")
@@ -952,8 +963,8 @@ def link_prediction(
         g = g[(g["_edge"] == 0) & (g["n_common"] > 0)].reset_index()
         return pa.table(
             {
-                "u": pa.array(g["u"], type=pa.string()),
-                "w": pa.array(g["w"], type=pa.string()),
+                "u": pa.array(iv[g["u"].to_numpy(np.int64)], type=pa.string()),
+                "w": pa.array(iv[g["w"].to_numpy(np.int64)], type=pa.string()),
                 "n_common": pa.array(g["n_common"].to_numpy(np.int64)),
                 "ra_score": pa.array(g["ra_score"].to_numpy(np.int64)),
             }
@@ -970,8 +981,8 @@ def link_prediction(
 
 _LP_EMPTY = pa.table(
     {
-        "u": pa.array([], type=pa.string()),
-        "w": pa.array([], type=pa.string()),
+        "u": pa.array([], type=pa.int32()),
+        "w": pa.array([], type=pa.int32()),
         "cn": pa.array([], type=pa.int64()),
         "ra": pa.array([], type=pa.int64()),
         "e": pa.array([], type=pa.int64()),
