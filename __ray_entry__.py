@@ -1132,7 +1132,9 @@ def _write_linkgraph_pages(sf_dir: str) -> str:
     pages_dir = ensure_pages_parquet(sf_dir)
     shutil.rmtree(oracle_dir, ignore_errors=True)
     os.makedirs(oracle_dir, exist_ok=True)
-    rd.read_parquet(pages_dir, columns=["url", "html"]).write_parquet(oracle_dir)
+    rd.read_parquet(pages_dir, columns=["url", "warc_ts", "html"]).write_parquet(
+        oracle_dir
+    )
     stamp_oracle_artifact(oracle_dir)
     return oracle_dir
 
@@ -1192,6 +1194,17 @@ def _page_outlink_stats(sf_dir: str):
 
     oracle_dir = _write_linkgraph_pages(sf_dir)
     return page_outlink_stats(rd.read_parquet(oracle_dir))
+
+
+def _host_crawl_recency(sf_dir: str):
+    """Per-host crawl freshness (two-pass broadcast-midpoint aggregate,
+    all-integer µs outputs)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_crawl_recency
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_crawl_recency(rd.read_parquet(oracle_dir))
 
 
 def _split_assign(sf_dir: str):
@@ -1299,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _host_pagerank,
         "crawl_frontier": _crawl_frontier,
         "page_outlink_stats": _page_outlink_stats,
+        "host_crawl_recency": _host_crawl_recency,
         # --- KG pipeline + graph analytics (code touched this round) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1328,7 +1342,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kazu_ray.ops.joins", fromlist=["interval_join_events"]
         ).interval_join_events(sf_dir, window_minutes=120),
         # --- dedup (near_dup_clusters rides the components code path) ---
-        "minhash_near_dups": _minhash_pairs,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "near_dup_clusters": _near_dup_clusters,
         "dedup_survivors": _dedup_survivors,
@@ -1349,6 +1362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _embedding_near_dups,
         "topk_cosine": _topk_cosine,
         "exact_dedup": _exact_dedup,
+        "minhash_near_dups": _minhash_pairs,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_segment": relational.revenue_by_segment,
         "monthly_order_revenue": _monthly_order_revenue,
@@ -2016,6 +2030,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM hosts h LEFT JOIN c3 c ON c.host = h.host
             )
             SELECT host, r AS rank_scaled FROM r3
+        """,
+        "host_crawl_recency": """
+            WITH p AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS host,
+                       epoch_us(warc_ts) AS ts
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            mm AS (SELECT min(ts) + (max(ts) - min(ts)) // 2 AS mid FROM p)
+            SELECT host,
+                   count(*)::BIGINT AS n_pages,
+                   min(ts)::BIGINT AS first_ts_us,
+                   max(ts)::BIGINT AS last_ts_us,
+                   sum(CASE WHEN ts > (SELECT mid FROM mm) THEN 1 ELSE 0 END)::BIGINT AS n_recent
+            FROM p
+            WHERE host <> ''
+            GROUP BY 1
         """,
         "page_outlink_stats": """
             WITH pages AS (

@@ -403,3 +403,74 @@ def page_outlink_stats(pages_ds):
         )
 
     return pages_ds.map_batches(stats, batch_format="pyarrow")
+
+
+def host_crawl_recency(pages_ds):
+    """Per-host crawl freshness: (host, n_pages, first_ts_us,
+    last_ts_us, n_recent) where n_recent counts pages captured AFTER
+    the midpoint of the corpus's global capture window — the signal a
+    re-crawl scheduler ranks hosts by.
+
+    Shapes: pass 1 streams only the timestamp column into a global
+    min/max aggregate; the integer midpoint broadcasts in the closure
+    (two-pass broadcast-threshold pattern, same as the tf-idf idf
+    pass); pass 2 is a per-batch combiner groupby per host feeding a
+    host-bounded groupby. All-integer µs outputs — hash-exact vs the
+    oracle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def ts_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"ts": batch["warc_ts"].cast(pa.int64())})
+
+    mm = pages_ds.map_batches(ts_only, batch_format="pyarrow").aggregate(
+        Min("ts"), Max("ts")
+    )
+    lo, hi = int(mm["min(ts)"]), int(mm["max(ts)"])
+    mid = lo + (hi - lo) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = (
+            batch["url"]
+            .to_pandas()
+            .str.extract(_HOST_RE, expand=False)
+            .str.lower()
+        )
+        ts = batch["warc_ts"].cast(pa.int64()).to_pandas()
+        df = pd.DataFrame({"host": hosts, "ts": ts}).dropna(subset=["host"])
+        df["rec"] = (df["ts"] > mid).astype("int64")
+        g = df.groupby("host").agg(
+            n=("ts", "size"), lo=("ts", "min"), hi=("ts", "max"), rec=("rec", "sum")
+        )
+        g = g.reset_index()
+        return pa.table(
+            {
+                "host": pa.array(g["host"], type=pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "lo": pa.array(g["lo"].to_numpy(np.int64)),
+                "hi": pa.array(g["hi"].to_numpy(np.int64)),
+                "rec": pa.array(g["rec"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n", alias_name="n_pages"),
+            Min("lo", alias_name="first_ts_us"),
+            Max("hi", alias_name="last_ts_us"),
+            Sum("rec", alias_name="n_recent"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "host": t["host"].cast(pa.string()),
+                    "n_pages": t["n_pages"].cast(pa.int64()),
+                    "first_ts_us": t["first_ts_us"].cast(pa.int64()),
+                    "last_ts_us": t["last_ts_us"].cast(pa.int64()),
+                    "n_recent": t["n_recent"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
