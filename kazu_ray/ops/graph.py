@@ -328,7 +328,7 @@ def _edge_degrees(edges):
     return dict(zip(deg_df["node"], deg_df["deg"]))
 
 
-def two_hop_path_counts(triples_ds):
+def two_hop_path_counts(triples_ds, edges=None):
     """Per-node count of length-2 paths u–v–w (w ≠ u, over the distinct
     undirected edge set) — the neighborhood-size signal hub analyses
     want, computed WITHOUT materializing any 2-hop pair set: the count
@@ -341,7 +341,8 @@ def two_hop_path_counts(triples_ds):
     import ray
     from ray.data.aggregate import Sum
 
-    edges = _distinct_edges(triples_ds)
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
     deg_ref = ray.put(_edge_degrees(edges))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -380,7 +381,7 @@ def two_hop_path_counts(triples_ds):
     )
 
 
-def triangle_count(triples_ds, max_driver_edges: int | None = None):
+def triangle_count(triples_ds, max_driver_edges: int | None = None, edges=None):
     """Global triangle count of the undirected co-occurrence graph,
     size-dispatched like ``connected_components_auto``:
 
@@ -411,7 +412,8 @@ def triangle_count(triples_ds, max_driver_edges: int | None = None):
     if max_driver_edges is None:
         max_driver_edges = int(os.environ.get("KAZU_TRI_MAX_DRIVER_EDGES", 200_000))
 
-    edges = _distinct_edges(triples_ds)
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
 
     n_edges = edges.count()
     if n_edges <= max_driver_edges:
@@ -579,7 +581,7 @@ def degree_histogram(triples_ds):
     )
 
 
-def clustering_coefficient(triples_ds, max_driver_edges: int | None = None):
+def clustering_coefficient(triples_ds, max_driver_edges: int | None = None, edges=None):
     """Global clustering coefficient of the co-occurrence graph —
     3·triangles / wedges, reported as integer parts-per-million
     (``coeff_ppm = (3·n_triangles·1e6) // n_wedges``) so the SQL oracle
@@ -587,7 +589,8 @@ def clustering_coefficient(triples_ds, max_driver_edges: int | None = None):
     :func:`triangle_count`; the wedge count needs NO wedge enumeration —
     it is Σ_v deg(v)·(deg(v)−1)/2 over the node-sized degree table.
     Returns a 1-row (n_triangles, n_wedges, coeff_ppm) DataFrame."""
-    edges = _distinct_edges(triples_ds)
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
     deg = _edge_degrees(edges)
     n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
     n_tri = int(
@@ -605,7 +608,7 @@ def clustering_coefficient(triples_ds, max_driver_edges: int | None = None):
     )
 
 
-def node_triangle_counts(triples_ds):
+def node_triangle_counts(triples_ds, edges=None):
     """Per-node triangle participation counts — the local-clustering /
     anomaly signal (a node in many triangles sits in a dense
     neighborhood). Fully distributed at every size: degree-oriented
@@ -627,7 +630,8 @@ def node_triangle_counts(triples_ds):
     from kazu_ray.ops.dedup import shuffle_parts
     from kazu_ray.ops.exchange import exchange_groups
 
-    edges = _distinct_edges(triples_ds)
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
     deg = _edge_degrees(edges)
     code, inv = _node_codes(deg)
     dcode = {code[n]: d for n, d in deg.items()}
@@ -740,7 +744,7 @@ _NTC_PARTIAL_EMPTY = pa.table(
 )
 
 
-def pagerank(triples_ds, n_iters: int = 3, scale: int = 10**12):
+def pagerank(triples_ds, n_iters: int = 3, scale: int = 10**12, edges=None):
     """Fixed-iteration PageRank over the undirected co-occurrence graph
     (damping 0.85), kept in INTEGER arithmetic so the result is
     reduction-order independent and the SQL oracle (the same ``n_iters``
@@ -768,7 +772,8 @@ def pagerank(triples_ds, n_iters: int = 3, scale: int = 10**12):
     import ray
     from ray.data.aggregate import Sum
 
-    edges = _distinct_edges(triples_ds)
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
     deg = _edge_degrees(edges)
     base = (15 * scale) // 100
     ranks = {n: scale for n in deg}
@@ -823,6 +828,7 @@ def link_prediction(
     triples_ds,
     max_center_degree: int | None = None,
     scale: int = 10**12,
+    edges=None,
 ):
     """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) over
     the co-occurrence graph: for every NON-adjacent pair (u, w) with at
@@ -864,7 +870,8 @@ def link_prediction(
     if max_center_degree is None:
         max_center_degree = int(os.environ.get("KAZU_LP_MAX_CENTER_DEG", 10_000))
 
-    edges = _distinct_edges(triples_ds)
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
     deg = _edge_degrees(edges)
     code, inv = _node_codes(deg)
     # per-code degree vector (node-sized): deg and scale//deg by code
@@ -999,7 +1006,7 @@ _LP_OUT_EMPTY = pa.table(
 )
 
 
-def bfs_distances(triples_ds, n_seeds: int = 5, max_hops: int = 3):
+def bfs_distances(triples_ds, n_seeds: int = 5, max_hops: int = 3, edges=None):
     """Multi-source BFS distance (≤ ``max_hops``) from the ``n_seeds``
     lexicographically smallest nodes of the co-occurrence graph — the
     "distance from the core vocabulary" signal, and the general k-hop
@@ -1016,7 +1023,8 @@ def bfs_distances(triples_ds, n_seeds: int = 5, max_hops: int = 3):
     import ray
     from ray.data.aggregate import Min
 
-    edges = _distinct_edges(triples_ds)
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
     deg = _edge_degrees(edges)
     seeds = sorted(deg)[:n_seeds]
     dist = {n: 0 for n in seeds}
@@ -1065,7 +1073,7 @@ def bfs_distances(triples_ds, n_seeds: int = 5, max_hops: int = 3):
     )
 
 
-def edge_embeddedness(triples_ds):
+def edge_embeddedness(triples_ds, edges=None):
     """Per-EDGE common-neighbor counts (embeddedness / tie strength —
     Granovetter-style strong-tie signal): for every distinct edge, the
     number of triangles it participates in. Same degree-oriented
@@ -1088,7 +1096,8 @@ def edge_embeddedness(triples_ds):
     from kazu_ray.ops.dedup import shuffle_parts
     from kazu_ray.ops.exchange import exchange_groups
 
-    edges = _distinct_edges(triples_ds)
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
     deg = _edge_degrees(edges)
     code, inv = _node_codes(deg)
     dcode = {code[n]: d for n, d in deg.items()}

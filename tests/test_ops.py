@@ -490,6 +490,43 @@ def test_host_link_graph_exact_counts(ray_session):
     ]
 
 
+def test_graph_ops_accept_shared_edges(ray_session):
+    """The `edges=` kwarg (one _distinct_edges pass shared across a
+    suite of graph ops) must give results identical to the per-op
+    recompute."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops import graph
+
+    triples = rd.from_arrow(
+        pa.table(
+            {
+                "subj": ["a", "a", "b", "c", "a", "d"],
+                "obj": ["b", "c", "c", "a", "b", "d"],
+                "doc_id": ["d1", "d1", "d2", "d2", "d3", "d3"],
+            }
+        )
+    )
+    edges = graph._distinct_edges(triples)
+    tri_shared = int(graph.triangle_count(triples, edges=edges)["n_triangles"].iloc[0])
+    tri_own = int(graph.triangle_count(triples)["n_triangles"].iloc[0])
+    assert tri_shared == tri_own == 1
+    ee_shared = (
+        graph.edge_embeddedness(triples, edges=edges)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    ee_own = (
+        graph.edge_embeddedness(triples)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    assert ee_shared.values.tolist() == ee_own.values.tolist()
+    # d has only a self-loop, which _distinct_edges drops → 3 nodes
+    assert len(graph.pagerank(triples, edges=edges)) == 3
+
+
 def test_host_pagerank_hand_computed(ray_session):
     import pyarrow as pa
     import ray.data as rd
