@@ -142,17 +142,17 @@ def kg_components(triples_ds):
 
     # dense sorted id assignment from the NODE table only (node-sized,
     # legitimate driver material per the module docstring); the edge
-    # Dataset itself is never collected
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.concat_tables(
-            [
-                pa.table({"node": t["subj"].cast(pa.string())}),
-                pa.table({"node": t["obj"].cast(pa.string())}),
-            ]
-        )
+    # Dataset itself is never collected. Combiner-first: per-batch
+    # distinct endpoints → the groupby sees blocks × nodes rows, not
+    # 2 × |E| endpoint rows.
+    def endpoint_partials(t: pa.Table) -> pa.Table:
+        nodes_local = pd.concat(
+            [t["subj"].to_pandas(), t["obj"].to_pandas()], ignore_index=True
+        ).drop_duplicates()
+        return pa.table({"node": pa.array(nodes_local, type=pa.string())})
 
     node_df = (
-        edges.map_batches(endpoints, batch_format="pyarrow")
+        edges.map_batches(endpoint_partials, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Count(alias_name="_one"))
         .to_pandas()
@@ -308,21 +308,29 @@ def _node_codes(deg: dict):
 def _edge_degrees(edges):
     """Distinct-neighbor degree per node over a :func:`_distinct_edges`
     Dataset — node-sized (legitimate driver/broadcast material, module
-    docstring). Returns a plain dict."""
-    from ray.data.aggregate import Count
+    docstring). Returns a plain dict.
 
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.concat_tables(
-            [
-                pa.table({"node": t["a"].cast(pa.string())}),
-                pa.table({"node": t["b"].cast(pa.string())}),
-            ]
+    Combiner-first: each batch emits node-sized (node, partial) counts
+    (pandas value_counts), so the groupby sums blocks × nodes partial
+    rows instead of sorting 2 × |E| endpoint rows — at web scale the
+    edge set is orders of magnitude bigger than the vocabulary."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        vc = pd.concat(
+            [t["a"].to_pandas(), t["b"].to_pandas()], ignore_index=True
+        ).value_counts()
+        return pa.table(
+            {
+                "node": pa.array(vc.index, type=pa.string()),
+                "partial": pa.array(vc.to_numpy(), type=pa.int64()),
+            }
         )
 
     deg_df = (
-        edges.map_batches(endpoints, batch_format="pyarrow")
+        edges.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("node")
-        .aggregate(Count(alias_name="deg"))
+        .aggregate(Sum("partial", alias_name="deg"))
         .to_pandas()
     )
     return dict(zip(deg_df["node"], deg_df["deg"]))
