@@ -1329,11 +1329,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_distances": _kg_bfs_distances,
         "kg_edge_embeddedness": _kg_edge_embeddedness,
         "kg_component_sizes": _kg_component_sizes,
+        "kg_text_hashes": _text_hashes,
         "mention_contexts": _mention_contexts,
         "kg_components": _kg_components,
         "kg_node_doc_counts": _kg_node_doc_counts,
         "kg_entity_stats": _kg_entity_stats,
-        "kg_text_hashes": _text_hashes,
         # --- exchange-backed joins + relational headliners ---
         "asof_prior_view": lambda sf_dir: __import__(
             "kazu_ray.ops.joins", fromlist=["asof_join_events"]
