@@ -1207,6 +1207,17 @@ def _host_crawl_recency(sf_dir: str):
     return host_crawl_recency(rd.read_parquet(oracle_dir))
 
 
+def _host_components(sf_dir: str):
+    """Connected components of the undirected host link graph
+    (site-family discovery; reuses the KG CC machinery)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_components
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_components(rd.read_parquet(oracle_dir))
+
+
 def _split_assign(sf_dir: str):
     """Deterministic train/val/test assignment by md5(doc_id) bucket —
     reproducible split sizes per split, checked against the identical
@@ -1313,6 +1324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": _crawl_frontier,
         "page_outlink_stats": _page_outlink_stats,
         "host_crawl_recency": _host_crawl_recency,
+        "host_components": _host_components,
         # --- KG pipeline + graph analytics (code touched this round) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1342,7 +1354,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kazu_ray.ops.joins", fromlist=["interval_join_events"]
         ).interval_join_events(sf_dir, window_minutes=120),
         # --- dedup (near_dup_clusters rides the components code path) ---
-        "ngram_jaccard_dups": _ngram_jaccard_dups,
         "near_dup_clusters": _near_dup_clusters,
         "dedup_survivors": _dedup_survivors,
         # --- similarity search ---
@@ -1363,6 +1374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_cosine": _topk_cosine,
         "exact_dedup": _exact_dedup,
         "minhash_near_dups": _minhash_pairs,
+        "ngram_jaccard_dups": _ngram_jaccard_dups,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_segment": relational.revenue_by_segment,
         "monthly_order_revenue": _monthly_order_revenue,
@@ -2030,6 +2042,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM hosts h LEFT JOIN c3 c ON c.host = h.host
             )
             SELECT host, r AS rank_scaled FROM r3
+        """,
+        "host_components": """
+            WITH RECURSIVE pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            e AS (SELECT DISTINCT src_host AS a, dst_host AS b FROM raw),
+            nodes AS (SELECT DISTINCT n FROM (SELECT a AS n FROM e
+                                              UNION ALL SELECT b FROM e)),
+            edges AS (SELECT a AS src, b AS dst FROM e
+                      UNION ALL SELECT b, a FROM e),
+            reach(id, lbl) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.id
+            )
+            SELECT id AS host, min(lbl) AS component
+            FROM reach GROUP BY id
         """,
         "host_crawl_recency": """
             WITH p AS (

@@ -474,3 +474,25 @@ def host_crawl_recency(pages_ds):
             batch_format="pyarrow",
         )
     )
+
+
+def host_components(pages_ds):
+    """Connected components of the (undirected view of the) host link
+    graph — site-family / crawl-cluster discovery: (host, component)
+    with the component labeled by its lexicographically smallest host.
+    Reuses the KG component machinery (size-dispatched driver
+    union-find / distributed BSP min-label propagation) over the
+    hosts²-bounded edge table."""
+    from kazu_ray.ops.graph import kg_components
+
+    edges = host_link_graph(pages_ds).map_batches(
+        lambda t: pa.table(
+            {
+                "subj": t["src_host"].cast(pa.string()),
+                "obj": t["dst_host"].cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    df = kg_components(edges)
+    return df.rename(columns={"node": "host"})
