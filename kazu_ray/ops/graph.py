@@ -869,7 +869,6 @@ def link_prediction(
     import os
 
     import numpy as np
-    import pandas as pd
     import ray
 
     from kazu_ray.ops.dedup import shuffle_parts
