@@ -490,6 +490,44 @@ def test_host_link_graph_exact_counts(ray_session):
     ]
 
 
+def test_int_coded_graph_ops_survive_forced_scatter_spill(ray_session, monkeypatch):
+    """Force the actor-scatter exchange (crossover=1) with a tiny spill
+    cap through the int-coded wedge paths — results must equal the
+    default sort-exchange path bit for bit."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops import graph
+
+    rng = random.Random(11)
+    rows = {"subj": [], "obj": [], "doc_id": []}
+    for i in range(400):
+        rows["subj"].append(f"n{rng.randint(0, 30):02d}")
+        rows["obj"].append(f"n{rng.randint(0, 30):02d}")
+        rows["doc_id"].append(f"d{i % 37}")
+    triples = rd.from_arrow(pa.table(rows))
+
+    def snapshot():
+        lp = (
+            graph.link_prediction(triples)
+            .to_pandas()
+            .sort_values(["u", "w"], ignore_index=True)
+        )
+        nt = (
+            graph.node_triangle_counts(triples)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        return lp.values.tolist(), nt.values.tolist()
+
+    want = snapshot()
+    monkeypatch.setenv("KAZU_EXCHANGE_CROSSOVER_ROWS", "1")
+    monkeypatch.setenv("KAZU_EXCHANGE_SPILL_BYTES", "4096")
+    assert snapshot() == want
+
+
 def test_graph_ops_accept_shared_edges(ray_session):
     """The `edges=` kwarg (one _distinct_edges pass shared across a
     suite of graph ops) must give results identical to the per-op
