@@ -624,6 +624,64 @@ def test_crawl_frontier_excludes_crawled(ray_session):
     ]
 
 
+def test_host_pagerank_random_graph_brute_force(ray_session):
+    """host_pagerank vs an independent pure-Python implementation of
+    the same integer recurrence, on random link graphs."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_pagerank
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        hosts = [f"h{i}.org" for i in range(8)]
+        pages, links_all = [], []
+        for p in range(40):
+            src = rng.choice(hosts)
+            links = [
+                f"https://{rng.choice(hosts)}/x{rng.randint(0, 5)}"
+                for _ in range(rng.randint(0, 3))
+            ]
+            nav = "".join(f'<a href="{u}">ref</a>' for u in links)
+            pages.append(
+                (
+                    f"https://{src}/p{p}",
+                    f"<html><body><p>t</p><nav>{nav}</nav></body></html>".encode(),
+                )
+            )
+            links_all.extend((src, u.split("://", 1)[1].split("/", 1)[0]) for u in links)
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([p[0] for p in pages], type=pa.string()),
+                    "html": pa.array([p[1] for p in pages], type=pa.binary()),
+                }
+            )
+        )
+        got = host_pagerank(ds)
+
+        # independent reference: same integer recurrence, plain dicts
+        s = 10**12
+        w: dict = {}
+        for a, b in links_all:
+            w[(a, b)] = w.get((a, b), 0) + 1
+        nodes = sorted({a for a, _ in w} | {b for _, b in w})
+        ow: dict = {}
+        for (a, _), n in w.items():
+            ow[a] = ow.get(a, 0) + n
+        rank = {n: s for n in nodes}
+        for _ in range(3):
+            inflow = {n: 0 for n in nodes}
+            for (a, b), n in w.items():
+                inflow[b] += rank[a] * n // ow[a]
+            rank = {n: 3 * s // 20 + 17 * inflow[n] // 20 for n in nodes}
+        want = [[n, rank[n]] for n in nodes]
+        assert got.values.tolist() == want, f"seed {seed}"
+
+
 def test_corpus_outlinks_never_perturb_extracted_text():
     """The nav anchor line must never win the longest-line rule — the
     per-url text-sha invariant is corpus-content-version independent."""
