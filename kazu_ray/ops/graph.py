@@ -62,12 +62,21 @@ def pair_doc_counts(triples_ds):
     )
 
     def count_bucket(t: pa.Table) -> pa.Table:
-        return (
+        g = (
             t.group_by(["subj", "obj", "doc_id"])
             .aggregate([])
             .group_by(["subj", "obj"])
             .aggregate([("doc_id", "count")])
-            .rename_columns(["subj", "obj", "n_docs_pair"])
+        )
+        # rename BY NAME: pyarrow's key-column/aggregate-column output
+        # order has changed across major versions, so a positional
+        # rename could silently mislabel the count
+        return pa.table(
+            {
+                "subj": g["subj"],
+                "obj": g["obj"],
+                "n_docs_pair": g["doc_id_count"],
+            }
         )
 
     pair_support = exchange_groups(
@@ -103,26 +112,216 @@ def pair_doc_counts(triples_ds):
     return pair_support.map_batches(attach, batch_format="pyarrow")
 
 
+def _hash_node_ids(col, salt: int):
+    """Salted full-width SipHash of a string column as int64 (uint64
+    bits reinterpreted) — the distributed node-id assignment for
+    :func:`components_labeled`: computed per batch from the string
+    itself, so NO node-sized broadcast dict and NO driver sort are
+    needed to turn string edges into int edges."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.fill_null("").to_pandas().to_numpy()
+    return pd.util.hash_array(vals, hash_key=f"{salt:016d}").view(np.int64)
+
+
+def components_labeled(edges, a_col: str = "subj", b_col: str = "obj",
+                       max_driver_pairs: int | None = None):
+    """Connected components of an undirected string-keyed edge Dataset,
+    labeled by each component's lexicographically smallest node —
+    fully distributed (nothing node- or edge-sized is ever collected to
+    the driver), so it holds for vocabularies that GROW with the corpus
+    (web hosts) as well as the bounded KG case:
+
+    1. node ids are salted 64-bit hashes computed per batch
+       (:func:`_hash_node_ids`) — no broadcast dict, no driver sort —
+       and collision-CHECKED (distinct-id count vs distinct-node count;
+       a collision would silently merge two components, so mismatches
+       re-salt, loudly failing after 16 attempts),
+    2. clustering is size-dispatched exactly like
+       ``connected_components_auto`` (driver union-find under
+       ``KAZU_CC_MAX_DRIVER_PAIRS``, BSP min-label bucket actors above
+       it — the pair set ships once, rounds exchange node-sized
+       messages),
+    3. the int min-label is arbitrary under hashing, so the lexmin
+       STRING contract is restored distributed: hash-join component ids
+       back onto the node table, per-component ``min(node)`` via a
+       combiner-first exchange, and one more hash join to stamp every
+       node with its component's label.
+
+    Self-loop-only nodes label themselves. Returns a Dataset of
+    (node, component)."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import (
+        connected_components,
+        connected_components_distributed,
+        shuffle_parts,
+    )
+    from kazu_ray.ops.exchange import exchange_groups
+    from kazu_ray.ops.joins import bucketed_hash_join
+
+    _out_empty = pa.table(
+        {
+            "node": pa.array([], type=pa.string()),
+            "component": pa.array([], type=pa.string()),
+        }
+    )
+
+    # distinct node table (combiner-first endpoint partials → hash
+    # exchange distinct) — a Dataset, never collected
+    def endpoint_partials(t: pa.Table) -> pa.Table:
+        nodes_local = (
+            pd.concat(
+                [t[a_col].to_pandas(), t[b_col].to_pandas()], ignore_index=True
+            )
+            .dropna()
+            .drop_duplicates()
+        )
+        return pa.table({"node": pa.array(nodes_local, type=pa.string())})
+
+    nodes = exchange_groups(
+        edges.map_batches(endpoint_partials, batch_format="pyarrow"),
+        ["node"],
+        shuffle_parts(),
+        _batch_distinct(["node"]),
+        pa.table({"node": pa.array([], type=pa.string())}),
+    ).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return rd.from_arrow(_out_empty)
+
+    ids_ds = None
+    salt = 0
+    for salt in range(16):
+        def with_ids(t: pa.Table, _salt=salt) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t["node"].cast(pa.string()),
+                    "id": pa.array(
+                        _hash_node_ids(t["node"], _salt), type=pa.int64()
+                    ),
+                }
+            )
+
+        ids_ds = nodes.map_batches(with_ids, batch_format="pyarrow").materialize()
+        n_ids = (
+            ids_ds.map_batches(
+                lambda t: t.select(["id"]), batch_format="pyarrow"
+            )
+            .groupby("id")
+            .count()
+            .count()
+        )
+        if n_ids == n_nodes:
+            break
+    else:
+        raise RuntimeError(
+            "components_labeled: node-id hashing collided at all 16 salts"
+        )
+
+    def to_int_pairs(t: pa.Table, _salt=salt) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pa.array(_hash_node_ids(t[a_col], _salt), type=pa.int64()),
+                "id_b": pa.array(_hash_node_ids(t[b_col], _salt), type=pa.int64()),
+            }
+        )
+
+    int_pairs = edges.map_batches(to_int_pairs, batch_format="pyarrow").materialize()
+
+    if max_driver_pairs is None:
+        max_driver_pairs = int(os.environ.get("KAZU_CC_MAX_DRIVER_PAIRS", 200_000))
+    if int_pairs.count() <= max_driver_pairs:
+        comp_df = connected_components(int_pairs)
+        comp_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(comp_df["doc_id"].to_numpy(np.int64)),
+                    "cid": pa.array(comp_df["component"].to_numpy(np.int64)),
+                }
+            )
+        )
+    else:
+        comp_ds = connected_components_distributed(int_pairs).map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t["doc_id"].cast(pa.int64()),
+                    "cid": t["component"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    # stamp each node with its (arbitrary) int component id
+    node_cid = bucketed_hash_join(
+        ids_ds, comp_ds, on="id", num_buckets=shuffle_parts()
+    ).map_batches(
+        lambda t: t.select(["node", "cid"]), batch_format="pyarrow"
+    ).materialize()
+
+    # lexmin string label per component: per-batch combiner min →
+    # cid-keyed exchange min
+    def local_min(t: pa.Table) -> pa.Table:
+        g = t.group_by("cid").aggregate([("node", "min")])
+        return pa.table({"cid": g["cid"], "node_min": g["node_min"]})
+
+    def bucket_min(t: pa.Table) -> pa.Table:
+        g = t.group_by("cid").aggregate([("node_min", "min")])
+        return pa.table(
+            {
+                "cid": g["cid"].cast(pa.int64()),
+                "component": g["node_min_min"].cast(pa.string()),
+            }
+        )
+
+    labels = exchange_groups(
+        node_cid.map_batches(local_min, batch_format="pyarrow"),
+        ["cid"],
+        shuffle_parts(),
+        bucket_min,
+        pa.table(
+            {
+                "cid": pa.array([], type=pa.int64()),
+                "component": pa.array([], type=pa.string()),
+            }
+        ),
+    )
+
+    return bucketed_hash_join(
+        node_cid, labels, on="cid", num_buckets=shuffle_parts()
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"].cast(pa.string()),
+                "component": t["component"].cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def kg_components(triples_ds):
     """Connected components of the undirected co-occurrence graph:
     (node, component) where the component label is the lexicographically
     smallest node it contains.
 
-    The node set is bounded (module docstring), so nodes get dense int
-    ids assigned in SORTED order from the distributed-distinct NODE
-    table — making int min-label equal string min-label — while the
-    distinct EDGE set stays a Dataset end to end (it grows toward
-    O(V^2) with corpus size and must never be collected): int-pair
-    mapping is a broadcast-dict ``Series.map`` inside ``map_batches``,
-    and the size-dispatched ``connected_components_auto`` (driver
-    union-find below the pair bound, distributed min-label propagation
-    above it, ``kazu_ray/ops/dedup.py:886``) does the clustering.
-    Isolated nodes (self-co-occurrence only) label themselves.
-    """
-    import ray
-    from ray.data.aggregate import Count
-
-    from kazu_ray.ops.dedup import connected_components_auto, shuffle_parts
+    All the heavy lifting is the fully distributed
+    :func:`components_labeled` (salted-hash node ids computed per
+    batch, size-dispatched clustering, distributed lexmin-label
+    restore) over the distinct (subj, obj) pair Dataset — the edge set
+    is never collected. Only the FINAL (node, component) table is
+    collected to pandas here, which is legitimate for the KG case
+    alone: the node vocabulary is bounded by the ontology id space
+    (module docstring). Host-scale callers use
+    :func:`components_labeled` directly and keep the Dataset
+    (``kazu_ray/ops/web.py::host_components``). Isolated nodes
+    (self-co-occurrence only) label themselves."""
+    from kazu_ray.ops.dedup import shuffle_parts
     from kazu_ray.ops.exchange import exchange_groups
 
     edges = exchange_groups(
@@ -140,48 +339,8 @@ def kg_components(triples_ds):
         ),
     ).materialize()
 
-    # dense sorted id assignment from the NODE table only (node-sized,
-    # legitimate driver material per the module docstring); the edge
-    # Dataset itself is never collected. Combiner-first: per-batch
-    # distinct endpoints → the groupby sees blocks × nodes rows, not
-    # 2 × |E| endpoint rows.
-    def endpoint_partials(t: pa.Table) -> pa.Table:
-        nodes_local = pd.concat(
-            [t["subj"].to_pandas(), t["obj"].to_pandas()], ignore_index=True
-        ).drop_duplicates()
-        return pa.table({"node": pa.array(nodes_local, type=pa.string())})
-
-    node_df = (
-        edges.map_batches(endpoint_partials, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="_one"))
-        .to_pandas()
-    )
-    nodes = sorted(node_df["node"])
-    node_id = {n: i for i, n in enumerate(nodes)}
-    id_ref = ray.put(node_id)
-
-    def to_int_pairs(batch: pa.Table) -> pa.Table:
-        ids = ray.get(id_ref)
-        return pa.table(
-            {
-                "id_a": pa.array(batch["subj"].to_pandas().map(ids), type=pa.int64()),
-                "id_b": pa.array(batch["obj"].to_pandas().map(ids), type=pa.int64()),
-            }
-        )
-
-    int_pairs = edges.map_batches(to_int_pairs, batch_format="pyarrow")
-    comp = connected_components_auto(int_pairs)
-    comp_by_id = dict(zip(comp["doc_id"], comp["component"]))
-    out = pd.DataFrame(
-        {
-            "node": nodes,
-            "component": [
-                nodes[comp_by_id.get(node_id[n], node_id[n])] for n in nodes
-            ],
-        }
-    )
-    return out
+    comp = components_labeled(edges, a_col="subj", b_col="obj")
+    return comp.to_pandas().sort_values("node", ignore_index=True)
 
 
 def pair_provenance(triples_ds, sample_k: int = 5):
@@ -602,7 +761,7 @@ def clustering_coefficient(triples_ds, max_driver_edges: int | None = None, edge
     deg = _edge_degrees(edges)
     n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
     n_tri = int(
-        triangle_count(triples_ds, max_driver_edges=max_driver_edges)[
+        triangle_count(triples_ds, max_driver_edges=max_driver_edges, edges=edges)[
             "n_triangles"
         ].iloc[0]
     )
@@ -1206,16 +1365,14 @@ def edge_embeddedness(triples_ds, edges=None):
 
     def sum_decode_bucket(t: pa.Table) -> pa.Table:
         iv = ray.get(inv_ref)
-        g = (
-            t.group_by(["a", "b"])
-            .aggregate([("partial", "sum")])
-            .rename_columns(["a", "b", "n_common"])
-        )
+        g = t.group_by(["a", "b"]).aggregate([("partial", "sum")])
+        # select aggregate output BY NAME (positional rename is fragile
+        # across pyarrow versions — see pair_doc_counts.count_bucket)
         return pa.table(
             {
                 "a": pa.array(iv[g["a"].to_numpy()], type=pa.string()),
                 "b": pa.array(iv[g["b"].to_numpy()], type=pa.string()),
-                "n_common": g["n_common"].cast(pa.int64()),
+                "n_common": g["partial_sum"].cast(pa.int64()),
             }
         )
 

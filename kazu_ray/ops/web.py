@@ -225,6 +225,69 @@ _LINK_EMPTY = pa.table(
 )
 
 
+def host_degrees_from_links(links_ds):
+    """Distributed per-host marginals over an existing link-graph
+    Dataset (rows DISTINCT per (src_host, dst_host) — the
+    :func:`host_link_graph` output contract, which is what makes the
+    row counts below distinct-host counts).
+
+    Shapes: the ``_edge_degrees`` combiner pattern
+    (``kazu_ray/ops/graph.py``): each batch emits host-sized partial
+    rows — a (src, n_links, 1 pair, 0) row and a (dst, 0, 0, 1 pair)
+    row collapsed per host — so the groupby sums blocks × local-hosts
+    partials instead of 2 × |pairs| endpoint rows, and NOTHING is ever
+    collected to the driver (the round-4 form ``to_pandas()``-ed the
+    whole link graph, which grows with the crawl: ~10⁸ hosts / ~10⁹
+    edges at real Common-Crawl scale)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["src_host"].to_pandas()
+        dst = t["dst_host"].to_pandas()
+        n = t["n_links"].to_pandas()
+        df = pd.concat(
+            [
+                pd.DataFrame(
+                    {"host": src, "o_l": n, "o_h": 1, "i_h": 0}
+                ),
+                pd.DataFrame(
+                    {"host": dst, "o_l": 0, "o_h": 0, "i_h": 1}
+                ),
+            ],
+            ignore_index=True,
+        )
+        g = df.groupby("host", as_index=False).sum()
+        return pa.table(
+            {
+                "host": pa.array(g["host"], type=pa.string()),
+                "o_l": pa.array(g["o_l"].to_numpy(np.int64)),
+                "o_h": pa.array(g["o_h"].to_numpy(np.int64)),
+                "i_h": pa.array(g["i_h"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        links_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("o_l", alias_name="out_links"),
+            Sum("o_h", alias_name="out_hosts"),
+            Sum("i_h", alias_name="in_hosts"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "host": t["host"].cast(pa.string()),
+                    "out_links": t["out_links"].cast(pa.int64()),
+                    "out_hosts": t["out_hosts"].cast(pa.int64()),
+                    "in_hosts": t["in_hosts"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def host_degrees(pages_ds):
     """Per-host link-graph degrees: (host, out_links, out_hosts,
     in_hosts) — total outgoing anchors, distinct target hosts, distinct
@@ -232,65 +295,139 @@ def host_degrees(pages_ds):
     out_links=0/out_hosts=0; hosts that link out but receive nothing
     report in_hosts=0.
 
-    Shapes: computed FROM the host-pair aggregate (bounded by hosts² —
-    the link graph is the module's legitimate driver-sized table, like
-    the KG's node vocabulary), one pandas pass: two marginal groupbys +
-    an outer merge."""
-
-    lg = host_link_graph(pages_ds).to_pandas()
-    out = lg.groupby("src_host").agg(
-        out_links=("n_links", "sum"), out_hosts=("dst_host", "nunique")
-    )
-    inn = lg.groupby("dst_host").agg(in_hosts=("src_host", "nunique"))
-    df = out.join(inn, how="outer").fillna(0).reset_index(names="host")
-    df = df.sort_values("host", ignore_index=True)
-    for c in ("out_links", "out_hosts", "in_hosts"):
-        df[c] = df[c].astype("int64")
-    return df
+    Fully distributed end to end (:func:`host_degrees_from_links` over
+    the streaming :func:`host_link_graph` pass) — the host table grows
+    with the crawl, so unlike the KG node vocabulary it is NOT
+    legitimate driver material. Streams as a Dataset."""
+    return host_degrees_from_links(host_link_graph(pages_ds))
 
 
-def host_pagerank(pages_ds, iterations: int = 3, scale: int = 10**12):
-    """Weighted directed PageRank over the host link graph, in INTEGER
-    arithmetic so the SQL oracle is hash-exact: damping 0.85 is the
-    rational 17/20, so
+def host_pagerank_from_links(links_ds, iterations: int = 3, scale: int = 10**12):
+    """Weighted directed PageRank over a link-graph Dataset
+    (src_host, dst_host, n_links), in INTEGER arithmetic so the SQL
+    oracle is hash-exact: damping 0.85 is the rational 17/20, so
 
         rank_{k+1}(v) = 3*scale//20
                         + 17 * Σ_{u→v} (rank_k(u) * w(u,v) // W(u)) // 20
 
     with w = anchor count per (u, v) and W(u) = u's total outgoing
-    anchors. Every per-edge term is an exact int64 (rank ≤ ~scale,
-    w ≤ W), sums commute, and DuckDB's ``//`` matches Python's for the
-    all-positive operands here. Dangling hosts (no outlinks) keep
-    receiving but distribute nothing — their mass is dropped BY
-    CONTRACT, identically in the oracle (the standard no-redistribution
-    simplification; at 3 fixed iterations the drop is deterministic).
+    anchors. Every per-edge term is a deterministic integer and sums
+    commute, so partial per-batch aggregation is exact. Dangling hosts
+    (no outlinks) keep receiving but distribute nothing — their mass is
+    dropped BY CONTRACT, identically in the oracle (the standard
+    no-redistribution simplification; at fixed iterations the drop is
+    deterministic).
 
-    Shapes: the expensive part — parsing anchors out of raw html — is
-    the distributed :func:`host_link_graph` pass; the iteration state is
-    hosts²-bounded (the module's legitimate driver-sized table, same
-    contract as :func:`host_degrees`), so the power steps run as three
-    pandas merge+groupby passes. Returns (host, rank_scaled) sorted by
-    host."""
-    lg = host_link_graph(pages_ds).to_pandas()
-    hosts = sorted(set(lg["src_host"]) | set(lg["dst_host"]))
-    out_w = lg.groupby("src_host")["n_links"].sum()
-    lg = lg.assign(out_links=lg["src_host"].map(out_w))
-    base = 3 * scale // 20
-    rank = pd.Series(scale, index=pd.Index(hosts, name="host"), dtype="int64")
-    for _ in range(iterations):
-        r_u = lg["src_host"].map(rank).astype("int64")
-        contrib = (r_u * lg["n_links"]) // lg["out_links"]
-        inflow = (
-            pd.DataFrame({"host": lg["dst_host"], "c": contrib})
-            .groupby("host")["c"]
-            .sum()
+    Shapes: the broadcast-rank streaming-edge-pass pattern of the KG
+    ``pagerank`` (``kazu_ray/ops/graph.py``), parameterized for
+    WEIGHTED DIRECTED edges: the edge Dataset materializes once and is
+    scanned once per iteration; the rank vector and the out-weight
+    table are HOST-sized and broadcast via one ``ray.put`` per
+    iteration (a broadcast concern at 10⁸ hosts, but strictly better
+    than the round-4 form, which collected the EDGE set to the driver);
+    per-batch combiners pre-sum contributions per destination before
+    the host-keyed groupby. Overflow is guarded, not silent: the
+    per-edge multiply falls back to exact Python ints when
+    ``max_rank × max_w`` could exceed int64 (the DuckDB oracle promotes
+    SUM to HUGEINT, so a silent int64 wrap would diverge without
+    error), and an update whose rank leaves int64 raises loudly.
+    Returns (host, rank_scaled) sorted by host."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    links = links_ds.materialize()
+
+    out_w_df = (
+        links.map_batches(
+            lambda t: pa.table(
+                {"h": t["src_host"], "w": t["n_links"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
         )
-        rank = base + (17 * inflow.reindex(rank.index, fill_value=0)) // 20
-        rank = rank.astype("int64")
-    return (
-        rank.rename("rank_scaled")
-        .reset_index()
-        .sort_values("host", ignore_index=True)
+        .groupby("h")
+        .aggregate(Sum("w", alias_name="ow"))
+        .to_pandas()
+    )
+    out_w = dict(zip(out_w_df["h"], (int(v) for v in out_w_df["ow"])))
+
+    # the full host set (src ∪ dst) — host-sized, from the distributed
+    # degrees marginals rather than a driver pass over the edges
+    hosts_df = host_degrees_from_links(links).to_pandas()
+    hosts = sorted(hosts_df["host"])
+
+    base = 3 * scale // 20
+    rank = {h: scale for h in hosts}
+    int64_max = 2**63 - 1
+
+    for _ in range(iterations):
+        state_ref = ray.put((rank, out_w))
+
+        def partial(t: pa.Table) -> pa.Table:
+            r, w = ray.get(state_ref)
+            src = t["src_host"].to_pandas()
+            n = t["n_links"].to_pandas().astype("int64")
+            r_u = src.map(r)
+            w_u = src.map(w)
+            if len(r_u) and int(r_u.max()) * int(n.max()) > int64_max:
+                # exact Python-int path: object dtype multiplies never
+                # wrap (ADVICE r04 — the oracle's HUGEINT would diverge
+                # from a silent int64 wrap)
+                contrib = (r_u.astype(object) * n.astype(object)) // w_u.astype(
+                    object
+                )
+                if contrib.map(lambda v: abs(v) > int64_max).any():
+                    # contrib ≤ rank by construction (w ≤ W), so this
+                    # only fires if rank itself left int64 — loud, not
+                    # a silent wrap
+                    raise OverflowError(
+                        "host_pagerank per-edge contribution exceeds "
+                        "int64 — lower `scale`"
+                    )
+                contrib = contrib.astype("int64")
+            else:
+                contrib = (r_u.astype("int64") * n) // w_u.astype("int64")
+            g = (
+                pd.DataFrame({"host": t["dst_host"].to_pandas(), "c": contrib})
+                .groupby("host", as_index=False)["c"]
+                .sum()
+            )
+            return pa.table(
+                {
+                    "host": pa.array(g["host"], type=pa.string()),
+                    "c": pa.array(g["c"].to_numpy(np.int64)),
+                }
+            )
+
+        inflow = (
+            links.map_batches(partial, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Sum("c", alias_name="s"))
+            .to_pandas()
+        )
+        new_rank = {h: base for h in hosts}
+        for h, s in zip(inflow["host"], inflow["s"]):
+            v = base + (17 * int(s)) // 20
+            if v > int64_max:
+                raise OverflowError(
+                    f"host_pagerank rank for {h!r} exceeds int64 — raise "
+                    "`scale` down or iterate in a wider integer type"
+                )
+            new_rank[h] = v
+        rank = new_rank
+
+    return pd.DataFrame(
+        {"host": hosts, "rank_scaled": [rank[h] for h in hosts]}
+    ).astype({"rank_scaled": "int64"})
+
+
+def host_pagerank(pages_ds, iterations: int = 3, scale: int = 10**12):
+    """Weighted directed PageRank over the host link graph parsed from
+    the raw page html — :func:`host_link_graph` (distributed anchor
+    extraction + combiner-first pair aggregate) feeding
+    :func:`host_pagerank_from_links` (broadcast-rank streaming edge
+    passes; the edge set never touches the driver)."""
+    return host_pagerank_from_links(
+        host_link_graph(pages_ds), iterations=iterations, scale=scale
     )
 
 
@@ -347,17 +484,16 @@ def crawl_frontier(pages_ds):
     ).union(pages_ds.map_batches(crawled_rows, batch_format="pyarrow"))
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        g = (
-            t.group_by("url")
-            .aggregate([("n", "sum"), ("crawled", "max")])
-            .rename_columns(["url", "n_refs", "_crawled"])
-        )
         import pyarrow.compute as pc
 
-        g = g.filter(
-            pc.and_(pc.equal(g["_crawled"], 0), pc.greater(g["n_refs"], 0))
+        g = t.group_by("url").aggregate([("n", "sum"), ("crawled", "max")])
+        # select aggregate outputs BY NAME (positional rename is fragile
+        # across pyarrow versions)
+        keep = pc.and_(
+            pc.equal(g["crawled_max"], 0), pc.greater(g["n_sum"], 0)
         )
-        return g.select(["url", "n_refs"])
+        g = g.filter(keep)
+        return pa.table({"url": g["url"], "n_refs": g["n_sum"]})
 
     return exchange_groups(
         union,
@@ -480,19 +616,25 @@ def host_components(pages_ds):
     """Connected components of the (undirected view of the) host link
     graph — site-family / crawl-cluster discovery: (host, component)
     with the component labeled by its lexicographically smallest host.
-    Reuses the KG component machinery (size-dispatched driver
-    union-find / distributed BSP min-label propagation) over the
-    hosts²-bounded edge table."""
-    from kazu_ray.ops.graph import kg_components
 
-    edges = host_link_graph(pages_ds).map_batches(
+    Fully distributed via ``components_labeled``
+    (``kazu_ray/ops/graph.py``): salted-hash node ids computed per
+    batch (no driver sort of the host vocabulary — unlike the KG node
+    table, the HOST table grows with the crawl), size-dispatched
+    clustering (BSP min-label bucket actors past
+    ``KAZU_CC_MAX_DRIVER_PAIRS``), lexmin label restored by distributed
+    joins. Streams as a Dataset of (host, component)."""
+    from kazu_ray.ops.graph import components_labeled
+
+    comp = components_labeled(
+        host_link_graph(pages_ds), a_col="src_host", b_col="dst_host"
+    )
+    return comp.map_batches(
         lambda t: pa.table(
             {
-                "subj": t["src_host"].cast(pa.string()),
-                "obj": t["dst_host"].cast(pa.string()),
+                "host": t["node"].cast(pa.string()),
+                "component": t["component"].cast(pa.string()),
             }
         ),
         batch_format="pyarrow",
     )
-    df = kg_components(edges)
-    return df.rename(columns={"node": "host"})

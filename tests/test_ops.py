@@ -481,7 +481,7 @@ def test_host_link_graph_exact_counts(ray_session):
         ["a.org", "c.org", 1],
         ["b.org", "a.org", 2],
     ]
-    hd = host_degrees(pages)
+    hd = host_degrees(pages).to_pandas().sort_values("host", ignore_index=True)
     assert hd.values.tolist() == [
         # host, out_links, out_hosts, in_hosts
         ["a.org", 4, 2, 1],
@@ -680,6 +680,125 @@ def test_host_pagerank_random_graph_brute_force(ray_session):
             rank = {n: 3 * s // 20 + 17 * inflow[n] // 20 for n in nodes}
         want = [[n, rank[n]] for n in nodes]
         assert got.values.tolist() == want, f"seed {seed}"
+
+
+def _random_links_table(seed: int, n_hosts: int = 30, n_pairs: int = 120):
+    """Deterministic random (src_host, dst_host, n_links) link graph."""
+    import random
+
+    import pyarrow as pa
+
+    rng = random.Random(seed)
+    seen = {}
+    for _ in range(n_pairs):
+        a = f"h{rng.randint(0, n_hosts - 1):02d}.org"
+        b = f"h{rng.randint(0, n_hosts - 1):02d}.org"
+        seen[(a, b)] = seen.get((a, b), 0) + rng.randint(1, 5)
+    return pa.table(
+        {
+            "src_host": pa.array([k[0] for k in seen], type=pa.string()),
+            "dst_host": pa.array([k[1] for k in seen], type=pa.string()),
+            "n_links": pa.array(list(seen.values()), type=pa.int64()),
+        }
+    )
+
+
+def test_host_degrees_from_links_matches_pandas_reference(ray_session):
+    """The distributed from_links marginals (the scale-drill seam) vs a
+    driver-side pandas recompute on random link graphs."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_degrees_from_links
+
+    for seed in (5, 23):
+        t = _random_links_table(seed)
+        got = (
+            host_degrees_from_links(rd.from_arrow(t).repartition(7))
+            .to_pandas()
+            .sort_values("host", ignore_index=True)
+        )
+        lg = t.to_pandas()
+        out = lg.groupby("src_host").agg(
+            out_links=("n_links", "sum"), out_hosts=("dst_host", "nunique")
+        )
+        inn = lg.groupby("dst_host").agg(in_hosts=("src_host", "nunique"))
+        want = (
+            out.join(inn, how="outer")
+            .fillna(0)
+            .astype("int64")
+            .reset_index(names="host")
+            .sort_values("host", ignore_index=True)
+        )
+        assert got.values.tolist() == want.values.tolist(), f"seed {seed}"
+
+
+def test_host_pagerank_overflow_guard_exact(ray_session):
+    """With a scale large enough that rank × weight leaves int64, the
+    object-dtype fallback must stay exact (a silent int64 wrap would
+    diverge from the oracle's HUGEINT): checked against a pure-Python
+    big-int recompute."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_pagerank_from_links
+
+    t = pa.table(
+        {
+            "src_host": pa.array(["a.org", "a.org", "b.org"], type=pa.string()),
+            "dst_host": pa.array(["b.org", "c.org", "a.org"], type=pa.string()),
+            "n_links": pa.array([7, 3, 5], type=pa.int64()),
+        }
+    )
+    scale = 2**61  # rank*weight > 2**63 from the first iteration
+    got = host_pagerank_from_links(rd.from_arrow(t), scale=scale)
+
+    w = {("a.org", "b.org"): 7, ("a.org", "c.org"): 3, ("b.org", "a.org"): 5}
+    ow = {"a.org": 10, "b.org": 5}
+    nodes = ["a.org", "b.org", "c.org"]
+    rank = {n: scale for n in nodes}
+    for _ in range(3):
+        inflow = {n: 0 for n in nodes}
+        for (a, b), n in w.items():
+            inflow[b] += rank[a] * n // ow[a]
+        rank = {n: 3 * scale // 20 + 17 * inflow[n] // 20 for n in nodes}
+    assert got.values.tolist() == [[n, rank[n]] for n in nodes]
+    assert all(r <= 2**63 - 1 for r in rank.values())
+
+
+def test_host_components_distributed_path(ray_session, monkeypatch):
+    """host_components through the forced BSP branch (pair cap 1) must
+    equal the driver union-find result and keep lexmin host labels."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_components
+
+    def page(url, links):
+        nav = "".join(f'<a href="{u}">ref</a>' for u in links)
+        return url, f"<html><body><p>x</p><nav>{nav}</nav></body></html>".encode()
+
+    rows = [
+        page("https://b.org/1", ["https://a.org/x"]),
+        page("https://c.org/1", ["https://b.org/y"]),
+        page("https://z2.org/1", ["https://z1.org/q"]),
+    ]
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "html": pa.array([r[1] for r in rows], type=pa.binary()),
+            }
+        )
+    )
+    want = {
+        "a.org": "a.org", "b.org": "a.org", "c.org": "a.org",
+        "z1.org": "z1.org", "z2.org": "z1.org",
+    }
+    got = host_components(pages).to_pandas()
+    assert dict(zip(got["host"], got["component"])) == want
+    monkeypatch.setenv("KAZU_CC_MAX_DRIVER_PAIRS", "1")
+    got_dist = host_components(pages).to_pandas()
+    assert dict(zip(got_dist["host"], got_dist["component"])) == want
 
 
 def test_corpus_outlinks_never_perturb_extracted_text():
