@@ -991,6 +991,37 @@ def pagerank(triples_ds, n_iters: int = 3, scale: int = 10**12, edges=None):
     )
 
 
+def _segment_pair_strips(ns, strip_pairs: int):
+    """Yield the ordered pairs (ns[i], ns[j]), i<j, of one wedge
+    segment in fixed-size STRIPS of at most ``max(strip_pairs, k-1)``
+    pairs each — never materializing the full ``triu_indices(k)``
+    index arrays. An at-cap hub (k = 10⁴ under the default RA hub cut)
+    would otherwise allocate ~5×10⁷-element int64 index pairs (~1 GB
+    transient) in one shot; strips bound the transient to ~strip_pairs
+    elements while emitting exactly the same pairs in the same order.
+    A single row's pairs (k-1) are never split, so one yield is at
+    most ``max(strip_pairs, k-1)`` long."""
+    import numpy as np
+
+    k = len(ns)
+    r = 0
+    while r < k - 1:
+        r2, budget = r, 0
+        while r2 < k - 1 and budget + (k - 1 - r2) <= strip_pairs:
+            budget += k - 1 - r2
+            r2 += 1
+        if r2 == r:
+            r2 = r + 1  # one row alone exceeds the budget: emit it whole
+        rows = np.arange(r, r2)
+        counts = (k - 1) - rows
+        total = int(counts.sum())
+        starts = np.cumsum(np.concatenate(([0], counts[:-1])))
+        seq = np.arange(total) - np.repeat(starts, counts)
+        j = np.repeat(rows + 1, counts) + seq
+        yield ns[np.repeat(rows, counts)], ns[j]
+        r = r2
+
+
 def link_prediction(
     triples_ds,
     max_center_degree: int | None = None,
@@ -1035,6 +1066,7 @@ def link_prediction(
 
     if max_center_degree is None:
         max_center_degree = int(os.environ.get("KAZU_LP_MAX_CENTER_DEG", 10_000))
+    strip_pairs = int(os.environ.get("KAZU_LP_STRIP_PAIRS", 4_000_000))
 
     if edges is None:
         edges = _distinct_edges(triples_ds)
@@ -1079,13 +1111,15 @@ def link_prediction(
             k = e - s
             if k < 2:
                 continue
-            i, j = np.triu_indices(k, k=1)
             ns = nbr[s:e]  # sorted, so pairs come out u < w (code order)
-            u_parts.append(ns[i])
-            w_parts.append(ns[j])
-            ra_parts.append(
-                np.full(len(i), scale // dv[center[s]], dtype=np.int64)
-            )
+            ra_val = scale // dv[center[s]]
+            # strip-wise pair generation (no full triu_indices(k)
+            # allocation — the at-cap hub transient is bounded by
+            # KAZU_LP_STRIP_PAIRS instead of k²/2)
+            for su, sw in _segment_pair_strips(ns, strip_pairs):
+                u_parts.append(su)
+                w_parts.append(sw)
+                ra_parts.append(np.full(len(su), ra_val, dtype=np.int64))
         if not u_parts:
             return _LP_EMPTY
         # combiner: collapse this bucket's wedges per (u, w) BEFORE the

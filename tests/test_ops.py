@@ -2003,6 +2003,56 @@ def test_link_prediction_hub_center_cap(ray_session):
     assert set(lp["ra_score"]) == {10**12 // 6}
 
 
+def test_segment_pair_strips_bounded_and_complete():
+    """The strip generator must emit exactly the triu pairs, in order,
+    with every yield bounded by max(strip_pairs, k-1) — the allocation
+    cap that keeps an at-cap hub's wedge transient to ~strip size
+    instead of k²/2."""
+    import numpy as np
+
+    from kazu_ray.ops.graph import _segment_pair_strips
+
+    for k in (2, 3, 7, 40):
+        ns = np.arange(100, 100 + k, dtype=np.int64)
+        i, j = np.triu_indices(k, k=1)
+        want = list(zip(ns[i].tolist(), ns[j].tolist()))
+        for strip in (1, 5, 9, 10_000):
+            got, max_len = [], 0
+            for su, sw in _segment_pair_strips(ns, strip):
+                assert len(su) == len(sw)
+                max_len = max(max_len, len(su))
+                got.extend(zip(su.tolist(), sw.tolist()))
+            assert got == want, (k, strip)
+            assert max_len <= max(strip, k - 1), (k, strip)
+
+
+def test_link_prediction_hub_at_cap_with_tiny_strips(ray_session, monkeypatch):
+    """A hub AT the cap run with a tiny strip knob must equal the
+    default-strip result exactly — the chunked wedge generation is a
+    pure allocation-shape change."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import link_prediction
+
+    triples = [
+        {"subj": "HUB", "pred": "co", "obj": f"L{i}", "doc_id": i}
+        for i in range(9)
+    ] + [{"subj": "L0", "pred": "co", "obj": "L1", "doc_id": 99}]
+    ds = rd.from_items(triples)
+    want = (
+        link_prediction(ds, max_center_degree=9)
+        .to_pandas()
+        .sort_values(["u", "w"], ignore_index=True)
+    )
+    monkeypatch.setenv("KAZU_LP_STRIP_PAIRS", "3")
+    got = (
+        link_prediction(ds, max_center_degree=9)
+        .to_pandas()
+        .sort_values(["u", "w"], ignore_index=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+
+
 def test_graph_suite_matches_bruteforce_on_random_graphs(ray_session):
     """Every graph operator vs a set-based brute force on three random
     graphs (different densities, with self-loops and reversed dups
