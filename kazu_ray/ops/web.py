@@ -234,12 +234,15 @@ def host_degrees_from_links(links_ds):
     Shapes: the ``_edge_degrees`` combiner pattern
     (``kazu_ray/ops/graph.py``): each batch emits host-sized partial
     rows — a (src, n_links, 1 pair, 0) row and a (dst, 0, 0, 1 pair)
-    row collapsed per host — so the groupby sums blocks × local-hosts
-    partials instead of 2 × |pairs| endpoint rows, and NOTHING is ever
-    collected to the driver (the round-4 form ``to_pandas()``-ed the
-    whole link graph, which grows with the crawl: ~10⁸ hosts / ~10⁹
-    edges at real Common-Crawl scale)."""
-    from ray.data.aggregate import Sum
+    row collapsed per host — and the partials meet in a host-keyed
+    HASH exchange (``exchange_groups``; a ``Dataset.groupby`` pays a
+    global range-partition SORT of every partial row — measured ~2× on
+    the 10⁶-host drill) whose buckets finish the sums vectorized.
+    NOTHING is ever collected to the driver (the round-4 form
+    ``to_pandas()``-ed the whole link graph, which grows with the
+    crawl: ~10⁸ hosts / ~10⁹ edges at real Common-Crawl scale)."""
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
 
     def partial(t: pa.Table) -> pa.Table:
         src = t["src_host"].to_pandas()
@@ -266,25 +269,32 @@ def host_degrees_from_links(links_ds):
             }
         )
 
-    return (
-        links_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("host")
-        .aggregate(
-            Sum("o_l", alias_name="out_links"),
-            Sum("o_h", alias_name="out_hosts"),
-            Sum("i_h", alias_name="in_hosts"),
+    def bucket_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by("host").aggregate(
+            [("o_l", "sum"), ("o_h", "sum"), ("i_h", "sum")]
         )
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "host": t["host"].cast(pa.string()),
-                    "out_links": t["out_links"].cast(pa.int64()),
-                    "out_hosts": t["out_hosts"].cast(pa.int64()),
-                    "in_hosts": t["in_hosts"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+        return pa.table(
+            {
+                "host": g["host"].cast(pa.string()),
+                "out_links": g["o_l_sum"].cast(pa.int64()),
+                "out_hosts": g["o_h_sum"].cast(pa.int64()),
+                "in_hosts": g["i_h_sum"].cast(pa.int64()),
+            }
         )
+
+    return exchange_groups(
+        links_ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        shuffle_parts(),
+        bucket_sum,
+        pa.table(
+            {
+                "host": pa.array([], type=pa.string()),
+                "out_links": pa.array([], type=pa.int64()),
+                "out_hosts": pa.array([], type=pa.int64()),
+                "in_hosts": pa.array([], type=pa.int64()),
+            }
+        ),
     )
 
 
@@ -333,49 +343,96 @@ def host_pagerank_from_links(links_ds, iterations: int = 3, scale: int = 10**12)
     error), and an update whose rank leaves int64 raises loudly.
     Returns (host, rank_scaled) sorted by host."""
     import ray
-    from ray.data.aggregate import Sum
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
 
     links = links_ds.materialize()
 
-    out_w_df = (
-        links.map_batches(
-            lambda t: pa.table(
-                {"h": t["src_host"], "w": t["n_links"].cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("h")
-        .aggregate(Sum("w", alias_name="ow"))
-        .to_pandas()
-    )
-    out_w = dict(zip(out_w_df["h"], (int(v) for v in out_w_df["ow"])))
-
     # the full host set (src ∪ dst) — host-sized, from the distributed
     # degrees marginals rather than a driver pass over the edges
-    hosts_df = host_degrees_from_links(links).to_pandas()
-    hosts = sorted(hosts_df["host"])
+    hosts_df = host_degrees_from_links(links).to_pandas().sort_values(
+        "host", ignore_index=True
+    )
+    hosts = hosts_df["host"].tolist()
+    n_hosts = len(hosts)
+
+    # salted-hash host keys (same trick as components_labeled): edges
+    # int-code themselves per batch from the string — NOTHING
+    # string-keyed is ever broadcast (a 10⁶-entry dict deserializes in
+    # every task and dominated the drill's wall time). The iteration
+    # state is three flat numpy vectors aligned to the SORTED hash
+    # order — int64/uint64 arrays are ZERO-COPY out of the object
+    # store — and per-batch lookup is a searchsorted. Collisions are
+    # checked on the driver against the known host table and re-salted
+    # (a collision would silently merge two hosts' ranks).
+    salt = 0
+    for salt in range(16):
+        host_hashes = pd.util.hash_array(
+            np.asarray(hosts, dtype=object), hash_key=f"{salt:016d}"
+        )
+        if len(np.unique(host_hashes)) == n_hosts:
+            break
+    else:
+        raise RuntimeError("host_pagerank: host hashing collided at all 16 salts")
+    order = np.argsort(host_hashes)
+    sorted_hashes = host_hashes[order]
+    # out-weight per host, aligned to sorted-hash order (hosts_df is
+    # host-sorted and its out_links column is the total anchor count)
+    ow = hosts_df["out_links"].to_numpy(np.int64)[order]
+    hash_ref = ray.put(sorted_hashes)
+
+    def encode(t: pa.Table, _salt=salt) -> pa.Table:
+        sh = ray.get(hash_ref)
+
+        def idx_of(col) -> np.ndarray:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = col.fill_null("").to_pandas().to_numpy()
+            h = pd.util.hash_array(vals, hash_key=f"{_salt:016d}")
+            return np.searchsorted(sh, h).astype(np.int64)
+
+        return pa.table(
+            {
+                "s": pa.array(idx_of(t["src_host"])),
+                "d": pa.array(idx_of(t["dst_host"])),
+                "n": t["n_links"].cast(pa.int64()),
+            }
+        )
+
+    int_edges = links.map_batches(encode, batch_format="pyarrow").materialize()
 
     base = 3 * scale // 20
-    rank = {h: scale for h in hosts}
+    rank = np.full(n_hosts, scale, dtype=np.int64)
     int64_max = 2**63 - 1
+    ow_ref = ray.put(ow)
 
     for _ in range(iterations):
-        state_ref = ray.put((rank, out_w))
+        rank_ref = ray.put(rank)
 
         def partial(t: pa.Table) -> pa.Table:
-            r, w = ray.get(state_ref)
-            src = t["src_host"].to_pandas()
-            n = t["n_links"].to_pandas().astype("int64")
-            r_u = src.map(r)
-            w_u = src.map(w)
-            if len(r_u) and int(r_u.max()) * int(n.max()) > int64_max:
+            r = ray.get(rank_ref)  # zero-copy int64 vector
+            w = ray.get(ow_ref)
+            s = t["s"].to_numpy()
+            d = t["d"].to_numpy()
+            n = t["n"].to_numpy()
+            if len(s) == 0:
+                return pa.table(
+                    {
+                        "d": pa.array([], type=pa.int64()),
+                        "c": pa.array([], type=pa.int64()),
+                    }
+                )
+            r_u = r[s]
+            if int(r_u.max()) * int(n.max()) > int64_max:
                 # exact Python-int path: object dtype multiplies never
                 # wrap (ADVICE r04 — the oracle's HUGEINT would diverge
                 # from a silent int64 wrap)
-                contrib = (r_u.astype(object) * n.astype(object)) // w_u.astype(
-                    object
-                )
-                if contrib.map(lambda v: abs(v) > int64_max).any():
+                contrib_obj = [
+                    int(rv) * int(nv) // int(wv)
+                    for rv, nv, wv in zip(r_u, n, w[s])
+                ]
+                if any(abs(v) > int64_max for v in contrib_obj):
                     # contrib ≤ rank by construction (w ≤ W), so this
                     # only fires if rank itself left int64 — loud, not
                     # a silent wrap
@@ -383,41 +440,62 @@ def host_pagerank_from_links(links_ds, iterations: int = 3, scale: int = 10**12)
                         "host_pagerank per-edge contribution exceeds "
                         "int64 — lower `scale`"
                     )
-                contrib = contrib.astype("int64")
+                contrib = np.array(contrib_obj, dtype=np.int64)
             else:
-                contrib = (r_u.astype("int64") * n) // w_u.astype("int64")
-            g = (
-                pd.DataFrame({"host": t["dst_host"].to_pandas(), "c": contrib})
-                .groupby("host", as_index=False)["c"]
-                .sum()
+                contrib = (r_u * n) // w[s]
+            # per-batch combiner on int codes: sort + reduceat keeps
+            # the sums in int64
+            order = np.argsort(d, kind="stable")
+            ds_, cs = d[order], contrib[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ds_[1:] != ds_[:-1]))
             )
             return pa.table(
                 {
-                    "host": pa.array(g["host"], type=pa.string()),
-                    "c": pa.array(g["c"].to_numpy(np.int64)),
+                    "d": pa.array(ds_[starts]),
+                    "c": pa.array(np.add.reduceat(cs, starts)),
                 }
             )
 
-        inflow = (
-            links.map_batches(partial, batch_format="pyarrow")
-            .groupby("host")
-            .aggregate(Sum("c", alias_name="s"))
-            .to_pandas()
-        )
-        new_rank = {h: base for h in hosts}
-        for h, s in zip(inflow["host"], inflow["s"]):
-            v = base + (17 * int(s)) // 20
-            if v > int64_max:
-                raise OverflowError(
-                    f"host_pagerank rank for {h!r} exceeds int64 — raise "
-                    "`scale` down or iterate in a wider integer type"
-                )
-            new_rank[h] = v
+        def bucket_sum_d(t: pa.Table) -> pa.Table:
+            g = t.group_by("d").aggregate([("c", "sum")])
+            return pa.table(
+                {
+                    "d": g["d"].cast(pa.int64()),
+                    "s": g["c_sum"].cast(pa.int64()),
+                }
+            )
+
+        inflow = exchange_groups(
+            int_edges.map_batches(partial, batch_format="pyarrow"),
+            ["d"],
+            shuffle_parts(),
+            bucket_sum_d,
+            pa.table(
+                {
+                    "d": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.int64()),
+                }
+            ),
+        ).to_pandas()
+        new_rank = np.full(n_hosts, base, dtype=np.int64)
+        d_idx = inflow["d"].to_numpy(np.int64)
+        s_val = inflow["s"].to_numpy(np.int64)
+        upd = base + (17 * s_val.astype(object)) // 20  # exact big-int
+        if any(int(v) > int64_max for v in upd):
+            raise OverflowError(
+                "host_pagerank rank exceeds int64 — lower `scale` or "
+                "iterate in a wider integer type"
+            )
+        new_rank[d_idx] = upd.astype(np.int64)
         rank = new_rank
 
-    return pd.DataFrame(
-        {"host": hosts, "rank_scaled": [rank[h] for h in hosts]}
-    ).astype({"rank_scaled": "int64"})
+    # rank is aligned to sorted-hash order; un-permute to host order
+    inv = np.empty(n_hosts, dtype=np.int64)
+    inv[order] = np.arange(n_hosts)
+    return pd.DataFrame({"host": hosts, "rank_scaled": rank[inv]}).astype(
+        {"rank_scaled": "int64"}
+    )
 
 
 def host_pagerank(pages_ds, iterations: int = 3, scale: int = 10**12):

@@ -1,0 +1,197 @@
+"""Host-graph scale drill: synthesize a deterministic link graph with
+N hosts (default 1,000,000 → ~3.01M weighted directed edges), run the
+DISTRIBUTED host-graph ops over it — host_degrees_from_links,
+host_pagerank_from_links, components_labeled — and time them. At a
+smaller overlap scale, assert each result EQUAL to the round-4
+driver-side pandas formulation (the code that collected the link graph
+with ``to_pandas()``), so the de-drivered shapes are provably the same
+math.
+
+The synthetic graph: every host h_i links to 3 multiplicative-hash
+targets (weights 1-5), and every 100th host additionally links to h_0
+(a deterministic hub — the skew case degrees/pagerank must survive).
+
+Usage: python scripts/host_scale_drill.py [n_hosts] [overlap_hosts]
+       (defaults 1_000_000 and 50_000)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_links(n_hosts: int):
+    """Deterministic (src_host, dst_host, n_links) Dataset — distinct
+    per pair by construction."""
+    import ray.data as rd
+
+    width = len(str(n_hosts))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        srcs, dsts, ws = [], [], []
+        for k, mult in enumerate((2654435761, 40503, 2246822519)):
+            t = (ids * mult + 97 * k + 1) % n_hosts
+            keep = t != ids  # no self-links
+            srcs.append(ids[keep])
+            dsts.append(t[keep])
+            ws.append((ids[keep] + k) % 5 + 1)
+        hub = ids[(ids % 100 == 0) & (ids != 0)]
+        srcs.append(hub)
+        dsts.append(np.zeros(len(hub), dtype=ids.dtype))
+        ws.append(np.full(len(hub), 2, dtype=ids.dtype))
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        w = np.concatenate(ws).astype(np.int64)
+        # hash targets can coincide across the three multipliers (and
+        # with the hub edge) — collapse per (src, dst) so the output
+        # honors the link-graph distinct-pair contract. Each src id
+        # lives in exactly one range batch, so batch-local collapse is
+        # globally distinct.
+        g = (
+            pd.DataFrame({"s": src, "d": dst, "w": w})
+            .groupby(["s", "d"], as_index=False)["w"]
+            .sum()
+        )
+        fmt = lambda a: pd.Series(a).map(lambda i: f"h{i:0{width}d}.org")
+        return pa.table(
+            {
+                "src_host": pa.array(fmt(g["s"]), type=pa.string()),
+                "dst_host": pa.array(fmt(g["d"]), type=pa.string()),
+                "n_links": pa.array(g["w"].to_numpy(np.int64)),
+            }
+        )
+
+    return rd.range(n_hosts).map_batches(gen, batch_format="pyarrow")
+
+
+def driver_reference(links_df: pd.DataFrame):
+    """The round-4 driver-side formulation (pandas over the collected
+    link graph) — degrees, 3-iteration integer pagerank, and union-find
+    components with lexmin labels."""
+    out = links_df.groupby("src_host").agg(
+        out_links=("n_links", "sum"), out_hosts=("dst_host", "nunique")
+    )
+    inn = links_df.groupby("dst_host").agg(in_hosts=("src_host", "nunique"))
+    deg = (
+        out.join(inn, how="outer")
+        .fillna(0)
+        .astype("int64")
+        .reset_index(names="host")
+        .sort_values("host", ignore_index=True)
+    )
+
+    scale = 10**12
+    hosts = sorted(set(links_df["src_host"]) | set(links_df["dst_host"]))
+    ow = links_df.groupby("src_host")["n_links"].sum().to_dict()
+    w = dict(
+        zip(
+            zip(links_df["src_host"], links_df["dst_host"]),
+            (int(v) for v in links_df["n_links"]),
+        )
+    )
+    rank = {h: scale for h in hosts}
+    for _ in range(3):
+        inflow = {h: 0 for h in hosts}
+        for (a, b), n in w.items():
+            inflow[b] += rank[a] * n // ow[a]
+        rank = {h: 3 * scale // 20 + 17 * inflow[h] // 20 for h in hosts}
+    pr = pd.DataFrame(
+        {"host": hosts, "rank_scaled": [rank[h] for h in hosts]}
+    ).astype({"rank_scaled": "int64"})
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(links_df["src_host"], links_df["dst_host"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    comp = pd.DataFrame(
+        sorted((n, find(n)) for n in parent), columns=["host", "component"]
+    )
+    return deg, pr, comp
+
+
+def main() -> None:
+    n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    overlap = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kazu_ray.ops.graph import components_labeled
+    from kazu_ray.ops.web import host_degrees_from_links, host_pagerank_from_links
+
+    # ---- overlap equality: distributed ops vs the r04 driver math ----
+    small = synth_links(overlap).materialize()
+    small_df = small.to_pandas()
+    deg_ref, pr_ref, comp_ref = driver_reference(small_df)
+
+    deg_got = (
+        host_degrees_from_links(small)
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert deg_got.values.tolist() == deg_ref.values.tolist(), "degrees differ"
+    pr_got = host_pagerank_from_links(small)
+    assert pr_got.values.tolist() == pr_ref.values.tolist(), "pagerank differs"
+    comp_got = (
+        components_labeled(small, a_col="src_host", b_col="dst_host")
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    assert (
+        comp_got.rename(columns={"node": "host"}).values.tolist()
+        == comp_ref.values.tolist()
+    ), "components differ"
+    print(
+        f"overlap ({overlap} hosts, {len(small_df)} edges): degrees/pagerank/"
+        "components EQUAL to the driver-side formulation"
+    )
+
+    # ---- scale timing: the de-drivered ops at n_hosts ----
+    links = synth_links(n_hosts).materialize()
+    n_edges = links.count()
+
+    t0 = time.time()
+    n_deg = host_degrees_from_links(links).count()
+    t_deg = time.time() - t0
+
+    t0 = time.time()
+    pr = host_pagerank_from_links(links)
+    t_pr = time.time() - t0
+
+    t0 = time.time()
+    n_comp = components_labeled(links, a_col="src_host", b_col="dst_host").count()
+    t_comp = time.time() - t0
+
+    print(
+        f"scale ({n_hosts} hosts, {n_edges} edges): "
+        f"host_degrees {t_deg:.1f}s ({n_deg} hosts), "
+        f"host_pagerank(3 iters) {t_pr:.1f}s (rank rows {len(pr)}), "
+        f"host_components {t_comp:.1f}s ({n_comp} labeled)"
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
