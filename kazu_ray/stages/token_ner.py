@@ -416,15 +416,22 @@ class DeterministicTransformerNer:
     def _frame_to_tok_words(
         self,
         tokens,
-        label_ids: list[int],
+        label_ids: list[int] | None,
         frame_span: tuple[int, int],
         frame_index: int,
         number_of_frames: int,
+        conf_rows: np.ndarray | None = None,
     ) -> list[TokenizedWord]:
         """Port of frame_to_tok_word (hf_token_classification.py:184-278)
         including the stride trimming and the frame-final-word offset
         quirk. Indices here address the content tokens directly (the
-        cls/sep slots the reference slices away never exist)."""
+        cls/sep slots the reference slices away never exist).
+
+        ``conf_rows``: optional REAL per-token confidence rows aligned
+        with the global token stream (the torch path,
+        :class:`TorchTransformerNer`) — words then carry model
+        confidences and ``token_label_ids=None`` so the span finders
+        argmax the real distribution, exactly like the reference."""
         half_stride = int(self.stride / 2)
         fstart, fend = frame_span
         n = fend - fstart
@@ -438,9 +445,22 @@ class DeterministicTransformerNer:
             lo, hi = half_stride, n - half_stride
 
         frame_tokens = tokens[fstart + lo : fstart + hi]
-        frame_labels = label_ids[fstart + lo : fstart + hi]
+        frame_labels = (
+            label_ids[fstart + lo : fstart + hi] if label_ids is not None else None
+        )
 
         def _mk_word(a: int, b: int, wid: int, w_start: int, w_end: int) -> TokenizedWord:
+            if conf_rows is not None:
+                return TokenizedWord(
+                    token_ids=list(range(a, b)),
+                    tokens=[t[1] for t in frame_tokens[a:b]],
+                    token_confidences=conf_rows[fstart + lo + a : fstart + lo + b],
+                    token_offsets=[t[2] for t in frame_tokens[a:b]],
+                    word_char_start=w_start,
+                    word_char_end=w_end,
+                    word_id=wid,
+                    token_label_ids=None,
+                )
             labels = tuple(frame_labels[a:b])
             if len(set(labels)) == 1:
                 conf = self._conf_array(labels[0], b - a)
@@ -494,13 +514,16 @@ class DeterministicTransformerNer:
         label_ids = [self._label_id(t[3]) for t in tokens]
         return self._assemble_words(tokens, label_ids)
 
-    def _assemble_words(self, tokens, label_ids) -> list[TokenizedWord]:
+    def _assemble_words(
+        self, tokens, label_ids, conf_rows: np.ndarray | None = None
+    ) -> list[TokenizedWord]:
         frames = _frames(len(tokens), self.max_sequence_length, self.stride)
         words: list[TokenizedWord] = []
         for frame_index, frame_span in enumerate(frames):
             words.extend(
                 self._frame_to_tok_words(
-                    tokens, label_ids, frame_span, frame_index, len(frames)
+                    tokens, label_ids, frame_span, frame_index, len(frames),
+                    conf_rows=conf_rows,
                 )
             )
         if len(frames) == 1:
@@ -644,17 +667,141 @@ class DeterministicTransformerNer:
         )
 
 
+class TorchTokenClassifier:
+    """REAL token-classification forward pass behind a lazy torch
+    import — the stub/real swap seam (reference:
+    ``kazu/steps/ner/hf_token_classification.py:64-352``). Loads a
+    TorchScript module (``torch.jit.load``) plus a JSON sidecar at
+    ``<checkpoint>.json`` carrying ``labels`` (BIO strings in logit
+    order), ``vocab`` (wordpiece → input id), and optional ``unk_id`` /
+    ``pad_id``. Raises a clear ImportError when torch is absent (this
+    container ships none — the deterministic stub then stays the
+    default, selected by config, not code)."""
+
+    def __init__(self, checkpoint_path: str):
+        try:
+            import torch
+        except ImportError as e:  # pragma: no cover - torch absent here
+            raise ImportError(
+                "TorchTokenClassifier needs torch, which is not installed; "
+                "unset KAZU_TOKEN_NER_MODEL to use the deterministic stub"
+            ) from e
+        import json
+        import pathlib
+
+        self._torch = torch
+        self.module = torch.jit.load(str(checkpoint_path), map_location="cpu")
+        self.module.eval()
+        sidecar = json.loads(
+            pathlib.Path(str(checkpoint_path) + ".json").read_text()
+        )
+        self.labels = tuple(sidecar["labels"])
+        self.vocab: dict[str, int] = dict(sidecar["vocab"])
+        self.unk_id = int(sidecar.get("unk_id", 0))
+        self.pad_id = int(sidecar.get("pad_id", 0))
+
+    def encode(self, pieces: list[str]) -> list[int]:
+        v, u = self.vocab, self.unk_id
+        return [v.get(p, u) for p in pieces]
+
+    def frame_confidences(self, frames_ids: list[list[int]]) -> list[np.ndarray]:
+        """One BATCHED forward over a document's frames → per-frame
+        (frame_len, n_labels) softmax confidence arrays (the per-doc
+        batching the reference gets from its DataLoader)."""
+        torch = self._torch
+        width = max(len(f) for f in frames_ids)
+        ids = torch.full((len(frames_ids), width), self.pad_id, dtype=torch.long)
+        mask = torch.zeros((len(frames_ids), width), dtype=torch.long)
+        for i, f in enumerate(frames_ids):
+            ids[i, : len(f)] = torch.tensor(f, dtype=torch.long)
+            mask[i, : len(f)] = 1
+        with torch.no_grad():
+            logits = self.module(ids, mask)
+            if isinstance(logits, (tuple, list)):
+                logits = logits[0]
+            conf = torch.softmax(logits.float(), dim=-1).cpu().numpy()
+        return [
+            conf[i, : len(f)].astype(np.float32) for i, f in enumerate(frames_ids)
+        ]
+
+
+class TorchTransformerNer(DeterministicTransformerNer):
+    """:class:`DeterministicTransformerNer` with the stub forward pass
+    swapped for a real checkpoint: same tokenizer, same overflow
+    frames, same stride trimming, same word assembly and span finders —
+    only ``token_confidences`` now come from the model, and
+    ``token_label_ids`` stays ``None`` so the finders argmax the real
+    distribution (reference hf_token_classification.py:280-352)."""
+
+    def __init__(
+        self,
+        classifier: TorchTokenClassifier,
+        max_sequence_length: int = 128,
+        stride: int = 16,
+        use_multilabel: bool = False,
+        strip_re: dict | None = None,
+    ):
+        super().__init__(max_sequence_length, stride, use_multilabel, strip_re)
+        self.model = classifier
+        self.processor = TokenizedWordProcessor(
+            labels=classifier.labels,
+            use_multilabel=use_multilabel,
+            strip_re=DEFAULT_STRIP_RE if strip_re is None else strip_re,
+        )
+
+    def words_for_text(self, text: str) -> list[TokenizedWord]:
+        tokens = _tokenize(text)
+        if not tokens:
+            return []
+        frames = _frames(len(tokens), self.max_sequence_length, self.stride)
+        piece_ids = self.model.encode([t[1] for t in tokens])
+        frame_conf = self.model.frame_confidences(
+            [piece_ids[s:e] for s, e in frames]
+        )
+        # global per-token confidence rows: each token's row comes from
+        # the frame that OWNS it after half-stride trimming (the same
+        # lo/hi windows _frame_to_tok_words applies)
+        half_stride = int(self.stride / 2)
+        conf_rows = np.zeros(
+            (len(tokens), len(self.model.labels)), dtype=np.float32
+        )
+        for fi, ((fs, fe), conf) in enumerate(zip(frames, frame_conf)):
+            n = fe - fs
+            if len(frames) == 1:
+                lo, hi = 0, n
+            elif fi == 0:
+                lo, hi = 0, n - half_stride
+            elif fi == len(frames) - 1:
+                lo, hi = half_stride, n
+            else:
+                lo, hi = half_stride, n - half_stride
+            conf_rows[fs + lo : fs + hi] = conf[lo:hi]
+        return self._assemble_words(tokens, None, conf_rows=conf_rows)
+
+    def __call__(self, text: str) -> list[dict]:
+        return self.processor(self.words_for_text(text), text, MODEL_NER_NAMESPACE)
+
+
 _KERNEL: DeterministicTransformerNer | None = None
 
 
 def model_ner_entities(text: str) -> list[dict]:
     """Module-level kernel with a lazily-built singleton (one instance
-    per worker process — the construction cost is regex compilation
-    only, but the singleton mirrors where a model checkpoint would
-    live)."""
+    per worker process — where the model checkpoint lives). The
+    stub/real swap is CONFIG, not code: set ``KAZU_TOKEN_NER_MODEL`` to
+    a TorchScript checkpoint path (with its ``.json`` sidecar) and,
+    when torch is importable, the singleton becomes a
+    :class:`TorchTransformerNer`; unset, the deterministic stub runs —
+    same machinery either way."""
+    import os
+
     global _KERNEL
     if _KERNEL is None:
-        _KERNEL = DeterministicTransformerNer()
+        ckpt = os.environ.get("KAZU_TOKEN_NER_MODEL")
+        if ckpt:
+            _KERNEL = TorchTransformerNer(TorchTokenClassifier(ckpt))
+        else:
+            _KERNEL = DeterministicTransformerNer()
     return _KERNEL(text)
 
 

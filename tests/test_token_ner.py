@@ -203,3 +203,81 @@ def test_sparse_driver_matches_full_walk():
         words = ner.words_for_text(text)
         full = ner.processor(words, text, MODEL_NER_NAMESPACE) if words else []
         assert sparse == full, (doc_id, text)
+
+
+def test_model_ner_env_seam_stub_default(monkeypatch):
+    """With KAZU_TOKEN_NER_MODEL unset the singleton is the
+    deterministic stub; the swap is config, not code."""
+    import kazu_ray.stages.token_ner as tn
+
+    monkeypatch.delenv("KAZU_TOKEN_NER_MODEL", raising=False)
+    monkeypatch.setattr(tn, "_KERNEL", None)
+    ents = tn.model_ner_entities("Treatment with ABCD123 improved outcomes")
+    assert [e["match"] for e in ents] == ["ABCD123"]
+    assert isinstance(tn._KERNEL, tn.DeterministicTransformerNer)
+    assert not isinstance(tn._KERNEL, tn.TorchTransformerNer)
+    monkeypatch.setattr(tn, "_KERNEL", None)
+
+
+def test_torch_classifier_import_error_is_loud(monkeypatch, tmp_path):
+    """Without torch the real-model path must fail with a clear
+    ImportError naming the config knob (never a silent stub fallback —
+    the user asked for a model and must know they didn't get one)."""
+    import pytest
+
+    try:
+        import torch  # noqa: F401
+
+        pytest.skip("torch present: the import-error path cannot fire")
+    except ImportError:
+        pass
+
+    import kazu_ray.stages.token_ner as tn
+
+    with pytest.raises(ImportError, match="KAZU_TOKEN_NER_MODEL"):
+        tn.TorchTokenClassifier(str(tmp_path / "model.pt"))
+
+    monkeypatch.setenv("KAZU_TOKEN_NER_MODEL", str(tmp_path / "model.pt"))
+    monkeypatch.setattr(tn, "_KERNEL", None)
+    with pytest.raises(ImportError, match="KAZU_TOKEN_NER_MODEL"):
+        tn.model_ner_entities("some text")
+    monkeypatch.setattr(tn, "_KERNEL", None)
+
+
+def test_torch_transformer_ner_with_real_checkpoint(tmp_path):
+    """End-to-end real-model path: a tiny TorchScript token classifier
+    (embedding → per-token logits) whose weights one-hot 'BRCA'-style
+    pieces as B-gene must produce the same spans the machinery gives
+    the stub. Skips cleanly when torch is absent (this container)."""
+    import json
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    import kazu_ray.stages.token_ner as tn
+
+    vocab = {"[PAD]": 0, "[UNK]": 1, "BRCA": 2, "1": 3, "is": 4, "a": 5, "gene": 6}
+    labels = ["O", "B-gene", "I-gene"]
+
+    class Tiny(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            w = torch.zeros(len(vocab), len(labels))
+            w[:, 0] = 5.0          # default: O
+            w[2, :] = torch.tensor([0.0, 5.0, 0.0])  # BRCA -> B-gene
+            w[3, :] = torch.tensor([0.0, 5.0, 0.0])  # piece '1' of BRCA1
+            self.emb = torch.nn.Embedding.from_pretrained(w)
+
+        def forward(self, ids, mask):
+            return self.emb(ids)
+
+    path = tmp_path / "tiny.pt"
+    torch.jit.script(Tiny()).save(str(path))
+    (tmp_path / "tiny.pt.json").write_text(
+        json.dumps({"labels": labels, "vocab": vocab, "unk_id": 1, "pad_id": 0})
+    )
+
+    ner = tn.TorchTransformerNer(tn.TorchTokenClassifier(str(path)))
+    ents = ner("BRCA1 is a gene")
+    assert [(e["match"], e["entity_class"]) for e in ents] == [("BRCA1", "gene")]
