@@ -22,7 +22,7 @@ from typing import Any, Iterator
 
 
 class Automaton:
-    __slots__ = ("_goto", "_fail", "_out", "_built")
+    __slots__ = ("_goto", "_fail", "_out", "_built", "_emit_memo")
 
     def __init__(self) -> None:
         # node 0 is the root; _goto is a list of dicts char -> node
@@ -30,6 +30,8 @@ class Automaton:
         self._out: list[list[tuple[int, Any]]] = [[]]  # node -> [(key_len, value)]
         self._fail: list[int] = [0]
         self._built = False
+        # per-matcher emit-template cache (populated by the NER stage)
+        self._emit_memo: dict[str, list] = {}
 
     def add_word(self, key: str, value: Any) -> None:
         if self._built:
@@ -107,9 +109,11 @@ class SpanMatcher:
     ``tests/test_ontology_and_ner.py``).
     """
 
-    __slots__ = ("_table", "_max_token_span", "_max_len", "_first", "_built")
+    __slots__ = ("_table", "_max_token_span", "_max_len", "_first", "_built", "_emit_memo")
 
     def __init__(self) -> None:
+        # per-matcher emit-template cache (populated by the NER stage)
+        self._emit_memo: dict[str, list] = {}
         self._table: dict[str, Any] = {}
         self._max_token_span = 1
         self._max_len = 0

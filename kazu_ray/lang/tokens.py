@@ -13,6 +13,7 @@ function of its input string.
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 
 # a token is a run of word chars (unicode) — possibly JOINED ACROSS
 # HYPHENS — or a single non-space symbol. The hyphen rule ports the
@@ -50,7 +51,14 @@ def tokenize(text: str) -> list[tuple[str, int, int]]:
     """(token, start, end) triples — computed once per document and
     shared by the matcher's boundary sets and the abbreviation detector
     (tokenizing three times per doc was ~15% of kernel time)."""
-    return [(m.group(), m.start(), m.end()) for m in _TOKEN.finditer(text)]
+    # span() + slice is one C call per token fewer than
+    # group()/start()/end() — this runs for every token of every doc
+    out = []
+    append = out.append
+    for m in _TOKEN.finditer(text):
+        s, e = m.span()
+        append((text[s:e], s, e))
+    return out
 
 
 def token_boundaries_from(toks: list[tuple[str, int, int]]) -> tuple[set[int], set[int]]:
@@ -142,9 +150,12 @@ def sentence_spans(
 
 
 def sentence_index_for_span(spans: list[tuple[int, int]], start: int) -> int:
-    """Index of the sentence containing char offset ``start`` (two-pointer
-    interval lookup; spans are sorted and tiling)."""
-    for i, (s, e) in enumerate(spans):
-        if s <= start < e:
-            return i
-    return max(0, len(spans) - 1)
+    """Index of the sentence containing char offset ``start`` (binary
+    search; spans are sorted and tiling, so the containing span is the
+    rightmost one starting at or before ``start``)."""
+    if not spans:
+        return 0
+    i = bisect_right(spans, start, key=lambda sp: sp[0]) - 1
+    if i < 0:
+        return 0
+    return i if start < spans[i][1] else len(spans) - 1

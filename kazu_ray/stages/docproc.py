@@ -241,6 +241,8 @@ def detect_abbreviations(
     entities anchored at the long-form span. ``seen_long``/``seen_short``
     are shared across sections so a definition is learnt once per doc
     (``abbreviation_detector.py:400-424``)."""
+    if "(" not in text:  # C-level prefilter: no parens, no definitions
+        return {}
     seen_long = seen_long if seen_long is not None else set()
     seen_short = seen_short if seen_short is not None else set()
     toks = toks if toks is not None else _tokens(text)
@@ -253,6 +255,8 @@ def detect_abbreviations(
         elif t == ")" and open_idx is not None:
             pairs.append((open_idx, i))
             open_idx = None
+    if not pairs:
+        return {}
     # ents indexed by exact char span (contiguous only)
     ents_by_span: dict[tuple[int, int], list[dict]] = {}
     for ent in ents:
@@ -512,7 +516,10 @@ def merge_overlapping(ents: list[dict]) -> list[dict]:
         if len(group) == 1:
             out.append(group[0])
             continue
-        best = sorted(
+        # max() == sorted(..., reverse=True)[0] here, including ties
+        # (both keep the first-encountered maximum), without building
+        # and sorting a list per overlap group
+        best = max(
             group,
             key=lambda e: (
                 len(e["mappings"]) > 0,
@@ -521,8 +528,7 @@ def merge_overlapping(ents: list[dict]) -> list[dict]:
                 e["confidence"],
                 e["entity_class"],
             ),
-            reverse=True,
-        )[0]
+        )
         out.append(best)
     out.extend(non_contig)
     return out
@@ -533,30 +539,39 @@ def merge_overlapping(ents: list[dict]) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+_PRED_MEMO: dict[tuple[str, str], str] = {}
+
+
 def _pred_for(c1: str, c2: str) -> str:
-    pair = frozenset((c1, c2))
-    if pair == frozenset(("gene", "disease")):
-        return "associated_with"
-    if pair == frozenset(("drug", "disease")):
-        return "treats_candidate"
-    return "co_occurs_with"
+    pred = _PRED_MEMO.get((c1, c2))
+    if pred is None:
+        pair = frozenset((c1, c2))
+        if pair == frozenset(("gene", "disease")):
+            pred = "associated_with"
+        elif pair == frozenset(("drug", "disease")):
+            pred = "treats_candidate"
+        else:
+            pred = "co_occurs_with"
+        _PRED_MEMO[(c1, c2)] = pred
+    return pred
 
 
 def canonical_id(ent: dict) -> str | None:
     """One canonical node id per mapped entity: best mapping by
     (string-match confidence, disambiguation confidence, lexicographic
     source:idx) — deterministic so the P/R comparison is well-defined."""
-    if not ent["mappings"]:
+    mappings = ent["mappings"]
+    if not mappings:
         return None
-    best = sorted(
-        ent["mappings"],
+    best = min(
+        mappings,
         key=lambda m: (
             -m["string_match_confidence"],
             -(m["disambiguation_confidence"] or -1),
             m["source"],
             m["idx"],
         ),
-    )[0]
+    )
     return f"{best['source']}:{best['idx']}"
 
 

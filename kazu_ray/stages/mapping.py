@@ -610,31 +610,32 @@ class MappingRunner:
         from itertools import groupby
 
         doc = DocContext(ents, self, text)
-        linkable = [e for e in ents if e["cands"]]
-        # entity_key is consulted by every sort/group below — compute once
-        key_memo: dict[int, tuple] = {id(e): entity_key(e) for e in linkable}
-        sorted_ents = sorted(
-            linkable, key=lambda e: (-e["confidence"], key_memo[id(e)])
-        )
-        for conf, conf_group_iter in groupby(sorted_ents, key=lambda e: e["confidence"]):
+        # entity_key is consulted by every sort/group below — compute
+        # once and CARRY it as (key, ent) pairs (a decorate-sort: no
+        # per-comparison lambdas chasing an id()-keyed side dict)
+        keyed = [(entity_key(e), e) for e in ents if e["cands"]]
+        keyed.sort(key=lambda p: (-p[1]["confidence"], p[0]))
+        for conf, conf_group_iter in groupby(keyed, key=lambda p: p[1]["confidence"]):
             conf_group = list(conf_group_iter)
-            symbolic: list[dict] = []
-            non_symbolic: list[dict] = []
-            for (match, eclass), ent_iter in groupby(
-                sorted(conf_group, key=lambda e: (e["match"], e["entity_class"])),
-                key=lambda e: (e["match"], e["entity_class"]),
+            symbolic: list[tuple] = []
+            non_symbolic: list[tuple] = []
+            # key[0]/key[2] ARE (match, entity_class) — sort/group on
+            # the precomputed key components directly
+            for (match, eclass), pair_iter in groupby(
+                sorted(conf_group, key=lambda p: (p[0][0], p[0][2])),
+                key=lambda p: (p[0][0], p[0][2]),
             ):
                 bucket = (
                     symbolic
                     if normalizer.classify_symbolic(match, eclass)
                     else non_symbolic
                 )
-                bucket.extend(ent_iter)
+                bucket.extend(pair_iter)
             for is_symbolic, bucket in ((False, non_symbolic), (True, symbolic)):
                 table = self.strategy_table.get((is_symbolic, conf))
                 if table is None or not bucket:
                     continue
-                self._execute(bucket, doc, table, key_memo)
+                self._execute(bucket, doc, table)
 
     def _fast_path_mappings(self, ref, class_strategies, default_strategies):
         """Mappings for an entity group whose full-ladder outcome is
@@ -717,20 +718,22 @@ class MappingRunner:
             for idx, source in sorted(id_set)
         ]
 
-    def _execute(self, ents: list[dict], doc: DocContext, table, key_memo=None) -> None:
+    def _execute(self, pairs: list[tuple], doc: DocContext, table) -> None:
         """execute_hit_post_processing_strategies + per-group bookkeeping
         (``strategy_runner.py:294-342``, ``:40-159``). stop_on_success is
-        True for every ladder in the default config."""
+        True for every ladder in the default config. ``pairs`` carries
+        precomputed ``(entity_key(e), e)`` tuples from :meth:`run_doc`
+        so grouping never re-derives (or side-tables) the key."""
         from itertools import groupby
+        from operator import itemgetter
 
-        if key_memo is None:
-            key_memo = {id(e): entity_key(e) for e in ents}
         default_strategies, class_strategies = table
         max_index = max(
             (len(default_strategies), *(len(s) for s in class_strategies.values()))
         )
         groups = [
-            list(group) for _, group in groupby(ents, key=lambda e: key_memo[id(e)])
+            (key, [p[1] for p in group])
+            for key, group in groupby(pairs, key=itemgetter(0))
         ]
         unresolved: dict[tuple, set[str]] = {}
         mapped_flag: dict[tuple, bool] = {}
@@ -749,7 +752,7 @@ class MappingRunner:
         # tests/test_mapping_and_docproc.py::test_fast_path_matches_slow_path.
         memo = self._fast_memo if self.xref_manager is None else None
         slow_groups = []
-        for group in groups:
+        for key, group in groups:
             ref = group[0]
             if memo is not None:
                 # key covers EVERYTHING the fast path reads: entity_key
@@ -774,7 +777,7 @@ class MappingRunner:
                     ref, class_strategies, default_strategies
                 )
             if mappings is None:
-                slow_groups.append(group)
+                slow_groups.append((key, group))
                 continue
             for mapping in mappings:
                 xrefs = (
@@ -791,12 +794,11 @@ class MappingRunner:
         groups = slow_groups
 
         for i in range(max_index):
-            for group in groups:
+            for key, group in groups:
                 ref = group[0]
                 strategies = class_strategies.get(ref["entity_class"], default_strategies)
                 if i >= len(strategies):
                     continue
-                key = key_memo[id(ref)]
                 if key not in unresolved:
                     unresolved[key] = {c[0] for c in ref["cands"]}
                 if not unresolved[key]:

@@ -101,40 +101,63 @@ def build_automaton(store: OntologyStore, matcher_cls=SpanMatcher):
 _NORM_MEMO: dict[tuple[str, str], str] = {}
 
 
-def _emit_match(entities, text, start_index, end_index, class_entries):
+def _emit_match(entities, text, start_index, end_index, class_entries, memo):
+    """``memo``: matched_text → [(entity_class, match_norm, confidence,
+    sorted cands)] — the full emit outcome is a pure function of the
+    matched text and the matcher's payload, so repeat mentions (Zipfian)
+    skip the case filter / set build / normalize / sort entirely. The
+    memo lives ON THE MATCHER (never module-level: two matchers built
+    from different stores in one process must not share entries). Lists
+    are COPIED on emit: downstream linking appends to ent["cands"]."""
     matched_text = text[start_index : end_index + 1]
-    for entity_class, entries in class_entries:
-        cands: set[tuple[str, str]] = set()
-        chosen_conf = -1
-        for confidence, case_sensitive, syn_norm, original_case, parsers in entries:
-            if case_sensitive and matched_text != original_case:
-                continue
-            for parser_name in parsers:
-                cands.add((parser_name, syn_norm))
-            if confidence > chosen_conf:
-                chosen_conf = confidence
-        if cands:
-            memo_key = (matched_text, entity_class)
-            match_norm = _NORM_MEMO.get(memo_key)
-            if match_norm is None:
-                if len(_NORM_MEMO) > 1_000_000:
-                    _NORM_MEMO.clear()
-                match_norm = normalizer.normalize(matched_text, entity_class)
-                _NORM_MEMO[memo_key] = match_norm
-            entities.append(
-                {
-                    "start": start_index,
-                    "end": end_index + 1,
-                    "match": matched_text,
-                    "match_norm": match_norm,
-                    "entity_class": entity_class,
-                    "namespace": DICT_NAMESPACE,
-                    "confidence": chosen_conf,
-                    # candidates: [parser, syn_norm, exact, score]
-                    "cands": sorted([p, s, True, None] for p, s in cands),
-                    "mappings": [],
-                }
-            )
+    templates = memo.get(matched_text)
+    if templates is None:
+        templates = []
+        for entity_class, entries in class_entries:
+            cands: set[tuple[str, str]] = set()
+            chosen_conf = -1
+            for confidence, case_sensitive, syn_norm, original_case, parsers in entries:
+                if case_sensitive and matched_text != original_case:
+                    continue
+                for parser_name in parsers:
+                    cands.add((parser_name, syn_norm))
+                if confidence > chosen_conf:
+                    chosen_conf = confidence
+            if cands:
+                memo_key = (matched_text, entity_class)
+                match_norm = _NORM_MEMO.get(memo_key)
+                if match_norm is None:
+                    if len(_NORM_MEMO) > 1_000_000:
+                        _NORM_MEMO.clear()
+                    match_norm = normalizer.normalize(matched_text, entity_class)
+                    _NORM_MEMO[memo_key] = match_norm
+                templates.append(
+                    (
+                        entity_class,
+                        match_norm,
+                        chosen_conf,
+                        # candidates: [parser, syn_norm, exact, score]
+                        sorted([p, s, True, None] for p, s in cands),
+                    )
+                )
+        if len(memo) > 1_000_000:
+            memo.clear()
+        memo[matched_text] = templates
+    end = end_index + 1
+    for entity_class, match_norm, chosen_conf, cands in templates:
+        entities.append(
+            {
+                "start": start_index,
+                "end": end,
+                "match": matched_text,
+                "match_norm": match_norm,
+                "entity_class": entity_class,
+                "namespace": DICT_NAMESPACE,
+                "confidence": chosen_conf,
+                "cands": [c.copy() for c in cands],
+                "mappings": [],
+            }
+        )
 
 
 def match_entities(text: str, matcher, boundaries=None, toks=None) -> list[dict]:
@@ -150,18 +173,22 @@ def match_entities(text: str, matcher, boundaries=None, toks=None) -> list[dict]
 
     lower = text.lower()
     entities: list[dict] = []
+    try:
+        memo = matcher._emit_memo
+    except AttributeError:
+        memo = matcher._emit_memo = {}
     if isinstance(matcher, SpanMatcher):
         if toks is None:
             toks = tokenize(text)
         for start_index, end_index, (match_len, class_entries) in matcher.scan(lower, toks):
-            _emit_match(entities, text, start_index, end_index, class_entries)
+            _emit_match(entities, text, start_index, end_index, class_entries, memo)
         return entities
     starts, ends = boundaries if boundaries is not None else token_boundaries(text)
     for end_index, (match_len, class_entries) in matcher.iter(lower):
         start_index = end_index - match_len + 1
         if not word_is_valid(start_index, end_index, starts, ends):
             continue
-        _emit_match(entities, text, start_index, end_index, class_entries)
+        _emit_match(entities, text, start_index, end_index, class_entries, memo)
     return entities
 
 

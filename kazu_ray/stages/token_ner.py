@@ -681,7 +681,9 @@ class TorchTokenClassifier:
     def __init__(self, checkpoint_path: str):
         try:
             import torch
-        except ImportError as e:  # pragma: no cover - torch absent here
+
+            torch.jit.load  # a jit-less module is a shim, not torch
+        except (ImportError, AttributeError) as e:
             raise ImportError(
                 "TorchTokenClassifier needs torch, which is not installed; "
                 "unset KAZU_TOKEN_NER_MODEL to use the deterministic stub"

@@ -226,9 +226,10 @@ def test_torch_classifier_import_error_is_loud(monkeypatch, tmp_path):
     import pytest
 
     try:
-        import torch  # noqa: F401
+        import torch
 
-        pytest.skip("torch present: the import-error path cannot fire")
+        if hasattr(torch, "jit"):
+            pytest.skip("real torch present: the import-error path cannot fire")
     except ImportError:
         pass
 
@@ -254,6 +255,8 @@ def test_torch_transformer_ner_with_real_checkpoint(tmp_path):
     import pytest
 
     torch = pytest.importorskip("torch")
+    if not hasattr(torch, "jit"):
+        pytest.skip("torch is the ref-shim stand-in, not real torch")
 
     import kazu_ray.stages.token_ner as tn
 
