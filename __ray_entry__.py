@@ -1218,6 +1218,41 @@ def _host_components(sf_dir: str):
     return host_components(rd.read_parquet(oracle_dir))
 
 
+def _host_hits(sf_dir: str):
+    """Weighted HITS hubs & authorities over the host link graph (2
+    iterations, integer sum-normalization — hash-exact vs the unrolled
+    HUGEINT SQL oracle; kazu_ray/ops/web.py::host_hits)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_hits
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_hits(rd.read_parquet(oracle_dir))
+
+
+def _host_cocitation(sf_dir: str):
+    """Co-cited host pairs (related-domain signal): per-page distinct
+    target-host pairs, combiner-first, hosts²-bounded result
+    (kazu_ray/ops/web.py::host_cocitation)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_cocitation
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_cocitation(rd.read_parquet(oracle_dir))
+
+
+def _host_reciprocity(sf_dir: str):
+    """1-row reciprocity profile of the directed host graph (mutual-link
+    share, integer ppm; kazu_ray/ops/web.py::host_reciprocity)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_reciprocity
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_reciprocity(rd.read_parquet(oracle_dir))
+
+
 def _split_assign(sf_dir: str):
     """Deterministic train/val/test assignment by md5(doc_id) bucket —
     reproducible split sizes per split, checked against the identical
@@ -1276,31 +1311,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # keys only (observed in CORRECTNESS_r03/r04: 50 rows).  Keys are
     # therefore ordered by gating need, not by theme (counts grow as
     # operators are added; the POLICY is what matters). Round-5 window:
-    #   1-10  queries whose code paths changed this round (distributed
-    #         host degrees/pagerank/components, components_labeled under
-    #         kg_components, by-name aggregate renames in
-    #         pair_doc_counts / edge_embeddedness / crawl_frontier,
-    #         strip-wise wedge generation in link_prediction, shared
-    #         edges pass in clustering),
+    #   1-10  queries whose code paths changed or were born this round:
+    #         distributed host degrees/pagerank/components,
+    #         components_labeled under kg_components (+component_sizes),
+    #         strip-wise wedge generation in link_prediction, the
+    #         edge_embeddedness decode tweak, and the NEW host_hits /
+    #         host_cocitation / host_reciprocity web ops (never
+    #         driver-checked),
     #   11-13 the no-oracle trio that must stay under the rows-only check,
     #   14-50 ALL 37 of the r04 tail (none had an r04 driver row; most
     #         were last driver-checked in r02/r03 — the full displaced
     #         set rotates back in, closing the ADVICE-r04 gap),
-    #   51-87 r04-driver-green queries with code untouched this round;
-    #         their DuckDB oracles still gate them in
-    #         scripts/check_correctness.py every round.
+    #   51-90 r04-driver-green queries whose remaining round-5 changes
+    #         are behavioral no-ops re-verified locally (pair_doc_counts
+    #         by-name rename, clustering shared-edges forward,
+    #         crawl_frontier untouched); their DuckDB oracles still gate
+    #         them in scripts/check_correctness.py every round.
     return {
-        # --- code paths changed this round ---
+        # --- code paths changed or born this round ---
         "kg_components": _kg_components,
         "host_components": _host_components,
         "host_degrees": _host_degrees,
         "host_pagerank": _host_pagerank,
+        "host_hits": _host_hits,
+        "host_cocitation": _host_cocitation,
+        "host_reciprocity": _host_reciprocity,
         "kg_component_sizes": _kg_component_sizes,
-        "kg_pair_doc_counts": _kg_pair_doc_counts,
         "kg_edge_embeddedness": _kg_edge_embeddedness,
-        "kg_clustering": _kg_clustering,
         "kg_link_prediction": _kg_link_prediction,
-        "crawl_frontier": _crawl_frontier,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1352,8 +1390,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_docs": _stratified_docs,
         # ============ tail: r04-driver-green, code untouched ============
         # (every key below has a green CORRECTNESS_r04 row and its code
-        # is unchanged this round; scripts/check_correctness.py still
-        # gates all of them locally every round)
+        # is unchanged this round — or carries only a locally re-verified
+        # behavioral no-op (pair_doc_counts by-name rename, clustering
+        # shared-edges forward), displaced to make window room for the
+        # new never-driver-checked web ops; scripts/check_correctness.py
+        # still gates all of them locally every round)
+        "kg_pair_doc_counts": _kg_pair_doc_counts,
+        "kg_clustering": _kg_clustering,
+        "crawl_frontier": _crawl_frontier,
         "event_lag_features": lambda sf_dir: __import__(
             "kazu_ray.ops.window", fromlist=["event_lag_features"]
         ).event_lag_features(sf_dir),
@@ -2063,6 +2107,82 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS host, min(lbl) AS component
             FROM reach GROUP BY id
+        """,
+        "host_hits": """
+            WITH pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            links AS (
+                SELECT src_host, dst_host, count(*)::BIGINT AS w FROM raw GROUP BY 1, 2
+            ),
+            hosts AS (SELECT src_host AS host FROM links UNION SELECT dst_host FROM links),
+            -- 2 unrolled HITS iterations from hub0 ≡ scale, HUGEINT sums,
+            -- integer sum-normalization (v*scale//Σv) after every pull —
+            -- the exact recurrence of kazu_ray/ops/web.py::host_hits
+            a1r AS (SELECT dst_host AS host, sum(1000000000000::HUGEINT * w) AS v FROM links GROUP BY 1),
+            a1 AS (SELECT host, (v * 1000000000000::HUGEINT) // (SELECT sum(v) FROM a1r) AS v FROM a1r),
+            h1r AS (SELECT l.src_host AS host, sum(a1.v * l.w) AS v FROM links l JOIN a1 ON l.dst_host = a1.host GROUP BY 1),
+            h1 AS (SELECT host, (v * 1000000000000::HUGEINT) // (SELECT sum(v) FROM h1r) AS v FROM h1r),
+            a2r AS (SELECT l.dst_host AS host, sum(h1.v * l.w) AS v FROM links l JOIN h1 ON l.src_host = h1.host GROUP BY 1),
+            a2 AS (SELECT host, (v * 1000000000000::HUGEINT) // (SELECT sum(v) FROM a2r) AS v FROM a2r),
+            h2r AS (SELECT l.src_host AS host, sum(a2.v * l.w) AS v FROM links l JOIN a2 ON l.dst_host = a2.host GROUP BY 1),
+            h2 AS (SELECT host, (v * 1000000000000::HUGEINT) // (SELECT sum(v) FROM h2r) AS v FROM h2r)
+            SELECT hs.host,
+                   COALESCE(h2.v, 0)::BIGINT AS hub_scaled,
+                   COALESCE(a2.v, 0)::BIGINT AS auth_scaled
+            FROM hosts hs
+            LEFT JOIN h2 ON hs.host = h2.host
+            LEFT JOIN a2 ON hs.host = a2.host
+        """,
+        "host_cocitation": """
+            WITH pages AS (
+                SELECT url, decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT url,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS d
+                FROM pages
+            ),
+            pl AS (SELECT DISTINCT url, d FROM raw)
+            SELECT a.d AS host_a, b.d AS host_b, count(*)::BIGINT AS n_pages
+            FROM pl a JOIN pl b ON a.url = b.url AND a.d < b.d
+            GROUP BY 1, 2
+        """,
+        "host_reciprocity": """
+            WITH pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            links AS (
+                SELECT DISTINCT src_host, dst_host FROM raw WHERE src_host <> dst_host
+            ),
+            und AS (
+                SELECT least(src_host, dst_host) AS a,
+                       greatest(src_host, dst_host) AS b,
+                       count(*) AS c
+                FROM links GROUP BY 1, 2
+            )
+            SELECT (SELECT count(*) FROM links)::BIGINT AS n_edges_directed,
+                   count(*)::BIGINT AS n_edges_undirected,
+                   COALESCE(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0)::BIGINT AS n_reciprocal,
+                   (CASE WHEN count(*) = 0 THEN 0
+                         ELSE COALESCE(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0) * 1000000 // count(*)
+                    END)::BIGINT AS reciprocity_ppm
+            FROM und
         """,
         "host_crawl_recency": """
             WITH p AS (

@@ -716,3 +716,350 @@ def host_components(pages_ds):
         ),
         batch_format="pyarrow",
     )
+
+
+def host_cocitation(pages_ds):
+    """Host co-citation pairs: for every page, the DISTINCT pairs of
+    target hosts its outlinks point at — ``(host_a, host_b, n_pages)``
+    with ``host_a < host_b`` — the classic related-domain signal (two
+    hosts repeatedly cited together by the same pages are topically
+    related; co-citation is the bibliometric dual of bibliographic
+    coupling and the basis of "similar sites" features).
+
+    Shapes: pair emission is per PAGE inside a stateless
+    ``map_batches`` — a page with k distinct target hosts emits
+    k·(k−1)/2 pair rows, and crawl out-degree is bounded (tens), so the
+    emitted stream is O(pages·k²) worst case but COMBINES per batch to
+    (host_a, host_b, partial n) before anything moves; the groupby's
+    result is bounded by hosts². A hub host co-cited everywhere adds
+    partial rows per block, never per-page rows, so Zipf host skew
+    cannot concentrate state (same contract as
+    :func:`host_link_graph`)."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {
+            "host_a": pa.array([], type=pa.string()),
+            "host_b": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        pairs: dict[tuple[str, str], int] = {}
+        for h in htmls:
+            if h is None:
+                continue
+            hosts = sorted(
+                {m.decode("utf-8", "replace").lower() for m in _HREF_RE.findall(h)}
+            )
+            for pair in combinations(hosts, 2):
+                pairs[pair] = pairs.get(pair, 0) + 1
+        if not pairs:
+            return empty
+        keys = list(pairs)
+        return pa.table(
+            {
+                "host_a": pa.array([k[0] for k in keys], type=pa.string()),
+                "host_b": pa.array([k[1] for k in keys], type=pa.string()),
+                "n": pa.array(np.fromiter(pairs.values(), dtype=np.int64)),
+            }
+        )
+
+    return (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["host_a", "host_b"])
+        .aggregate(Sum("n", alias_name="n_pages"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "host_a": t["host_a"].cast(pa.string()),
+                    "host_b": t["host_b"].cast(pa.string()),
+                    "n_pages": t["n_pages"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def host_reciprocity_from_links(links_ds):
+    """Link-reciprocity profile of the directed host graph: of all
+    undirected host pairs with at least one link (self-loops excluded),
+    how many are linked in BOTH directions — a 1-row summary
+    ``(n_edges_directed, n_edges_undirected, n_reciprocal,
+    reciprocity_ppm)`` (ppm = parts-per-million, integer, so the SQL
+    oracle is hash-exact). High reciprocity separates organic link
+    neighborhoods from link farms / pure directory sites.
+
+    Shapes: input rows are DISTINCT (src, dst) pairs (the
+    :func:`host_link_graph` contract), so direction-counting is exact
+    with no distinct pass: each pair canonicalizes to (min, max) per
+    batch and a hash exchange co-locates the two possible directed rows
+    of each undirected pair; every bucket then collapses to ONE partial
+    row (directed / undirected / reciprocal counts) — the driver sums a
+    buckets-sized table, never sees an edge."""
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    def canon(batch: pa.Table) -> pa.Table:
+        src = batch["src_host"].to_pandas()
+        dst = batch["dst_host"].to_pandas()
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        lo = src.where(src < dst, dst)
+        hi = dst.where(src < dst, src)
+        return pa.table(
+            {
+                "a": pa.array(lo, type=pa.string()),
+                "b": pa.array(hi, type=pa.string()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_dir": pa.array([], type=pa.int64()),
+                    "n_und": pa.array([], type=pa.int64()),
+                    "n_rec": pa.array([], type=pa.int64()),
+                }
+            )
+        g = (
+            t.to_pandas()
+            .groupby(["a", "b"], as_index=False)
+            .size()
+        )
+        c = g["size"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "n_dir": pa.array([int(c.sum())], type=pa.int64()),
+                "n_und": pa.array([len(c)], type=pa.int64()),
+                "n_rec": pa.array([int((c == 2).sum())], type=pa.int64()),
+            }
+        )
+
+    partials = exchange_groups(
+        links_ds.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"],
+        shuffle_parts(),
+        per_bucket,
+        pa.table(
+            {
+                "n_dir": pa.array([], type=pa.int64()),
+                "n_und": pa.array([], type=pa.int64()),
+                "n_rec": pa.array([], type=pa.int64()),
+            }
+        ),
+    ).to_pandas()  # ≤ num_buckets rows by construction
+    n_dir = int(partials["n_dir"].sum())
+    n_und = int(partials["n_und"].sum())
+    n_rec = int(partials["n_rec"].sum())
+    ppm = (n_rec * 1_000_000) // n_und if n_und else 0
+    return pd.DataFrame(
+        {
+            "n_edges_directed": [n_dir],
+            "n_edges_undirected": [n_und],
+            "n_reciprocal": [n_rec],
+            "reciprocity_ppm": [ppm],
+        }
+    ).astype("int64")
+
+
+def host_reciprocity(pages_ds):
+    """Reciprocity profile parsed straight from the raw page html:
+    :func:`host_link_graph` (distributed anchor extraction) feeding
+    :func:`host_reciprocity_from_links`."""
+    return host_reciprocity_from_links(host_link_graph(pages_ds))
+
+
+def host_hits_from_links(links_ds, iterations: int = 2, scale: int = 10**12):
+    """Weighted HITS (hubs & authorities, Kleinberg) over a link-graph
+    Dataset (src_host, dst_host, n_links), in INTEGER arithmetic so the
+    SQL oracle is hash-exact. Per iteration, with w = the anchor count
+    of a directed host pair:
+
+        auth_raw(v) = Σ_{u→v} hub(u)  · w(u,v);  auth = auth_raw·scale // Σ auth_raw
+        hub_raw(u)  = Σ_{u→v} auth(v) · w(u,v);  hub  = hub_raw ·scale // Σ hub_raw
+
+    starting from hub ≡ scale. Sum-normalization (instead of the
+    textbook L2 norm) keeps every step a deterministic integer — sums
+    commute, so per-batch partial aggregation is exact, and floor
+    division matches DuckDB's ``//`` on HUGEINT. Hosts receiving (resp.
+    casting) no links score 0 by contract on both sides.
+
+    Shapes: identical to :func:`host_pagerank_from_links` — the edge
+    Dataset int-codes itself once per run against salted 64-bit host
+    hashes (collision-checked on the driver, nothing string-keyed ever
+    broadcast), then each iteration is two streaming edge passes (an
+    authority pull keyed on dst and a hub pull keyed on src), each a
+    per-batch sort+reduceat combiner into a host-keyed hash exchange;
+    the hub/authority state is two flat int64 numpy vectors (zero-copy
+    out of the object store). Overflow is loud, not silent: the
+    per-edge multiply falls back to exact Python ints when
+    ``max_score × max_w × batch_rows`` could exceed int64, and
+    normalization runs in unbounded Python ints; scores after
+    normalization are ≤ scale by construction, so the returned vectors
+    always fit int64. Returns (host, hub_scaled, auth_scaled)."""
+    import ray
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    links = links_ds.materialize()
+
+    hosts_df = host_degrees_from_links(links).to_pandas().sort_values(
+        "host", ignore_index=True
+    )
+    hosts = hosts_df["host"].tolist()
+    n_hosts = len(hosts)
+    if n_hosts == 0:
+        return pd.DataFrame(
+            {"host": [], "hub_scaled": [], "auth_scaled": []}
+        ).astype({"hub_scaled": "int64", "auth_scaled": "int64"})
+
+    salt = 0
+    for salt in range(16):
+        host_hashes = pd.util.hash_array(
+            np.asarray(hosts, dtype=object), hash_key=f"{salt:016d}"
+        )
+        if len(np.unique(host_hashes)) == n_hosts:
+            break
+    else:
+        raise RuntimeError("host_hits: host hashing collided at all 16 salts")
+    order = np.argsort(host_hashes)
+    sorted_hashes = host_hashes[order]
+    hash_ref = ray.put(sorted_hashes)
+
+    def encode(t: pa.Table, _salt=salt) -> pa.Table:
+        sh = ray.get(hash_ref)
+
+        def idx_of(col) -> np.ndarray:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = col.fill_null("").to_pandas().to_numpy()
+            h = pd.util.hash_array(vals, hash_key=f"{_salt:016d}")
+            return np.searchsorted(sh, h).astype(np.int64)
+
+        return pa.table(
+            {
+                "s": pa.array(idx_of(t["src_host"])),
+                "d": pa.array(idx_of(t["dst_host"])),
+                "n": t["n_links"].cast(pa.int64()),
+            }
+        )
+
+    int_edges = links.map_batches(encode, batch_format="pyarrow").materialize()
+    int64_max = 2**63 - 1
+
+    def pull(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        """One streaming edge pass: raw(to) = Σ vec[from]·w, returned as
+        a host-aligned int64 vector (zeros where nothing arrived)."""
+        vec_ref = ray.put(vec)
+
+        def partial(t: pa.Table) -> pa.Table:
+            v = ray.get(vec_ref)  # zero-copy int64 vector
+            f = t[from_col].to_numpy()
+            to = t[to_col].to_numpy()
+            n = t["n"].to_numpy()
+            if len(f) == 0:
+                return pa.table(
+                    {
+                        "k": pa.array([], type=pa.int64()),
+                        "c": pa.array([], type=pa.int64()),
+                    }
+                )
+            v_f = v[f]
+            if int(v_f.max() or 0) * int(n.max() or 0) * len(f) > int64_max:
+                # exact big-int path — a silent int64 wrap would diverge
+                # from the oracle's HUGEINT sums without error
+                contrib = (v_f.astype(object) * n.astype(object))
+                order_ = np.argsort(to, kind="stable")
+                ts, cs = to[order_], contrib[order_]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], ts[1:] != ts[:-1]))
+                )
+                sums = [
+                    int(sum(cs[a:b]))
+                    for a, b in zip(starts, list(starts[1:]) + [len(cs)])
+                ]
+                if any(abs(x) > int64_max for x in sums):
+                    raise OverflowError(
+                        "host_hits per-batch partial exceeds int64 — "
+                        "lower `scale`"
+                    )
+                return pa.table(
+                    {
+                        "k": pa.array(ts[starts]),
+                        "c": pa.array(np.array(sums, dtype=np.int64)),
+                    }
+                )
+            contrib = v_f * n
+            order_ = np.argsort(to, kind="stable")
+            ts, cs = to[order_], contrib[order_]
+            starts = np.flatnonzero(np.concatenate(([True], ts[1:] != ts[:-1])))
+            return pa.table(
+                {
+                    "k": pa.array(ts[starts]),
+                    "c": pa.array(np.add.reduceat(cs, starts)),
+                }
+            )
+
+        def bucket_sum(t: pa.Table) -> pa.Table:
+            g = t.group_by("k").aggregate([("c", "sum")])
+            return pa.table(
+                {
+                    "k": g["k"].cast(pa.int64()),
+                    "c": g["c_sum"].cast(pa.int64()),
+                }
+            )
+
+        inflow = exchange_groups(
+            int_edges.map_batches(partial, batch_format="pyarrow"),
+            ["k"],
+            shuffle_parts(),
+            bucket_sum,
+            pa.table(
+                {
+                    "k": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            ),
+        ).to_pandas()
+        raw = np.zeros(n_hosts, dtype=np.int64)
+        raw[inflow["k"].to_numpy(np.int64)] = inflow["c"].to_numpy(np.int64)
+        return raw
+
+    def normalize(raw: np.ndarray) -> np.ndarray:
+        total = int(sum(int(v) for v in raw))
+        if total == 0:
+            return np.zeros(n_hosts, dtype=np.int64)
+        # exact big-int multiply/divide; results ≤ scale fit int64
+        return ((raw.astype(object) * scale) // total).astype(np.int64)
+
+    hub = np.full(n_hosts, scale, dtype=np.int64)
+    auth = np.zeros(n_hosts, dtype=np.int64)
+    for _ in range(iterations):
+        auth = normalize(pull(hub, "s", "d"))
+        hub = normalize(pull(auth, "d", "s"))
+
+    inv = np.empty(n_hosts, dtype=np.int64)
+    inv[order] = np.arange(n_hosts)
+    return pd.DataFrame(
+        {
+            "host": hosts,
+            "hub_scaled": hub[inv],
+            "auth_scaled": auth[inv],
+        }
+    ).astype({"hub_scaled": "int64", "auth_scaled": "int64"})
+
+
+def host_hits(pages_ds, iterations: int = 2, scale: int = 10**12):
+    """HITS hubs & authorities parsed straight from the raw page html:
+    :func:`host_link_graph` feeding :func:`host_hits_from_links`."""
+    return host_hits_from_links(
+        host_link_graph(pages_ds), iterations=iterations, scale=scale
+    )

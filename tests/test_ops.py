@@ -2203,3 +2203,147 @@ def test_graph_suite_matches_bruteforce_on_random_graphs(ray_session):
             want_hist[1] = want_hist.get(1, 0) + len(iso)
         hist = component_size_histogram(ds)
         assert dict(zip(hist["size"], hist["n_components"])) == want_hist, seed
+
+
+def _hits_reference(links: dict, iterations: int = 2, scale: int = 10**12):
+    """Independent pure-Python big-int HITS with sum-normalization —
+    the exact recurrence the engine and the DuckDB oracle implement."""
+    nodes = sorted({a for a, _ in links} | {b for _, b in links})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iterations):
+        raw = {n: 0 for n in nodes}
+        for (a, b), w in links.items():
+            raw[b] += hub[a] * w
+        tot = sum(raw.values())
+        auth = {n: (raw[n] * scale // tot if tot else 0) for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for (a, b), w in links.items():
+            raw[a] += auth[b] * w
+        tot = sum(raw.values())
+        hub = {n: (raw[n] * scale // tot if tot else 0) for n in nodes}
+    return [[n, hub[n], auth[n]] for n in nodes]
+
+
+def test_host_hits_random_graph_brute_force(ray_session):
+    """host_hits_from_links vs an independent pure-Python big-int
+    implementation of the same integer recurrence, on random graphs."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_hits_from_links
+
+    for seed in (7, 29):
+        t = _random_links_table(seed)
+        got = (
+            host_hits_from_links(rd.from_arrow(t).repartition(7))
+            .sort_values("host", ignore_index=True)
+        )
+        links = {
+            (a, b): int(n)
+            for a, b, n in zip(
+                t["src_host"].to_pylist(),
+                t["dst_host"].to_pylist(),
+                t["n_links"].to_pylist(),
+            )
+        }
+        assert got.values.tolist() == _hits_reference(links), f"seed {seed}"
+
+
+def test_host_hits_overflow_guard_exact(ray_session):
+    """The conservative score×weight×rows trigger must route batches
+    through the exact big-int path (and stay equal to the reference)
+    while true per-host partials still fit int64 — and a scale whose
+    partial sums genuinely leave int64 must fail LOUDLY, never wrap
+    (a silent wrap would diverge from the oracle's HUGEINT sums)."""
+    import pytest
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_hits_from_links
+
+    t = _random_links_table(11)
+    # 2**55 · max_w · rows ≈ 2e19 > int64 trips the object-dtype path,
+    # but each host's actual partial (scale · its in-anchors) fits int64
+    scale = 2**55
+    got = (
+        host_hits_from_links(rd.from_arrow(t), scale=scale)
+        .sort_values("host", ignore_index=True)
+    )
+    links = {
+        (a, b): int(n)
+        for a, b, n in zip(
+            t["src_host"].to_pylist(),
+            t["dst_host"].to_pylist(),
+            t["n_links"].to_pylist(),
+        )
+    }
+    want = _hits_reference(links, scale=scale)
+    assert got.values.tolist() == want
+    assert all(abs(v) <= 2**63 - 1 for row in want for v in row[1:])
+
+    # beyond the int64 transport bound: loud OverflowError, no wrap
+    with pytest.raises(Exception, match="int64|Overflow"):
+        host_hits_from_links(rd.from_arrow(t), scale=2**61)
+
+
+def test_host_reciprocity_random_brute_force(ray_session):
+    """host_reciprocity_from_links vs a set-based recompute on random
+    link graphs (self-loops excluded, directions counted exactly)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_reciprocity_from_links
+
+    for seed in (13, 41):
+        t = _random_links_table(seed)
+        got = host_reciprocity_from_links(rd.from_arrow(t).repartition(5))
+        dirs = {
+            (a, b)
+            for a, b in zip(t["src_host"].to_pylist(), t["dst_host"].to_pylist())
+            if a != b
+        }
+        und = {(min(a, b), max(a, b)) for a, b in dirs}
+        n_rec = sum(1 for a, b in und if (a, b) in dirs and (b, a) in dirs)
+        ppm = n_rec * 1_000_000 // len(und) if und else 0
+        assert got.values.tolist() == [[len(dirs), len(und), n_rec, ppm]], f"seed {seed}"
+
+
+def test_host_cocitation_exact_pairs(ray_session):
+    """Hand-checked co-citation: per-page DISTINCT target hosts (dup
+    anchors collapse), pairs ordered host_a < host_b, page counts
+    summed across pages."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_cocitation
+
+    def page(url, links):
+        nav = "".join(f'<a href="{u}">ref</a>' for u in links)
+        return (
+            url,
+            f"<html><body><p>t</p>\n<nav>{nav}</nav></body></html>".encode(),
+        )
+
+    rows = [
+        # B.org case-folds to b.org; the duplicate b.org anchor collapses
+        page("https://a.org/1", ["https://B.org/x", "https://b.org/y", "https://c.org/z"]),
+        page("https://a.org/2", ["https://b.org/q"]),  # single host: no pair
+        page("https://b.org/1", ["https://a.org/h", "https://c.org/h", "https://a.org/z"]),
+        page("https://c.org/1", ["https://b.org/1", "https://c.org/2"]),
+        page("https://d.org/1", []),
+    ]
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "html": pa.array([r[1] for r in rows], type=pa.binary()),
+            }
+        )
+    ).repartition(3)
+    got = (
+        host_cocitation(pages)
+        .to_pandas()
+        .sort_values(["host_a", "host_b"], ignore_index=True)
+    )
+    assert got.values.tolist() == [
+        ["a.org", "c.org", 1],
+        ["b.org", "c.org", 2],
+    ]
