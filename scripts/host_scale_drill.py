@@ -139,7 +139,12 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     from kazu_ray.ops.graph import components_labeled
-    from kazu_ray.ops.web import host_degrees_from_links, host_pagerank_from_links
+    from kazu_ray.ops.web import (
+        host_degrees_from_links,
+        host_hits_from_links,
+        host_pagerank_from_links,
+        host_reciprocity_from_links,
+    )
 
     # ---- overlap equality: distributed ops vs the r04 driver math ----
     small = synth_links(overlap).materialize()
@@ -163,9 +168,48 @@ def main() -> None:
         comp_got.rename(columns={"node": "host"}).values.tolist()
         == comp_ref.values.tolist()
     ), "components differ"
+    # HITS and reciprocity vs driver-side big-int / set math
+    hits_got = host_hits_from_links(small).sort_values("host", ignore_index=True)
+    scale = 10**12
+    w = dict(
+        zip(
+            zip(small_df["src_host"], small_df["dst_host"]),
+            (int(v) for v in small_df["n_links"]),
+        )
+    )
+    nodes = sorted({a for a, _ in w} | {b for _, b in w})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(2):
+        raw = {n: 0 for n in nodes}
+        for (a, b), wt in w.items():
+            raw[b] += hub[a] * wt
+        tot = sum(raw.values())
+        auth = {n: (raw[n] * scale // tot if tot else 0) for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for (a, b), wt in w.items():
+            raw[a] += auth[b] * wt
+        tot = sum(raw.values())
+        hub = {n: (raw[n] * scale // tot if tot else 0) for n in nodes}
+    assert hits_got.values.tolist() == [
+        [n, hub[n], auth[n]] for n in nodes
+    ], "hits differ"
+
+    rec_got = host_reciprocity_from_links(small)
+    dirs = {
+        (a, b)
+        for a, b in zip(small_df["src_host"], small_df["dst_host"])
+        if a != b
+    }
+    und = {(min(a, b), max(a, b)) for a, b in dirs}
+    n_rec = sum(1 for a, b in und if (a, b) in dirs and (b, a) in dirs)
+    assert rec_got.values.tolist() == [
+        [len(dirs), len(und), n_rec, n_rec * 1_000_000 // len(und)]
+    ], "reciprocity differs"
+
     print(
         f"overlap ({overlap} hosts, {len(small_df)} edges): degrees/pagerank/"
-        "components EQUAL to the driver-side formulation"
+        "components/hits/reciprocity EQUAL to the driver-side formulation"
     )
 
     # ---- scale timing: the de-drivered ops at n_hosts ----
@@ -184,11 +228,22 @@ def main() -> None:
     n_comp = components_labeled(links, a_col="src_host", b_col="dst_host").count()
     t_comp = time.time() - t0
 
+    t0 = time.time()
+    hits = host_hits_from_links(links)
+    t_hits = time.time() - t0
+
+    t0 = time.time()
+    rec = host_reciprocity_from_links(links)
+    t_rec = time.time() - t0
+
     print(
         f"scale ({n_hosts} hosts, {n_edges} edges): "
         f"host_degrees {t_deg:.1f}s ({n_deg} hosts), "
         f"host_pagerank(3 iters) {t_pr:.1f}s (rank rows {len(pr)}), "
-        f"host_components {t_comp:.1f}s ({n_comp} labeled)"
+        f"host_components {t_comp:.1f}s ({n_comp} labeled), "
+        f"host_hits(2 iters) {t_hits:.1f}s ({len(hits)} hosts), "
+        f"host_reciprocity {t_rec:.1f}s "
+        f"(recip_ppm {int(rec['reciprocity_ppm'].iloc[0])})"
     )
     ray.shutdown()
 
