@@ -126,6 +126,54 @@ def run_secondary() -> dict[str, float]:
     return out
 
 
+def run_web_suite() -> dict[str, float]:
+    """Host-graph suite over the SAME bench-scale pages corpus the
+    headline streamed: anchor parse → link graph (the page-scale scan),
+    then degrees + 3-iter PageRank + 2-iter HITS over the materialized
+    links (host-scale). One key per stage so BENCH tracks the web-suite
+    scan and the iterative exchange paths separately."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import (
+        host_degrees_from_links,
+        host_hits_from_links,
+        host_link_graph,
+        host_pagerank_from_links,
+    )
+    from kazu_ray.sources.corpus import ensure_pages_parquet
+
+    pages_dir = ensure_pages_parquet(SF_DIR, PAGES_MULT)
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+    passes = int(os.environ.get("KAZU_BENCH_SECONDARY_PASSES", "2"))
+    out = {}
+    links = None
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        links = host_link_graph(pages).materialize()
+        best = min(best, time.time() - t0)
+    out["host_link_graph"] = round(best, 3)
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        host_degrees_from_links(links).count()
+        best = min(best, time.time() - t0)
+    out["host_degrees"] = round(best, 3)
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        host_pagerank_from_links(links)
+        best = min(best, time.time() - t0)
+    out["host_pagerank"] = round(best, 3)
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        host_hits_from_links(links)
+        best = min(best, time.time() - t0)
+    out["host_hits"] = round(best, 3)
+    return out
+
+
 def main() -> None:
     import ray
 
@@ -149,6 +197,7 @@ def main() -> None:
     queries = {"kg_triples": round(headline_sec, 3)}
     if os.environ.get("KAZU_BENCH_ONLY") != "kg":
         queries.update(run_secondary())
+        queries.update(run_web_suite())
 
     print(
         json.dumps(

@@ -225,24 +225,68 @@ _LINK_EMPTY = pa.table(
 )
 
 
-def host_degrees_from_links(links_ds):
-    """Distributed per-host marginals over an existing link-graph
-    Dataset (rows DISTINCT per (src_host, dst_host) — the
-    :func:`host_link_graph` output contract, which is what makes the
-    row counts below distinct-host counts).
+def _web_driver_pair_cap() -> int:
+    """Size-dispatch threshold for the iterative host-graph ops, in
+    distinct (src, dst) pairs: at or below the cap the exact integer
+    recurrences run driver-side (a sub-second pandas/dict pass — the
+    distributed forms pay ~2 s of exchange fixed floor PER PASS, which
+    dominates utterly on a small graph), above it the streaming
+    exchange forms run. Same contract as ``KAZU_CC_MAX_DRIVER_PAIRS``
+    in the graph layer; set to 0 to force the distributed path (the
+    scale drill and the forced-path tests do)."""
+    import os
 
-    Shapes: the ``_edge_degrees`` combiner pattern
+    return int(os.environ.get("KAZU_WEB_MAX_DRIVER_PAIRS", "200000"))
+
+
+def _driver_degrees(links_df: pd.DataFrame) -> pd.DataFrame:
+    """Exact driver-side marginals over a collected link graph —
+    identical math to the distributed combiner (the 1M-host drill
+    asserts them equal on the overlap)."""
+    out = links_df.groupby("src_host").agg(
+        out_links=("n_links", "sum"), out_hosts=("dst_host", "nunique")
+    )
+    inn = links_df.groupby("dst_host").agg(in_hosts=("src_host", "nunique"))
+    return (
+        out.join(inn, how="outer")
+        .fillna(0)
+        .astype("int64")
+        .reset_index(names="host")
+        .sort_values("host", ignore_index=True)
+    )
+
+
+def host_degrees_from_links(links_ds):
+    """Per-host marginals over an existing link-graph Dataset (rows
+    DISTINCT per (src_host, dst_host) — the :func:`host_link_graph`
+    output contract, which is what makes the row counts below
+    distinct-host counts). Size-dispatched: a pre-materialized input at
+    or below :func:`_web_driver_pair_cap` pairs collapses driver-side
+    (sub-second; the exchange pays a ~2 s fixed floor that dominates a
+    small graph), everything else runs the streaming exchange below.
+
+    Distributed shapes: the ``_edge_degrees`` combiner pattern
     (``kazu_ray/ops/graph.py``): each batch emits host-sized partial
     rows — a (src, n_links, 1 pair, 0) row and a (dst, 0, 0, 1 pair)
     row collapsed per host — and the partials meet in a host-keyed
     HASH exchange (``exchange_groups``; a ``Dataset.groupby`` pays a
     global range-partition SORT of every partial row — measured ~2× on
     the 10⁶-host drill) whose buckets finish the sums vectorized.
-    NOTHING is ever collected to the driver (the round-4 form
-    ``to_pandas()``-ed the whole link graph, which grows with the
-    crawl: ~10⁸ hosts / ~10⁹ edges at real Common-Crawl scale)."""
+    NOTHING edge-sized is ever collected to the driver on that path
+    (the round-4 form ``to_pandas()``-ed the whole link graph, which
+    grows with the crawl: ~10⁸ hosts / ~10⁹ edges at real Common-Crawl
+    scale)."""
+    import ray.data as rd
+    from ray.data.dataset import MaterializedDataset
+
     from kazu_ray.ops.dedup import shuffle_parts
     from kazu_ray.ops.exchange import exchange_groups
+
+    if (
+        isinstance(links_ds, MaterializedDataset)
+        and links_ds.count() <= _web_driver_pair_cap()
+    ):
+        return rd.from_pandas(_driver_degrees(links_ds.to_pandas()))
 
     def partial(t: pa.Table) -> pa.Table:
         src = t["src_host"].to_pandas()
@@ -312,6 +356,73 @@ def host_degrees(pages_ds):
     return host_degrees_from_links(host_link_graph(pages_ds))
 
 
+def _driver_pagerank(
+    links_df: pd.DataFrame, iterations: int, scale: int
+) -> pd.DataFrame:
+    """Exact driver-side integer PageRank over a collected link graph —
+    the same recurrence as the distributed form in unbounded Python
+    ints (the 1M-host drill asserts them equal on the overlap)."""
+    w = dict(
+        zip(
+            zip(links_df["src_host"], links_df["dst_host"]),
+            (int(v) for v in links_df["n_links"]),
+        )
+    )
+    hosts = sorted({a for a, _ in w} | {b for _, b in w})
+    ow: dict = {}
+    for (a, _), n in w.items():
+        ow[a] = ow.get(a, 0) + n
+    rank = {h: scale for h in hosts}
+    for _ in range(iterations):
+        inflow = {h: 0 for h in hosts}
+        for (a, b), n in w.items():
+            inflow[b] += rank[a] * n // ow[a]
+        rank = {h: 3 * scale // 20 + 17 * inflow[h] // 20 for h in hosts}
+    int64_max = 2**63 - 1
+    if any(abs(r) > int64_max for r in rank.values()):
+        raise OverflowError(
+            "host_pagerank rank exceeds int64 — lower `scale`"
+        )
+    return pd.DataFrame(
+        {"host": hosts, "rank_scaled": [rank[h] for h in hosts]}
+    ).astype({"rank_scaled": "int64"})
+
+
+def _driver_hits(
+    links_df: pd.DataFrame, iterations: int, scale: int
+) -> pd.DataFrame:
+    """Exact driver-side integer HITS over a collected link graph —
+    the same sum-normalized recurrence as the distributed form in
+    unbounded Python ints."""
+    w = dict(
+        zip(
+            zip(links_df["src_host"], links_df["dst_host"]),
+            (int(v) for v in links_df["n_links"]),
+        )
+    )
+    hosts = sorted({a for a, _ in w} | {b for _, b in w})
+    hub = {h: scale for h in hosts}
+    auth = {h: 0 for h in hosts}
+    for _ in range(iterations):
+        raw = {h: 0 for h in hosts}
+        for (a, b), n in w.items():
+            raw[b] += hub[a] * n
+        tot = sum(raw.values())
+        auth = {h: (raw[h] * scale // tot if tot else 0) for h in hosts}
+        raw = {h: 0 for h in hosts}
+        for (a, b), n in w.items():
+            raw[a] += auth[b] * n
+        tot = sum(raw.values())
+        hub = {h: (raw[h] * scale // tot if tot else 0) for h in hosts}
+    return pd.DataFrame(
+        {
+            "host": hosts,
+            "hub_scaled": [hub[h] for h in hosts],
+            "auth_scaled": [auth[h] for h in hosts],
+        }
+    ).astype({"hub_scaled": "int64", "auth_scaled": "int64"})
+
+
 def host_pagerank_from_links(links_ds, iterations: int = 3, scale: int = 10**12):
     """Weighted directed PageRank over a link-graph Dataset
     (src_host, dst_host, n_links), in INTEGER arithmetic so the SQL
@@ -322,7 +433,9 @@ def host_pagerank_from_links(links_ds, iterations: int = 3, scale: int = 10**12)
 
     with w = anchor count per (u, v) and W(u) = u's total outgoing
     anchors. Every per-edge term is a deterministic integer and sums
-    commute, so partial per-batch aggregation is exact. Dangling hosts
+    commute, so partial per-batch aggregation is exact. Size-dispatched
+    (:func:`_web_driver_pair_cap`): at or below the cap the identical
+    recurrence runs driver-side in unbounded Python ints. Dangling hosts
     (no outlinks) keep receiving but distribute nothing — their mass is
     dropped BY CONTRACT, identically in the oracle (the standard
     no-redistribution simplification; at fixed iterations the drop is
@@ -348,6 +461,8 @@ def host_pagerank_from_links(links_ds, iterations: int = 3, scale: int = 10**12)
     from kazu_ray.ops.exchange import exchange_groups
 
     links = links_ds.materialize()
+    if links.count() <= _web_driver_pair_cap():
+        return _driver_pagerank(links.to_pandas(), iterations, scale)
 
     # the full host set (src ∪ dst) — host-sized, from the distributed
     # degrees marginals rather than a driver pass over the edges
@@ -910,6 +1025,8 @@ def host_hits_from_links(links_ds, iterations: int = 2, scale: int = 10**12):
     from kazu_ray.ops.exchange import exchange_groups
 
     links = links_ds.materialize()
+    if links.count() <= _web_driver_pair_cap():
+        return _driver_hits(links.to_pandas(), iterations, scale)
 
     hosts_df = host_degrees_from_links(links).to_pandas().sort_values(
         "host", ignore_index=True

@@ -130,6 +130,10 @@ def main() -> None:
     n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     overlap = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
 
+    # the drill exists to exercise and time the DISTRIBUTED forms — the
+    # size dispatch would otherwise route the overlap graph driver-side
+    os.environ["KAZU_WEB_MAX_DRIVER_PAIRS"] = "0"
+
     import ray
 
     if not ray.is_initialized():

@@ -624,9 +624,11 @@ def test_crawl_frontier_excludes_crawled(ray_session):
     ]
 
 
-def test_host_pagerank_random_graph_brute_force(ray_session):
+@pytest.mark.parametrize("path", ["driver", "distributed"])
+def test_host_pagerank_random_graph_brute_force(ray_session, monkeypatch, path):
     """host_pagerank vs an independent pure-Python implementation of
-    the same integer recurrence, on random link graphs."""
+    the same integer recurrence, on random link graphs — through BOTH
+    sides of the KAZU_WEB_MAX_DRIVER_PAIRS size dispatch."""
     import random
 
     import pyarrow as pa
@@ -634,6 +636,8 @@ def test_host_pagerank_random_graph_brute_force(ray_session):
 
     from kazu_ray.ops.web import host_pagerank
 
+    if path == "distributed":
+        monkeypatch.setenv("KAZU_WEB_MAX_DRIVER_PAIRS", "0")
     for seed in (3, 17):
         rng = random.Random(seed)
         hosts = [f"h{i}.org" for i in range(8)]
@@ -703,17 +707,23 @@ def _random_links_table(seed: int, n_hosts: int = 30, n_pairs: int = 120):
     )
 
 
-def test_host_degrees_from_links_matches_pandas_reference(ray_session):
-    """The distributed from_links marginals (the scale-drill seam) vs a
-    driver-side pandas recompute on random link graphs."""
+@pytest.mark.parametrize("path", ["driver", "distributed"])
+def test_host_degrees_from_links_matches_pandas_reference(
+    ray_session, monkeypatch, path
+):
+    """The from_links marginals (the scale-drill seam) vs a driver-side
+    pandas recompute on random link graphs — both dispatch sides: the
+    materialized-small driver collapse and the forced hash exchange."""
     import ray.data as rd
 
     from kazu_ray.ops.web import host_degrees_from_links
 
+    if path == "distributed":
+        monkeypatch.setenv("KAZU_WEB_MAX_DRIVER_PAIRS", "0")
     for seed in (5, 23):
         t = _random_links_table(seed)
         got = (
-            host_degrees_from_links(rd.from_arrow(t).repartition(7))
+            host_degrees_from_links(rd.from_arrow(t).repartition(7).materialize())
             .to_pandas()
             .sort_values("host", ignore_index=True)
         )
@@ -732,15 +742,19 @@ def test_host_degrees_from_links_matches_pandas_reference(ray_session):
         assert got.values.tolist() == want.values.tolist(), f"seed {seed}"
 
 
-def test_host_pagerank_overflow_guard_exact(ray_session):
+def test_host_pagerank_overflow_guard_exact(ray_session, monkeypatch):
     """With a scale large enough that rank × weight leaves int64, the
     object-dtype fallback must stay exact (a silent int64 wrap would
     diverge from the oracle's HUGEINT): checked against a pure-Python
-    big-int recompute."""
+    big-int recompute. Forced through the distributed path — the
+    driver fast path computes in unbounded ints and has no fallback to
+    exercise."""
     import pyarrow as pa
     import ray.data as rd
 
     from kazu_ray.ops.web import host_pagerank_from_links
+
+    monkeypatch.setenv("KAZU_WEB_MAX_DRIVER_PAIRS", "0")
 
     t = pa.table(
         {
@@ -2225,13 +2239,17 @@ def _hits_reference(links: dict, iterations: int = 2, scale: int = 10**12):
     return [[n, hub[n], auth[n]] for n in nodes]
 
 
-def test_host_hits_random_graph_brute_force(ray_session):
+@pytest.mark.parametrize("path", ["driver", "distributed"])
+def test_host_hits_random_graph_brute_force(ray_session, monkeypatch, path):
     """host_hits_from_links vs an independent pure-Python big-int
-    implementation of the same integer recurrence, on random graphs."""
+    implementation of the same integer recurrence, on random graphs —
+    through BOTH sides of the KAZU_WEB_MAX_DRIVER_PAIRS dispatch."""
     import ray.data as rd
 
     from kazu_ray.ops.web import host_hits_from_links
 
+    if path == "distributed":
+        monkeypatch.setenv("KAZU_WEB_MAX_DRIVER_PAIRS", "0")
     for seed in (7, 29):
         t = _random_links_table(seed)
         got = (
@@ -2249,17 +2267,19 @@ def test_host_hits_random_graph_brute_force(ray_session):
         assert got.values.tolist() == _hits_reference(links), f"seed {seed}"
 
 
-def test_host_hits_overflow_guard_exact(ray_session):
+def test_host_hits_overflow_guard_exact(ray_session, monkeypatch):
     """The conservative score×weight×rows trigger must route batches
     through the exact big-int path (and stay equal to the reference)
     while true per-host partials still fit int64 — and a scale whose
     partial sums genuinely leave int64 must fail LOUDLY, never wrap
-    (a silent wrap would diverge from the oracle's HUGEINT sums)."""
+    (a silent wrap would diverge from the oracle's HUGEINT sums).
+    Forced through the distributed path, which owns both behaviors."""
     import pytest
     import ray.data as rd
 
     from kazu_ray.ops.web import host_hits_from_links
 
+    monkeypatch.setenv("KAZU_WEB_MAX_DRIVER_PAIRS", "0")
     t = _random_links_table(11)
     # 2**55 · max_w · rows ≈ 2e19 > int64 trips the object-dtype path,
     # but each host's actual partial (scale · its in-anchors) fits int64
