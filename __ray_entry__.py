@@ -175,6 +175,15 @@ def _kg_components(sf_dir: str):
     return kg_components(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_kcore(sf_dir: str):
+    """4-core of the co-occurrence graph (iterative peel; survivor set
+    broadcast per round as a sorted salted-hash array, never strings)."""
+    from kazu_ray.ops.graph import kcore
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return kcore(triples_dataset(sf_dir, store_ref=_store_ref()), k=4)
+
+
 def _kg_pair_provenance(sf_dir: str):
     """Per-pair lineage: distinct doc support + deterministic bounded
     doc-id sample (string-joined for hash-exact compare)."""
@@ -1318,8 +1327,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #         edge_embeddedness decode tweak, and the NEW host_hits /
     #         host_cocitation / host_reciprocity web ops (never
     #         driver-checked),
-    #   11-13 the no-oracle trio that must stay under the rows-only check,
-    #   14-50 ALL 37 of the r04 tail (none had an r04 driver row; most
+    #   11    kg_kcore — NEW this round (iterative peel; unrolled-SQL
+    #         oracle), so it takes a window slot and the LAST r04-tail
+    #         key (stratified_docs, r03-green, code untouched) slides
+    #         to #51 under the local-only gate,
+    #   12-14 the no-oracle trio that must stay under the rows-only check,
+    #   15-50 the r04 tail (none had an r04 driver row; most
     #         were last driver-checked in r02/r03 — the full displaced
     #         set rotates back in, closing the ADVICE-r04 gap),
     #   51-90 r04-driver-green queries whose remaining round-5 changes
@@ -1327,7 +1340,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #         by-name rename, clustering shared-edges forward,
     #         crawl_frontier untouched); their DuckDB oracles still gate
     #         them in scripts/check_correctness.py every round.
-    return {
+    # Every callable is wrapped with ensure_oracle_artifacts so a
+    # consumer whose oracle reads a cross-query /tmp artifact
+    # (triples/entities/kg_text/linkgraph) self-heals it on first call —
+    # registry ORDER no longer matters and a clean /tmp cannot produce a
+    # spurious "missing artifact" oracle failure for rows 1-10.
+    reg = {
         # --- code paths changed or born this round ---
         "kg_components": _kg_components,
         "host_components": _host_components,
@@ -1339,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_component_sizes": _kg_component_sizes,
         "kg_edge_embeddedness": _kg_edge_embeddedness,
         "kg_link_prediction": _kg_link_prediction,
+        "kg_kcore": _kg_kcore,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1455,10 +1474,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_rebalance": _source_rebalance,
     }
 
+    def _self_healing(name, fn):
+        def run(sf_dir, _name=name, _fn=fn):
+            ensure_oracle_artifacts(_name, sf_dir)
+            return _fn(sf_dir)
+
+        return run
+
+    return {k: _self_healing(k, v) for k, v in reg.items()}
+
+
+def _kcore_oracle_sql(k: int = 4, rounds: int = 12) -> str:
+    """Unrolled k-core peel as plain ANSI SQL (k-core is a SHRINKING
+    fixpoint, which recursive-CTE UNION semantics cannot express).
+    Each round recomputes degrees over the subgraph induced by the
+    previous survivor set and keeps nodes with deg >= k; the sf0.01
+    graph converges in 5 rounds (measured), so 12 is a 2.4x margin —
+    and the final SELECT emits UNfiltered induced degrees, so a
+    hypothetical non-converged run would surface deg<k rows and FAIL
+    the hash compare loudly rather than mask it.
+
+    Every round CTE is AS MATERIALIZED: DuckDB inlines single-use CTEs,
+    and each d{r} references e{r} twice, so an un-materialized chain
+    expands 2^rounds scans of the parquet (measured: rounds=12 never
+    finishes and can even surface as a spurious file-open IOException)."""
+    src = "read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')"
+    parts = [
+        f"WITH t AS (SELECT subj, obj FROM {src}),",
+        " e AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a,"
+        "       greatest(subj, obj) AS b FROM t WHERE subj <> obj),",
+        " s0 AS MATERIALIZED (SELECT a AS n FROM e UNION SELECT b FROM e),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f" e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e"
+            f"          JOIN s{r-1} sa ON e.a = sa.n"
+            f"          JOIN s{r-1} sb ON e.b = sb.n),"
+        )
+        parts.append(
+            f" d{r} AS MATERIALIZED (SELECT n, count(*) AS deg FROM"
+            f"          (SELECT a AS n FROM e{r} UNION ALL SELECT b FROM e{r})"
+            f"          GROUP BY n),"
+        )
+        parts.append(
+            f" s{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE deg >= {k}),"
+        )
+    parts.append(
+        f" ef AS (SELECT e.a, e.b FROM e"
+        f"        JOIN s{rounds} sa ON e.a = sa.n"
+        f"        JOIN s{rounds} sb ON e.b = sb.n)"
+    )
+    parts.append(
+        " SELECT n AS node, count(*)::BIGINT AS deg_in_core FROM"
+        " (SELECT a AS n FROM ef UNION ALL SELECT b FROM ef) GROUP BY n"
+    )
+    return "\n".join(parts)
+
 
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"))
     return {
+        "kg_kcore": _kcore_oracle_sql(k=4, rounds=12),
         "doc_token_stats": """
             SELECT doc_id,
                    length(text) AS n_chars,

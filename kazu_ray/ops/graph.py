@@ -23,6 +23,7 @@ WWW'11) whose only broadcast is the node-sized degree table.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -1452,3 +1453,86 @@ def component_size_histogram(triples_ds):
     return pd.DataFrame(
         {"size": hist.index.astype("int64"), "n_components": hist.to_numpy()}
     ).astype({"n_components": "int64"})
+
+
+def kcore(triples_ds, k: int = 4, max_rounds: int = 64, edges=None):
+    """Nodes of the k-core of the co-occurrence graph — the standard
+    dense-subgraph / influence filter (a node is in the k-core iff it
+    keeps ≥ k neighbors after everyone with fewer is recursively
+    peeled). Returns (node, deg_in_core) for the surviving nodes,
+    sorted by node.
+
+    Shapes: iterative peeling, each round one node-sized degree pass
+    (:func:`_edge_degrees` — combiner-first, blocks × nodes partials)
+    plus a survivor filter over the edge Dataset. The survivor set is
+    broadcast as a SORTED salted-hash uint64 array (collision-checked
+    against the full node table on the driver, zero-copy out of the
+    object store) and each batch tests membership by hashing its own
+    endpoint strings + ``searchsorted`` — nothing string-keyed is ever
+    shipped, the same discipline as ``components_labeled``. Rounds to
+    fixpoint are bounded by the peel depth (single digits on real
+    graphs; a pathological path graph peels one node per round, hence
+    the loud ``max_rounds`` guard). The edge Dataset shrinks
+    monotonically, so later rounds cost less than the first."""
+    import ray
+
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
+
+    empty = pd.DataFrame({"node": pd.Series([], dtype=object)}).assign(
+        deg_in_core=pd.Series([], dtype="int64")
+    )
+
+    rounds = 0
+    while True:
+        deg = _edge_degrees(edges)
+        if not deg:
+            return empty
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            nodes = sorted(deg)
+            return pd.DataFrame(
+                {"node": nodes, "deg_in_core": [int(deg[n]) for n in nodes]}
+            ).astype({"deg_in_core": "int64"})
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"kcore(k={k}) did not converge within {max_rounds} peel "
+                "rounds — raise max_rounds (pathological chain graph?)"
+            )
+        survivors = [n for n in deg if n not in drop]
+        if not survivors:
+            return empty
+        # salted-hash survivor membership: collision-check over ALL
+        # current nodes so a dropped node can never collide into a
+        # survivor slot
+        all_nodes = np.asarray(list(deg), dtype=object)
+        for salt in range(16):
+            all_h = pd.util.hash_array(all_nodes, hash_key=f"{salt:016d}")
+            if len(np.unique(all_h)) == len(all_nodes):
+                break
+        else:
+            raise RuntimeError("kcore: node hashing collided at all 16 salts")
+        surv_h = np.sort(
+            pd.util.hash_array(np.asarray(survivors, dtype=object),
+                               hash_key=f"{salt:016d}")
+        )
+        surv_ref = ray.put(surv_h)
+
+        def filt(t: pa.Table, _salt=salt, _ref=surv_ref) -> pa.Table:
+            sh = ray.get(_ref)
+
+            def member(col) -> np.ndarray:
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                h = pd.util.hash_array(
+                    col.to_pandas().to_numpy(), hash_key=f"{_salt:016d}"
+                )
+                idx = np.searchsorted(sh, h)
+                idx_c = np.minimum(idx, len(sh) - 1)
+                return (idx < len(sh)) & (sh[idx_c] == h)
+
+            keep = member(t["a"]) & member(t["b"])
+            return t.filter(pa.array(keep))
+
+        edges = edges.map_batches(filt, batch_format="pyarrow").materialize()

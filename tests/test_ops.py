@@ -2367,3 +2367,90 @@ def test_host_cocitation_exact_pairs(ray_session):
         ["a.org", "c.org", 1],
         ["b.org", "c.org", 2],
     ]
+
+
+def test_kcore_hand_fixture(ray_session):
+    """K5 {A..E} + a pendant tail E-F-G + a triangle {X,Y,Z} hanging off
+    A via A-X. 4-core = the K5 exactly (peeling must strip the tail,
+    the triangle, AND the A-X bridge in cascading rounds); 3-core adds
+    nothing (triangle nodes have deg 2 inside {X,Y,Z} once A-X peels?
+    no — X has Y,Z,A = 3, and Y,Z have 2, so Y,Z peel, then X peels:
+    the 3-core is still the K5); 2-core = K5 + {X,Y,Z} with the bridge."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import kcore
+
+    k5 = ["A", "B", "C", "D", "E"]
+    triples = [
+        {"subj": s, "pred": "co", "obj": o, "doc_id": 1}
+        for i, s in enumerate(k5)
+        for o in k5[i + 1 :]
+    ] + [
+        {"subj": "E", "pred": "co", "obj": "F", "doc_id": 2},
+        {"subj": "F", "pred": "co", "obj": "G", "doc_id": 2},
+        {"subj": "A", "pred": "co", "obj": "X", "doc_id": 3},
+        {"subj": "X", "pred": "co", "obj": "Y", "doc_id": 3},
+        {"subj": "X", "pred": "co", "obj": "Z", "doc_id": 3},
+        {"subj": "Y", "pred": "co", "obj": "Z", "doc_id": 3},
+        # self-loop + reversed duplicate: must not inflate any degree
+        {"subj": "G", "pred": "co", "obj": "G", "doc_id": 4},
+        {"subj": "B", "pred": "co", "obj": "A", "doc_id": 4},
+    ]
+    ds = rd.from_items(triples)
+
+    core4 = kcore(ds, k=4)
+    assert core4["node"].tolist() == k5
+    assert core4["deg_in_core"].tolist() == [4] * 5
+
+    core3 = kcore(ds, k=3)
+    assert core3["node"].tolist() == k5
+
+    core2 = kcore(ds, k=2)
+    assert core2["node"].tolist() == sorted(k5 + ["X", "Y", "Z"])
+    got2 = dict(zip(core2["node"], core2["deg_in_core"]))
+    assert got2["A"] == 5 and got2["X"] == 3 and got2["Y"] == 2
+
+    # k above the max degree: empty frame, stable dtypes
+    core9 = kcore(ds, k=9)
+    assert len(core9) == 0
+    assert str(core9["deg_in_core"].dtype) == "int64"
+
+
+def _brute_kcore(edges: set, k: int) -> dict:
+    """Reference peel: plain Python sets/dicts."""
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                if m in adj:
+                    adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+@pytest.mark.parametrize("seed,k", [(1, 3), (2, 4), (3, 2), (4, 5)])
+def test_kcore_random_graph_brute_force(ray_session, seed, k):
+    """Random G(n,m) graphs vs a driver-side peel, several k."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    n_nodes, n_edges = 60, 240
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.integers(0, n_nodes, size=2)
+        if a != b:
+            edges.add((f"n{min(a,b):02d}", f"n{max(a,b):02d}"))
+    triples = [
+        {"subj": a, "pred": "co", "obj": b, "doc_id": i}
+        for i, (a, b) in enumerate(sorted(edges))
+    ]
+    from kazu_ray.ops.graph import kcore
+
+    got = kcore(rd.from_items(triples).repartition(4), k=k)
+    want = _brute_kcore(edges, k)
+    assert dict(zip(got["node"], got["deg_in_core"])) == want
