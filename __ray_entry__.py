@@ -184,6 +184,15 @@ def _kg_kcore(sf_dir: str):
     return kcore(triples_dataset(sf_dir, store_ref=_store_ref()), k=4)
 
 
+def _kg_ppr(sf_dir: str):
+    """Personalized PageRank from the 5 lexicographically-first nodes
+    (integer recurrence, broadcast rank vector, streamed edge passes)."""
+    from kazu_ray.ops.graph import personalized_pagerank
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return personalized_pagerank(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
 def _kg_pair_provenance(sf_dir: str):
     """Per-pair lineage: distinct doc support + deterministic bounded
     doc-id sample (string-joined for hash-exact compare)."""
@@ -1327,12 +1336,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #         edge_embeddedness decode tweak, and the NEW host_hits /
     #         host_cocitation / host_reciprocity web ops (never
     #         driver-checked),
-    #   11    kg_kcore — NEW this round (iterative peel; unrolled-SQL
-    #         oracle), so it takes a window slot and the LAST r04-tail
-    #         key (stratified_docs, r03-green, code untouched) slides
-    #         to #51 under the local-only gate,
-    #   12-14 the no-oracle trio that must stay under the rows-only check,
-    #   15-50 the r04 tail (none had an r04 driver row; most
+    #   11-12 kg_kcore + kg_personalized_pagerank — NEW this round
+    #         (iterative peel / seed-teleport PageRank; unrolled-SQL
+    #         oracles), so they take window slots and the LAST two
+    #         r04-tail keys (stratified_docs, dup_span_stats — both
+    #         r03-green, code untouched) slide past #50 under the
+    #         local-only gate,
+    #   13-15 the no-oracle trio that must stay under the rows-only check,
+    #   16-50 the r04 tail (none had an r04 driver row; most
     #         were last driver-checked in r02/r03 — the full displaced
     #         set rotates back in, closing the ADVICE-r04 gap),
     #   51-90 r04-driver-green queries whose remaining round-5 changes
@@ -1358,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_embeddedness": _kg_edge_embeddedness,
         "kg_link_prediction": _kg_link_prediction,
         "kg_kcore": _kg_kcore,
+        "kg_personalized_pagerank": _kg_ppr,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -2477,6 +2489,41 @@ def oracle_sql() -> dict[str, str]:
                         GROUP BY und.u),
                  r3 AS (SELECT und.u AS node,
                                150000000000 + (85 * SUM(r2.r // deg.d)) // 100 AS r
+                        FROM und JOIN r2 ON r2.node = und.v
+                                 JOIN deg ON deg.node = und.v
+                        GROUP BY und.u)
+            SELECT node, r::BIGINT AS "rank" FROM r3
+        """,
+        "kg_personalized_pagerank": """
+            WITH t AS (SELECT subj, obj
+                       FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+                 e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                       FROM t WHERE subj <> obj),
+                 und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+                 deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+                 seeds AS (SELECT node FROM deg ORDER BY node LIMIT 5),
+                 r0 AS (SELECT node,
+                               CASE WHEN node IN (SELECT node FROM seeds)
+                                    THEN 1000000000000 ELSE 0 END AS r
+                        FROM deg),
+                 r1 AS (SELECT und.u AS node,
+                               CASE WHEN und.u IN (SELECT node FROM seeds)
+                                    THEN 150000000000 ELSE 0 END
+                               + (85 * SUM(r0.r // deg.d)) // 100 AS r
+                        FROM und JOIN r0 ON r0.node = und.v
+                                 JOIN deg ON deg.node = und.v
+                        GROUP BY und.u),
+                 r2 AS (SELECT und.u AS node,
+                               CASE WHEN und.u IN (SELECT node FROM seeds)
+                                    THEN 150000000000 ELSE 0 END
+                               + (85 * SUM(r1.r // deg.d)) // 100 AS r
+                        FROM und JOIN r1 ON r1.node = und.v
+                                 JOIN deg ON deg.node = und.v
+                        GROUP BY und.u),
+                 r3 AS (SELECT und.u AS node,
+                               CASE WHEN und.u IN (SELECT node FROM seeds)
+                                    THEN 150000000000 ELSE 0 END
+                               + (85 * SUM(r2.r // deg.d)) // 100 AS r
                         FROM und JOIN r2 ON r2.node = und.v
                                  JOIN deg ON deg.node = und.v
                         GROUP BY und.u)

@@ -2454,3 +2454,45 @@ def test_kcore_random_graph_brute_force(ray_session, seed, k):
     got = kcore(rd.from_items(triples).repartition(4), k=k)
     want = _brute_kcore(edges, k)
     assert dict(zip(got["node"], got["deg_in_core"])) == want
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_personalized_pagerank_brute_force(ray_session, seed):
+    """Random graph vs a driver-side integer recurrence; seeds both
+    explicit and default (lexicographically-first)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import personalized_pagerank
+
+    rng = np.random.default_rng(seed)
+    edges = set()
+    while len(edges) < 80:
+        a, b = rng.integers(0, 25, size=2)
+        if a != b:
+            edges.add((f"n{min(a,b):02d}", f"n{max(a,b):02d}"))
+    triples = [
+        {"subj": a, "pred": "co", "obj": b, "doc_id": i}
+        for i, (a, b) in enumerate(sorted(edges))
+    ]
+    ds = rd.from_items(triples).repartition(3)
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scale, n_iters = 10**12, 3
+    seeds = sorted(adj)[:5]
+    r = {n: (scale if n in seeds else 0) for n in adj}
+    for _ in range(n_iters):
+        nxt = {}
+        for u in adj:
+            s = sum(r[v] // len(adj[v]) for v in adj[u])
+            nxt[u] = ((15 * scale) // 100 if u in seeds else 0) + (85 * s) // 100
+        r = nxt
+
+    got = personalized_pagerank(ds)
+    assert dict(zip(got["node"], got["rank"])) == r
+
+    # explicit seed subset: mass concentrates near the seed
+    one = personalized_pagerank(ds, seeds=[seeds[0]])
+    assert int(one.set_index("node").loc[seeds[0], "rank"]) > 0
