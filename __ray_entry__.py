@@ -1192,6 +1192,17 @@ def _host_pagerank(sf_dir: str):
     return host_pagerank(rd.read_parquet(oracle_dir))
 
 
+def _host_kmv(sf_dir: str):
+    """KMV (k-minimum-values) distinct-outlink-URL sketch per host —
+    md5-low-64 hash shared with DuckDB so the estimate is hash-exact."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_distinct_outlinks_kmv
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_distinct_outlinks_kmv(rd.read_parquet(oracle_dir))
+
+
 def _crawl_frontier(sf_dir: str):
     """Uncrawled outlink URLs + ref counts: page-scale e-marker
     anti-join exchange (kazu_ray/ops/web.py::crawl_frontier)."""
@@ -1336,14 +1347,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #         edge_embeddedness decode tweak, and the NEW host_hits /
     #         host_cocitation / host_reciprocity web ops (never
     #         driver-checked),
-    #   11-12 kg_kcore + kg_personalized_pagerank — NEW this round
-    #         (iterative peel / seed-teleport PageRank; unrolled-SQL
-    #         oracles), so they take window slots and the LAST two
-    #         r04-tail keys (stratified_docs, dup_span_stats — both
-    #         r03-green, code untouched) slide past #50 under the
-    #         local-only gate,
-    #   13-15 the no-oracle trio that must stay under the rows-only check,
-    #   16-50 the r04 tail (none had an r04 driver row; most
+    #   11-13 kg_kcore + kg_personalized_pagerank + host_distinct_urls_kmv
+    #         — NEW this round (iterative peel / seed-teleport PageRank /
+    #         KMV distinct sketch; SQL oracles), so they take window
+    #         slots and the LAST three r04-tail keys (stratified_docs,
+    #         dup_span_stats, heavy_hitter_words — all r03-green, code
+    #         untouched) slide past #50 under the local-only gate,
+    #   14-16 the no-oracle trio that must stay under the rows-only check,
+    #   17-50 the r04 tail (none had an r04 driver row; most
     #         were last driver-checked in r02/r03 — the full displaced
     #         set rotates back in, closing the ADVICE-r04 gap),
     #   51-90 r04-driver-green queries whose remaining round-5 changes
@@ -1370,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_prediction": _kg_link_prediction,
         "kg_kcore": _kg_kcore,
         "kg_personalized_pagerank": _kg_ppr,
+        "host_distinct_urls_kmv": _host_kmv,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -2493,6 +2505,29 @@ def oracle_sql() -> dict[str, str]:
                                  JOIN deg ON deg.node = und.v
                         GROUP BY und.u)
             SELECT node, r::BIGINT AS "rank" FROM r3
+        """,
+        "host_distinct_urls_kmv": """
+            WITH pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            links AS (
+                SELECT host,
+                       unnest(regexp_extract_all(h, '<a\\s+href="(https?://[^"]+)"', 1)) AS target
+                FROM pages
+            ),
+            hashed AS (SELECT DISTINCT host, md5_number_lower(target) AS hv FROM links),
+            ranked AS (SELECT host, hv,
+                              row_number() OVER (PARTITION BY host ORDER BY hv) AS rn,
+                              count(*) OVER (PARTITION BY host) AS m
+                       FROM hashed)
+            SELECT host,
+                   (CASE WHEN max(m) < 12 THEN max(m)::HUGEINT
+                         ELSE 11::HUGEINT * 18446744073709551616::HUGEINT
+                              // max(CASE WHEN rn = 12 THEN hv END)::HUGEINT
+                    END)::BIGINT AS est_distinct_urls
+            FROM ranked GROUP BY host
         """,
         "kg_personalized_pagerank": """
             WITH t AS (SELECT subj, obj

@@ -2496,3 +2496,54 @@ def test_personalized_pagerank_brute_force(ray_session, seed):
     # explicit seed subset: mass concentrates near the seed
     one = personalized_pagerank(ds, seeds=[seeds[0]])
     assert int(one.set_index("node").loc[seeds[0], "rank"]) > 0
+
+
+def test_host_kmv_distinct_sketch(ray_session):
+    """Exact below k (host with < k distinct outlinks reports the true
+    count, duplicate anchors collapsed); above k the estimate equals the
+    textbook (k-1)*2^64 // h_(k) computed driver-side from the same md5
+    hashes — and merging across partitions is lossless."""
+    import hashlib
+
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_distinct_outlinks_kmv
+
+    def page(url, targets):
+        nav = "".join(f'<a href="{t}">x</a>' for t in targets)
+        return (url, f"<html><body><nav>{nav}</nav></body></html>".encode())
+
+    small = [f"https://b.org/p{i}" for i in range(5)]
+    big = [f"https://c.org/q{i:03d}" for i in range(40)]
+    rows = (
+        # a.org links: 5 distinct (one duplicated), spread over pages
+        [page("https://a.org/1", small[:3] + [small[0]])]
+        + [page("https://a.org/2", small[3:])]
+        # d.org links to 40 distinct urls split across 4 pages
+        + [page(f"https://d.org/{j}", big[j * 10 : (j + 1) * 10]) for j in range(4)]
+    )
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "html": pa.array([r[1] for r in rows], type=pa.binary()),
+            }
+        )
+    ).repartition(3)
+
+    k = 12
+    got = (
+        host_distinct_outlinks_kmv(pages, k=k)
+        .to_pandas()
+        .set_index("host")["est_distinct_urls"]
+        .to_dict()
+    )
+    assert got["a.org"] == 5  # exact below k
+
+    hvs = sorted(
+        int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little") for t in big
+    )
+    want = (k - 1) * 2**64 // hvs[k - 1]
+    assert got["d.org"] == want
+    # the estimate is a real estimate: within 2x of truth for n=40, k=12
+    assert 20 <= got["d.org"] <= 80
