@@ -493,6 +493,10 @@ def _edge_degrees(edges):
         .aggregate(Sum("partial", alias_name="deg"))
         .to_pandas()
     )
+    # an empty edge Dataset (e.g. a kcore peel round that removed every
+    # edge) aggregates to a frame with NO columns, not an empty "node"
+    if "node" not in deg_df.columns:
+        return {}
     return dict(zip(deg_df["node"], deg_df["deg"]))
 
 

@@ -126,6 +126,56 @@ def driver_reference(links_df: pd.DataFrame):
     return deg, pr, comp
 
 
+def _as_triples(links_ds):
+    """View a (src_host, dst_host, n_links) link graph as the
+    (subj, pred, obj) shape the kg-side graph ops consume."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": t["src_host"].cast(pa.string()),
+                "pred": pa.array(["links"] * len(t), type=pa.string()),
+                "obj": t["dst_host"].cast(pa.string()),
+            }
+        )
+
+    return links_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _driver_kcore(und_edges: set, k: int) -> dict:
+    """Plain-Python peel over the undirected distinct edge set."""
+    adj: dict = {}
+    for a, b in und_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                if m in adj:
+                    adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def _driver_ppr(und_edges: set, n_iters: int, scale: int = 10**12) -> dict:
+    """Plain-Python integer seed-teleport recurrence."""
+    adj: dict = {}
+    for a, b in und_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = sorted(adj)[:5]
+    r = {n: (scale if n in seeds else 0) for n in adj}
+    for _ in range(n_iters):
+        r = {
+            u: ((15 * scale) // 100 if u in seeds else 0)
+            + (85 * sum(r[v] // len(adj[v]) for v in adj[u])) // 100
+            for u in adj
+        }
+    return r
+
+
 def main() -> None:
     n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     overlap = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
@@ -142,7 +192,7 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from kazu_ray.ops.graph import components_labeled
+    from kazu_ray.ops.graph import components_labeled, kcore, personalized_pagerank
     from kazu_ray.ops.web import (
         host_degrees_from_links,
         host_hits_from_links,
@@ -211,9 +261,25 @@ def main() -> None:
         [len(dirs), len(und), n_rec, n_rec * 1_000_000 // len(und)]
     ], "reciprocity differs"
 
+    # k-core + personalized pagerank (the round-5 kg-side iterative
+    # ops) over the same graph viewed as undirected triples
+    small_triples = _as_triples(small)
+    for kk in (4, 6):  # k=4: full core, 0 peel rounds; k=6: the synth
+        # graph is ~6-regular, so the peel CASCADES (8 rounds at 20k
+        # hosts) all the way to an empty core — the multi-round path
+        kc_got = kcore(small_triples, k=kk)
+        kc_ref = _driver_kcore(und, k=kk)
+        assert dict(zip(kc_got["node"], kc_got["deg_in_core"])) == kc_ref, (
+            f"kcore(k={kk}) differs"
+        )
+    ppr_got = personalized_pagerank(small_triples, n_iters=2)
+    ppr_ref = _driver_ppr(und, n_iters=2)
+    assert dict(zip(ppr_got["node"], ppr_got["rank"])) == ppr_ref, "ppr differs"
+
     print(
         f"overlap ({overlap} hosts, {len(small_df)} edges): degrees/pagerank/"
-        "components/hits/reciprocity EQUAL to the driver-side formulation"
+        "components/hits/reciprocity/kcore/personalized-pagerank EQUAL to "
+        "the driver-side formulation"
     )
 
     # ---- scale timing: the de-drivered ops at n_hosts ----
@@ -240,6 +306,15 @@ def main() -> None:
     rec = host_reciprocity_from_links(links)
     t_rec = time.time() - t0
 
+    triples = _as_triples(links)
+    t0 = time.time()
+    kc = kcore(triples, k=6)  # ~6-regular graph: k=6 cascades the peel
+    t_kc = time.time() - t0
+
+    t0 = time.time()
+    ppr = personalized_pagerank(triples, n_iters=2)
+    t_ppr = time.time() - t0
+
     print(
         f"scale ({n_hosts} hosts, {n_edges} edges): "
         f"host_degrees {t_deg:.1f}s ({n_deg} hosts), "
@@ -247,7 +322,9 @@ def main() -> None:
         f"host_components {t_comp:.1f}s ({n_comp} labeled), "
         f"host_hits(2 iters) {t_hits:.1f}s ({len(hits)} hosts), "
         f"host_reciprocity {t_rec:.1f}s "
-        f"(recip_ppm {int(rec['reciprocity_ppm'].iloc[0])})"
+        f"(recip_ppm {int(rec['reciprocity_ppm'].iloc[0])}), "
+        f"kcore(k=6, cascading peel) {t_kc:.1f}s ({len(kc)} core nodes), "
+        f"personalized_pagerank(2 iters) {t_ppr:.1f}s ({len(ppr)} rows)"
     )
     ray.shutdown()
 

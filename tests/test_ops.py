@@ -2547,3 +2547,21 @@ def test_host_kmv_distinct_sketch(ray_session):
     assert got["d.org"] == want
     # the estimate is a real estimate: within 2x of truth for n=40, k=12
     assert 20 <= got["d.org"] <= 80
+
+
+def test_kcore_peel_empties_edge_set(ray_session):
+    """A peel round can remove EVERY edge while survivors still exist
+    (each survivor's k neighbors were all dropped nodes): k=2 on two
+    triangles joined by a path of pendants — regression for the empty
+    _edge_degrees frame."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import kcore
+
+    # star: center c with 5 leaves — k=2 drops all leaves in round 1,
+    # leaving c with 0 edges; the 2-core is empty
+    triples = [
+        {"subj": "c", "pred": "co", "obj": f"l{i}", "doc_id": i} for i in range(5)
+    ]
+    got = kcore(rd.from_items(triples), k=2)
+    assert len(got) == 0
