@@ -136,6 +136,7 @@ def run_web_suite() -> dict[str, float]:
 
     from kazu_ray.ops.web import (
         host_degrees_from_links,
+        host_distinct_outlinks_kmv,
         host_hits_from_links,
         host_link_graph,
         host_pagerank_from_links,
@@ -171,6 +172,14 @@ def run_web_suite() -> dict[str, float]:
         host_hits_from_links(links)
         best = min(best, time.time() - t0)
     out["host_hits"] = round(best, 3)
+    # round-5: the KMV distinct-URL sketch is the second pages-scale
+    # scan (per-URL md5 + per-host k-min merge through the exchange)
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        host_distinct_outlinks_kmv(pages).count()
+        best = min(best, time.time() - t0)
+    out["host_distinct_urls_kmv"] = round(best, 3)
     return out
 
 
