@@ -183,6 +183,10 @@ def main() -> None:
     # the drill exists to exercise and time the DISTRIBUTED forms — the
     # size dispatch would otherwise route the overlap graph driver-side
     os.environ["KAZU_WEB_MAX_DRIVER_PAIRS"] = "0"
+    # likewise force the kg-side INT-CODED forms (what runs at scale)
+    # so the overlap equality checks gate exactly the code the 1M leg
+    # times
+    os.environ["KAZU_GRAPH_MAX_DICT_EDGES"] = "0"
 
     import ray
 

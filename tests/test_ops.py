@@ -2565,3 +2565,35 @@ def test_kcore_peel_empties_edge_set(ray_session):
     ]
     got = kcore(rd.from_items(triples), k=2)
     assert len(got) == 0
+
+
+def test_int_coded_graph_paths_equal_dict_paths(ray_session, monkeypatch):
+    """Force the int-coded open-vocabulary forms (KAZU_GRAPH_MAX_DICT_EDGES=0)
+    of kcore / pagerank / personalized_pagerank and require results
+    IDENTICAL to the string/dict forms on the same graphs."""
+    import ray.data as rd
+
+    from kazu_ray.ops import graph
+
+    rng = np.random.default_rng(11)
+    edges = set()
+    while len(edges) < 160:
+        a, b = rng.integers(0, 40, size=2)
+        if a != b:
+            edges.add((f"n{min(a,b):02d}", f"n{max(a,b):02d}"))
+    triples = [
+        {"subj": a, "pred": "co", "obj": b, "doc_id": i}
+        for i, (a, b) in enumerate(sorted(edges))
+    ]
+    ds = rd.from_items(triples).repartition(4)
+
+    want_kcore = {k: graph.kcore(ds, k=k) for k in (2, 4, 9)}
+    want_pr = graph.pagerank(ds)
+    want_ppr = graph.personalized_pagerank(ds)
+
+    monkeypatch.setenv("KAZU_GRAPH_MAX_DICT_EDGES", "0")
+    for k, want in want_kcore.items():
+        got = graph.kcore(ds, k=k)
+        assert got.equals(want), f"kcore k={k} int path differs"
+    assert graph.pagerank(ds).equals(want_pr)
+    assert graph.personalized_pagerank(ds).equals(want_ppr)
