@@ -1203,6 +1203,19 @@ def _host_kmv(sf_dir: str):
     return host_distinct_outlinks_kmv(rd.read_parquet(oracle_dir))
 
 
+def _host_reachability(sf_dir: str):
+    """Multi-source BFS distance (≤3 hops) from the 5 lexmin hosts over
+    the undirected host link graph — size-dispatched KG BFS machinery
+    (int-coded numpy distance vector above the dict threshold); oracle
+    = 3 unrolled Bellman-Ford steps over the SQL-re-parsed link graph."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_reachability
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_reachability(rd.read_parquet(oracle_dir))
+
+
 def _crawl_frontier(sf_dir: str):
     """Uncrawled outlink URLs + ref counts: page-scale e-marker
     anti-join exchange (kazu_ray/ops/web.py::crawl_frontier)."""
@@ -1347,12 +1360,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #         edge_embeddedness decode tweak, and the NEW host_hits /
     #         host_cocitation / host_reciprocity web ops (never
     #         driver-checked),
-    #   11-13 kg_kcore + kg_personalized_pagerank + host_distinct_urls_kmv
-    #         — NEW this round (iterative peel / seed-teleport PageRank /
-    #         KMV distinct sketch; SQL oracles), so they take window
-    #         slots and the LAST three r04-tail keys (stratified_docs,
-    #         dup_span_stats, heavy_hitter_words — all r03-green, code
-    #         untouched) slide past #50 under the local-only gate,
+    #   11-15 kg_kcore + kg_personalized_pagerank + host_distinct_urls_kmv
+    #         + host_reachability — NEW this round (iterative peel /
+    #         seed-teleport PageRank / KMV distinct sketch / host BFS;
+    #         SQL oracles) — plus kg_bfs_distances, whose code path
+    #         gained the int-coded size dispatch this round; they take
+    #         window slots and the last five r04-tail keys
+    #         (embedding_quantized, media_features, heavy_hitter_words,
+    #         dup_span_stats, stratified_docs — all previously
+    #         driver-green, code untouched) slide past #50 under the
+    #         local-only gate,
     #   14-16 the no-oracle trio that must stay under the rows-only check,
     #   17-50 the r04 tail (none had an r04 driver row; most
     #         were last driver-checked in r02/r03 — the full displaced
@@ -1382,6 +1399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _kg_kcore,
         "kg_personalized_pagerank": _kg_ppr,
         "host_distinct_urls_kmv": _host_kmv,
+        "host_reachability": _host_reachability,
+        "kg_bfs_distances": _kg_bfs_distances,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1481,7 +1500,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop_paths": _kg_two_hop_paths,
         "kg_node_triangles": _kg_node_triangles,
         "kg_pagerank": _kg_pagerank,
-        "kg_bfs_distances": _kg_bfs_distances,
         "kg_text_hashes": _text_hashes,
         "mention_contexts": _mention_contexts,
         "kg_node_doc_counts": _kg_node_doc_counts,
@@ -2207,6 +2225,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS host, min(lbl) AS component
             FROM reach GROUP BY id
+        """,
+        "host_reachability": """
+            WITH pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            e AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+                                  greatest(src_host, dst_host) AS b
+                  FROM raw WHERE src_host <> dst_host),
+            und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+            seeds AS (SELECT DISTINCT u AS node FROM und ORDER BY node LIMIT 5),
+            r0 AS (SELECT node, 0 AS d FROM seeds),
+            r1 AS (SELECT node, min(d) AS d FROM (
+                       SELECT node, d FROM r0
+                       UNION ALL
+                       SELECT und.u, r0.d + 1 FROM und JOIN r0 ON r0.node = und.v
+                   ) GROUP BY node),
+            r2 AS (SELECT node, min(d) AS d FROM (
+                       SELECT node, d FROM r1
+                       UNION ALL
+                       SELECT und.u, r1.d + 1 FROM und JOIN r1 ON r1.node = und.v
+                   ) GROUP BY node),
+            r3 AS (SELECT node, min(d) AS d FROM (
+                       SELECT node, d FROM r2
+                       UNION ALL
+                       SELECT und.u, r2.d + 1 FROM und JOIN r2 ON r2.node = und.v
+                   ) GROUP BY node)
+            SELECT node AS host, d::BIGINT AS dist FROM r3
         """,
         "host_hits": """
             WITH pages AS (

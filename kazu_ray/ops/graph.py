@@ -1306,8 +1306,11 @@ def bfs_distances(triples_ds, n_seeds: int = 5, max_hops: int = 3, edges=None):
     docstring) — broadcast once per hop; each hop is ONE streaming pass
     over the edge Dataset emitting per-batch-combined relaxation
     partials, reduced by a node-sized ``groupby.min``. ``max_hops``
-    passes total, edge set materialized once. Unreached nodes are
-    absent from the output (node, dist)."""
+    passes total, edge set materialized once. Above the
+    open-vocabulary threshold the int-coded fixed-edge-set form
+    (:func:`_bfs_int`) runs instead — same relaxation on a numpy
+    distance vector. Unreached nodes are absent from the output
+    (node, dist)."""
     import ray
     from ray.data.aggregate import Min
 
@@ -1315,6 +1318,8 @@ def bfs_distances(triples_ds, n_seeds: int = 5, max_hops: int = 3, edges=None):
         edges = _distinct_edges(triples_ds)
     deg = _edge_degrees(edges)
     seeds = sorted(deg)[:n_seeds]
+    if edges.count() > _graph_max_dict_edges():
+        return _bfs_int(edges, deg, seeds, max_hops)
     dist = {n: 0 for n in seeds}
 
     for _ in range(max_hops):
@@ -1604,33 +1609,39 @@ _INT_SUM_EMPTY = pa.table(
 )
 
 
-def _reduce_codes(codes: np.ndarray, vals: np.ndarray) -> pa.Table:
+def _reduce_codes(codes: np.ndarray, vals: np.ndarray, ufunc=np.add) -> pa.Table:
     """Per-batch combiner on int codes: sort + reduceat (emits only the
     codes PRESENT in the batch — a bincount would ship a node-sized
-    vector per block)."""
+    vector per block). ``ufunc`` is the combining ufunc (``np.add`` for
+    degree/rank partials, ``np.minimum`` for BFS relaxation)."""
     order = np.argsort(codes, kind="stable")
     cs, vs = codes[order], vals[order]
     starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
     return pa.table(
-        {"code": pa.array(cs[starts]), "c": pa.array(np.add.reduceat(vs, starts))}
+        {"code": pa.array(cs[starts]), "c": pa.array(ufunc.reduceat(vs, starts))}
     )
 
 
-def _sum_by_code(partials_ds) -> pd.DataFrame:
-    """code-keyed hash exchange summing per-batch partials (the
-    ``_edge_degrees`` shape on int codes)."""
+def _agg_by_code(partials_ds, agg: str = "sum") -> pd.DataFrame:
+    """code-keyed hash exchange combining per-batch partials (the
+    ``_edge_degrees`` shape on int codes); ``agg`` is the pyarrow
+    group_by aggregate name (``sum`` or ``min``)."""
     from kazu_ray.ops.dedup import shuffle_parts
     from kazu_ray.ops.exchange import exchange_groups
 
-    def bucket_sum(t: pa.Table) -> pa.Table:
-        g = t.group_by("code").aggregate([("c", "sum")])
+    def bucket_agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("code").aggregate([("c", agg)])
         return pa.table(
-            {"code": g["code"].cast(pa.int64()), "c": g["c_sum"].cast(pa.int64())}
+            {"code": g["code"].cast(pa.int64()), "c": g[f"c_{agg}"].cast(pa.int64())}
         )
 
     return exchange_groups(
-        partials_ds, ["code"], shuffle_parts(), bucket_sum, _INT_SUM_EMPTY
+        partials_ds, ["code"], shuffle_parts(), bucket_agg, _INT_SUM_EMPTY
     ).to_pandas()
+
+
+def _sum_by_code(partials_ds) -> pd.DataFrame:
+    return _agg_by_code(partials_ds, "sum")
 
 
 def _kcore_int(edges, deg: dict, k: int, max_rounds: int) -> pd.DataFrame:
@@ -1760,6 +1771,67 @@ def _power_int(
 
     out = pd.DataFrame({"node": sorted_nodes, "rank": rank}).astype(
         {"rank": "int64"}
+    )
+    return out.sort_values("node", ignore_index=True)
+
+
+_BFS_INF = np.int64(2**62)
+
+
+def _bfs_int(edges, deg: dict, seeds: list, max_hops: int) -> pd.DataFrame:
+    """Int-coded multi-source BFS for open-vocabulary graphs — same
+    relaxation as the dict form of :func:`bfs_distances`, with the
+    frontier state held as ONE node-sized int64 distance vector
+    (``_BFS_INF`` = unreached) broadcast zero-copy per hop, instead of a
+    string-keyed dict that grows node-sized and re-deserializes in every
+    task. Each hop: one vectorized pass over the fixed int-coded edge
+    set emitting per-batch ``min``-combined relaxation partials, reduced
+    by a code-keyed min exchange."""
+    import ray
+
+    nodes = sorted(deg)
+    n = len(nodes)
+    salt, order, sorted_hashes = _hash_code_nodes(nodes, "bfs")
+    sorted_nodes = np.asarray(nodes, dtype=object)[order]
+    int_edges = _encode_edges_ab(edges, salt, sorted_hashes)
+
+    dist = np.full(n, _BFS_INF, dtype=np.int64)
+    seed_h = pd.util.hash_array(
+        np.asarray(seeds, dtype=object), hash_key=f"{salt:016d}"
+    )
+    dist[np.searchsorted(sorted_hashes, seed_h)] = 0
+
+    for _ in range(max_hops):
+        dist_ref = ray.put(dist)
+
+        def partial(t: pa.Table, _ref=dist_ref) -> pa.Table:
+            dv = ray.get(_ref)  # zero-copy int64 vector
+            s = t["s"].to_numpy()
+            d = t["d"].to_numpy()
+            codes = np.concatenate([s, d])
+            src = np.concatenate([dv[d], dv[s]])
+            keep = src < _BFS_INF
+            if not keep.any():
+                return _INT_SUM_EMPTY
+            return _reduce_codes(codes[keep], src[keep] + 1, np.minimum)
+
+        relaxed = _agg_by_code(
+            int_edges.map_batches(partial, batch_format="pyarrow"), "min"
+        )
+        new_dist = dist.copy()
+        if len(relaxed):
+            np.minimum.at(
+                new_dist,
+                relaxed["code"].to_numpy(np.int64),
+                relaxed["c"].to_numpy(np.int64),
+            )
+        if np.array_equal(new_dist, dist):
+            break
+        dist = new_dist
+
+    sel = dist < _BFS_INF
+    out = pd.DataFrame({"node": sorted_nodes[sel], "dist": dist[sel]}).astype(
+        {"dist": "int64"}
     )
     return out.sort_values("node", ignore_index=True)
 

@@ -833,6 +833,39 @@ def host_components(pages_ds):
     )
 
 
+def host_reachability(pages_ds, n_seeds: int = 5, max_hops: int = 3):
+    """Multi-source BFS distance (≤ ``max_hops``) from the ``n_seeds``
+    lexicographically-smallest hosts over the UNDIRECTED host link
+    graph — "hops from the core of the crawl", the standard
+    crawl-depth / seed-proximity signal (and the k-hop reachability
+    primitive the frontier-prioritization heuristics consume).
+
+    Reuses the KG BFS machinery (``kazu_ray/ops/graph.py``), which is
+    size-dispatched: dict-broadcast relaxation under
+    ``KAZU_GRAPH_MAX_DICT_EDGES``, int-coded numpy distance vector
+    (salted-hash node codes, fixed int edge set, min-combined
+    relaxation partials over a code-keyed exchange) above it — the
+    right form for the open host vocabulary. Output is host-sized
+    (bounded like the PageRank vector, not edge-sized): (host, dist),
+    unreached hosts absent. Deterministic seed rule so the unrolled
+    Bellman-Ford SQL oracle reproduces it exactly."""
+    from kazu_ray.ops.graph import _distinct_edges, bfs_distances
+
+    tri_like = host_link_graph(pages_ds).map_batches(
+        lambda t: pa.table(
+            {
+                "subj": t["src_host"].cast(pa.string()),
+                "obj": t["dst_host"].cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = bfs_distances(
+        None, n_seeds=n_seeds, max_hops=max_hops, edges=_distinct_edges(tri_like)
+    )
+    return out.rename(columns={"node": "host"})
+
+
 def host_cocitation(pages_ds):
     """Host co-citation pairs: for every page, the DISTINCT pairs of
     target hosts its outlinks point at — ``(host_a, host_b, n_pages)``

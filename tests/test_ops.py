@@ -815,6 +815,50 @@ def test_host_components_distributed_path(ray_session, monkeypatch):
     assert dict(zip(got_dist["host"], got_dist["component"])) == want
 
 
+def test_host_reachability_and_int_path(ray_session, monkeypatch):
+    """host_reachability: hand-derived hop distances on a two-component
+    host graph (seeds = 5 lexmin hosts), identical through the forced
+    int-coded BFS path (KAZU_GRAPH_MAX_DICT_EDGES=0)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_reachability
+
+    def page(url, links):
+        nav = "".join(f'<a href="{u}">ref</a>' for u in links)
+        return url, f"<html><body><p>x</p><nav>{nav}</nav></body></html>".encode()
+
+    # chain a->b->c->d->e->f (undirected) plus isolated pair y<->z;
+    # lexmin-5 seeds = {a..e}, so f is 1 hop (from e) and y,z are
+    # unreachable from the seed set only if they sort after the chain —
+    # y,z DO sort after e, so seeds = a,b,c,d,e and y,z get no dist.
+    rows = [
+        page("https://a.org/1", ["https://b.org/x"]),
+        page("https://b.org/1", ["https://c.org/x"]),
+        page("https://c.org/1", ["https://d.org/x"]),
+        page("https://d.org/1", ["https://e.org/x"]),
+        page("https://e.org/1", ["https://f.org/x"]),
+        page("https://y.org/1", ["https://z.org/x"]),
+    ]
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "html": pa.array([r[1] for r in rows], type=pa.binary()),
+            }
+        )
+    )
+    want = {
+        "a.org": 0, "b.org": 0, "c.org": 0, "d.org": 0, "e.org": 0,
+        "f.org": 1,
+    }
+    got = host_reachability(pages)
+    assert dict(zip(got["host"], got["dist"])) == want
+    monkeypatch.setenv("KAZU_GRAPH_MAX_DICT_EDGES", "0")
+    got_int = host_reachability(pages)
+    assert got_int.equals(got)
+
+
 def test_corpus_outlinks_never_perturb_extracted_text():
     """The nav anchor line must never win the longest-line rule — the
     per-url text-sha invariant is corpus-content-version independent."""
@@ -2590,6 +2634,9 @@ def test_int_coded_graph_paths_equal_dict_paths(ray_session, monkeypatch):
     want_kcore = {k: graph.kcore(ds, k=k) for k in (2, 4, 9)}
     want_pr = graph.pagerank(ds)
     want_ppr = graph.personalized_pagerank(ds)
+    # hops=3 (early rows settle, frontier still moving) and hops=12
+    # (converges early — exercises the no-change break)
+    want_bfs = {h: graph.bfs_distances(ds, max_hops=h) for h in (3, 12)}
 
     monkeypatch.setenv("KAZU_GRAPH_MAX_DICT_EDGES", "0")
     for k, want in want_kcore.items():
@@ -2597,3 +2644,6 @@ def test_int_coded_graph_paths_equal_dict_paths(ray_session, monkeypatch):
         assert got.equals(want), f"kcore k={k} int path differs"
     assert graph.pagerank(ds).equals(want_pr)
     assert graph.personalized_pagerank(ds).equals(want_ppr)
+    for h, want in want_bfs.items():
+        got = graph.bfs_distances(ds, max_hops=h)
+        assert got.equals(want), f"bfs max_hops={h} int path differs"
