@@ -1216,6 +1216,28 @@ def _host_reachability(sf_dir: str):
     return host_reachability(rd.read_parquet(oracle_dir))
 
 
+def _host_triangles(sf_dir: str):
+    """Global triangle count of the undirected host link graph — reuses
+    the size-dispatched KG triangle machinery."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_triangles
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_triangles(rd.read_parquet(oracle_dir))
+
+
+def _host_clustering(sf_dir: str):
+    """Global clustering coefficient (integer ppm) of the undirected
+    host link graph."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_clustering
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_clustering(rd.read_parquet(oracle_dir))
+
+
 def _crawl_frontier(sf_dir: str):
     """Uncrawled outlink URLs + ref counts: page-scale e-marker
     anti-join exchange (kazu_ray/ops/web.py::crawl_frontier)."""
@@ -1360,16 +1382,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #         edge_embeddedness decode tweak, and the NEW host_hits /
     #         host_cocitation / host_reciprocity web ops (never
     #         driver-checked),
-    #   11-15 kg_kcore + kg_personalized_pagerank + host_distinct_urls_kmv
-    #         + host_reachability — NEW this round (iterative peel /
-    #         seed-teleport PageRank / KMV distinct sketch / host BFS;
-    #         SQL oracles) — plus kg_bfs_distances, whose code path
-    #         gained the int-coded size dispatch this round; they take
-    #         window slots and the last five r04-tail keys
-    #         (embedding_quantized, media_features, heavy_hitter_words,
-    #         dup_span_stats, stratified_docs — all previously
-    #         driver-green, code untouched) slide past #50 under the
-    #         local-only gate,
+    #   11-17 kg_kcore + kg_personalized_pagerank + host_distinct_urls_kmv
+    #         + host_reachability + host_triangles + host_clustering —
+    #         NEW this round (iterative peel / seed-teleport PageRank /
+    #         KMV distinct sketch / host BFS / host triangle suite; SQL
+    #         oracles) — plus kg_bfs_distances, whose code path gained
+    #         the int-coded size dispatch this round; they take window
+    #         slots and the last seven r04-tail keys (repetition_stats,
+    #         embedding_label_stats, embedding_quantized,
+    #         media_features, heavy_hitter_words, dup_span_stats,
+    #         stratified_docs — all previously driver-green, code
+    #         untouched) slide past #50 under the local-only gate,
     #   14-16 the no-oracle trio that must stay under the rows-only check,
     #   17-50 the r04 tail (none had an r04 driver row; most
     #         were last driver-checked in r02/r03 — the full displaced
@@ -1400,6 +1423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_personalized_pagerank": _kg_ppr,
         "host_distinct_urls_kmv": _host_kmv,
         "host_reachability": _host_reachability,
+        "host_triangles": _host_triangles,
+        "host_clustering": _host_clustering,
         "kg_bfs_distances": _kg_bfs_distances,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
@@ -2225,6 +2250,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS host, min(lbl) AS component
             FROM reach GROUP BY id
+        """,
+        "host_triangles": """
+            WITH pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            e AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+                                  greatest(src_host, dst_host) AS b
+                  FROM raw WHERE src_host <> dst_host)
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM e ab
+            JOIN e bc ON bc.a = ab.b
+            JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        """,
+        "host_clustering": """
+            WITH pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            e AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+                                  greatest(src_host, dst_host) AS b
+                  FROM raw WHERE src_host <> dst_host),
+            und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+            w AS (SELECT sum(d * (d - 1) // 2)::BIGINT AS n_wedges FROM deg),
+            tri AS (SELECT count(*)::BIGINT AS n_triangles
+                    FROM e ab
+                    JOIN e bc ON bc.a = ab.b
+                    JOIN e ac ON ac.a = ab.a AND ac.b = bc.b)
+            SELECT tri.n_triangles, w.n_wedges,
+                   (CASE WHEN w.n_wedges > 0
+                         THEN (3 * tri.n_triangles * 1000000) // w.n_wedges
+                         ELSE 0 END)::BIGINT AS coeff_ppm
+            FROM tri, w
         """,
         "host_reachability": """
             WITH pages AS (

@@ -851,7 +851,20 @@ def host_reachability(pages_ds, n_seeds: int = 5, max_hops: int = 3):
     Bellman-Ford SQL oracle reproduces it exactly."""
     from kazu_ray.ops.graph import _distinct_edges, bfs_distances
 
-    tri_like = host_link_graph(pages_ds).map_batches(
+    out = bfs_distances(
+        None,
+        n_seeds=n_seeds,
+        max_hops=max_hops,
+        edges=_distinct_edges(_links_as_subj_obj(host_link_graph(pages_ds))),
+    )
+    return out.rename(columns={"node": "host"})
+
+
+def _links_as_subj_obj(links_ds):
+    """View a (src_host, dst_host, ...) link graph as the (subj, obj)
+    shape the kg-side graph ops consume (their edge derivation reads
+    only those two columns)."""
+    return links_ds.map_batches(
         lambda t: pa.table(
             {
                 "subj": t["src_host"].cast(pa.string()),
@@ -860,10 +873,28 @@ def host_reachability(pages_ds, n_seeds: int = 5, max_hops: int = 3):
         ),
         batch_format="pyarrow",
     )
-    out = bfs_distances(
-        None, n_seeds=n_seeds, max_hops=max_hops, edges=_distinct_edges(tri_like)
-    )
-    return out.rename(columns={"node": "host"})
+
+
+def host_triangles(pages_ds):
+    """Global triangle count of the undirected host link graph — the
+    density-of-local-community signal webgraph spam/cohesion analyses
+    start from. Pure reuse of the KG triangle machinery
+    (``kazu_ray/ops/graph.py::triangle_count``): size-dispatched between
+    the driver adjacency form and the degree-oriented
+    Suri-Vassilvitskii distributed wedge counting on int32 codes."""
+    from kazu_ray.ops.graph import triangle_count
+
+    return triangle_count(_links_as_subj_obj(host_link_graph(pages_ds)))
+
+
+def host_clustering(pages_ds):
+    """Global clustering coefficient of the undirected host link graph
+    (3·triangles / wedges, integer ppm — hash-exact vs the SQL oracle).
+    Reuses ``kazu_ray/ops/graph.py::clustering_coefficient`` with the
+    distinct-edge Dataset derived once."""
+    from kazu_ray.ops.graph import clustering_coefficient
+
+    return clustering_coefficient(_links_as_subj_obj(host_link_graph(pages_ds)))
 
 
 def host_cocitation(pages_ds):

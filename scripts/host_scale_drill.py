@@ -176,6 +176,25 @@ def _driver_ppr(und_edges: set, n_iters: int, scale: int = 10**12) -> dict:
     return r
 
 
+def _driver_bfs(und_edges: set, max_hops: int) -> dict:
+    """Plain-Python multi-source BFS (5 lexmin seeds, ≤ max_hops)."""
+    adj: dict = {}
+    for a, b in und_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {n: 0 for n in sorted(adj)[:5]}
+    frontier = set(dist)
+    for h in range(1, max_hops + 1):
+        frontier = {
+            m for n in frontier for m in adj[n] if m not in dist
+        }
+        for m in frontier:
+            dist[m] = h
+        if not frontier:
+            break
+    return dist
+
+
 def main() -> None:
     n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     overlap = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
@@ -196,7 +215,12 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from kazu_ray.ops.graph import components_labeled, kcore, personalized_pagerank
+    from kazu_ray.ops.graph import (
+        bfs_distances,
+        components_labeled,
+        kcore,
+        personalized_pagerank,
+    )
     from kazu_ray.ops.web import (
         host_degrees_from_links,
         host_hits_from_links,
@@ -280,10 +304,14 @@ def main() -> None:
     ppr_ref = _driver_ppr(und, n_iters=2)
     assert dict(zip(ppr_got["node"], ppr_got["rank"])) == ppr_ref, "ppr differs"
 
+    bfs_got = bfs_distances(small_triples, max_hops=3)
+    bfs_ref = _driver_bfs(und, max_hops=3)
+    assert dict(zip(bfs_got["node"], bfs_got["dist"])) == bfs_ref, "bfs differs"
+
     print(
         f"overlap ({overlap} hosts, {len(small_df)} edges): degrees/pagerank/"
-        "components/hits/reciprocity/kcore/personalized-pagerank EQUAL to "
-        "the driver-side formulation"
+        "components/hits/reciprocity/kcore/personalized-pagerank/bfs EQUAL "
+        "to the driver-side formulation"
     )
 
     # ---- scale timing: the de-drivered ops at n_hosts ----
@@ -319,6 +347,10 @@ def main() -> None:
     ppr = personalized_pagerank(triples, n_iters=2)
     t_ppr = time.time() - t0
 
+    t0 = time.time()
+    bfs = bfs_distances(triples, max_hops=3)
+    t_bfs = time.time() - t0
+
     print(
         f"scale ({n_hosts} hosts, {n_edges} edges): "
         f"host_degrees {t_deg:.1f}s ({n_deg} hosts), "
@@ -328,7 +360,8 @@ def main() -> None:
         f"host_reciprocity {t_rec:.1f}s "
         f"(recip_ppm {int(rec['reciprocity_ppm'].iloc[0])}), "
         f"kcore(k=6, cascading peel) {t_kc:.1f}s ({len(kc)} core nodes), "
-        f"personalized_pagerank(2 iters) {t_ppr:.1f}s ({len(ppr)} rows)"
+        f"personalized_pagerank(2 iters) {t_ppr:.1f}s ({len(ppr)} rows), "
+        f"bfs_distances(3 hops) {t_bfs:.1f}s ({len(bfs)} reached)"
     )
     ray.shutdown()
 
