@@ -1238,6 +1238,17 @@ def _host_clustering(sf_dir: str):
     return host_clustering(rd.read_parquet(oracle_dir))
 
 
+def _host_entity_profile(sf_dir: str):
+    """Cross-layer (webtext × KG) rollup: per-host docs / triples /
+    distinct-entity counts — host parsed per batch from the triple
+    stream's doc_id url, one host-keyed exchange finishing sums and
+    distinct counts together."""
+    from kazu_ray.ops.web import host_entity_profile
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return host_entity_profile(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
 def _crawl_frontier(sf_dir: str):
     """Uncrawled outlink URLs + ref counts: page-scale e-marker
     anti-join exchange (kazu_ray/ops/web.py::crawl_frontier)."""
@@ -1382,17 +1393,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #         edge_embeddedness decode tweak, and the NEW host_hits /
     #         host_cocitation / host_reciprocity web ops (never
     #         driver-checked),
-    #   11-17 kg_kcore + kg_personalized_pagerank + host_distinct_urls_kmv
-    #         + host_reachability + host_triangles + host_clustering —
-    #         NEW this round (iterative peel / seed-teleport PageRank /
-    #         KMV distinct sketch / host BFS / host triangle suite; SQL
+    #   11-18 kg_kcore + kg_personalized_pagerank + host_distinct_urls_kmv
+    #         + host_reachability + host_triangles + host_clustering +
+    #         host_entity_profile — NEW this round (iterative peel /
+    #         seed-teleport PageRank / KMV distinct sketch / host BFS /
+    #         host triangle suite / cross-layer host×KG rollup; SQL
     #         oracles) — plus kg_bfs_distances, whose code path gained
     #         the int-coded size dispatch this round; they take window
-    #         slots and the last seven r04-tail keys (repetition_stats,
-    #         embedding_label_stats, embedding_quantized,
-    #         media_features, heavy_hitter_words, dup_span_stats,
-    #         stratified_docs — all previously driver-green, code
-    #         untouched) slide past #50 under the local-only gate,
+    #         slots and the last eight r04-tail keys (doc_chunks,
+    #         repetition_stats, embedding_label_stats,
+    #         embedding_quantized, media_features, heavy_hitter_words,
+    #         dup_span_stats, stratified_docs — all previously
+    #         driver-green, code untouched) slide past #50 under the
+    #         local-only gate,
     #   14-16 the no-oracle trio that must stay under the rows-only check,
     #   17-50 the r04 tail (none had an r04 driver row; most
     #         were last driver-checked in r02/r03 — the full displaced
@@ -1425,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reachability": _host_reachability,
         "host_triangles": _host_triangles,
         "host_clustering": _host_clustering,
+        "host_entity_profile": _host_entity_profile,
         "kg_bfs_distances": _kg_bfs_distances,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
@@ -2250,6 +2264,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS host, min(lbl) AS component
             FROM reach GROUP BY id
+        """,
+        "host_entity_profile": """
+            WITH j AS (
+                SELECT lower(regexp_extract(doc_id, '^[^:/?#]+://([^/?#]+)', 1)) AS host,
+                       doc_id, subj, obj
+                FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')
+            ),
+            agg1 AS (SELECT host, count(DISTINCT doc_id) AS n_docs,
+                            count(*) AS n_triples
+                     FROM j GROUP BY host),
+            ent AS (SELECT DISTINCT host, subj AS e FROM j
+                    UNION SELECT DISTINCT host, obj FROM j),
+            agg2 AS (SELECT host, count(*) AS n_entities FROM ent GROUP BY host)
+            SELECT agg1.host, n_docs::BIGINT AS n_docs,
+                   n_triples::BIGINT AS n_triples,
+                   n_entities::BIGINT AS n_entities
+            FROM agg1 JOIN agg2 USING (host)
         """,
         "host_triangles": """
             WITH pages AS (

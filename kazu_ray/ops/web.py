@@ -897,6 +897,111 @@ def host_clustering(pages_ds):
     return clustering_coefficient(_links_as_subj_obj(host_link_graph(pages_ds)))
 
 
+def host_entity_profile(triples_ds):
+    """Per-host KG density profile — the cross-layer (webtext × KG)
+    rollup a construction pipeline reports on: for every host whose
+    pages produced at least one triple, the number of contributing
+    docs (``n_docs``), emitted triples (``n_triples``), and DISTINCT
+    entities — subjects ∪ objects — (``n_entities``).
+
+    The triple stream's ``doc_id`` IS the source page url (the store
+    contract, ``kazu_ray/stages/materialize.py``), so host attribution
+    is a per-batch regex extract — no join against the pages table is
+    ever needed. ONE streaming pass emits per-batch-combined rows of
+    two kinds — a ``kind='t'`` (host, triple-count) partial plus
+    per-batch-DISTINCT ``kind='e'``/``'d'`` (host, entity/doc-url)
+    markers — and ONE host-keyed hash exchange finishes both: each
+    bucket sums the 't' partials and distinct-counts the marker kinds
+    for its hosts (spilling past the byte cap — a hub host's doc
+    markers grow with the crawl). Streams back as a
+    (host, n_docs, n_triples, n_entities) Dataset; nothing
+    edge- or doc-sized touches the driver."""
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    def partial(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_pandas()
+        host = doc.str.extract(_HOST_RE, expand=False).str.lower()
+        keep = host.notna()
+        host, doc = host[keep], doc[keep]
+        subj = t["subj"].to_pandas()[keep]
+        obj = t["obj"].to_pandas()[keep]
+        marks = pd.concat(
+            [
+                pd.DataFrame({"host": host, "kind": "e", "key": subj}),
+                pd.DataFrame({"host": host, "kind": "e", "key": obj}),
+                pd.DataFrame({"host": host, "kind": "d", "key": doc}),
+            ],
+            ignore_index=True,
+        ).drop_duplicates()
+        counts = host.groupby(host).size()
+        df = pd.concat(
+            [
+                marks.assign(n=np.int64(1)),
+                pd.DataFrame(
+                    {
+                        "host": counts.index,
+                        "kind": "t",
+                        "key": "",
+                        "n": counts.to_numpy(np.int64),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        return pa.table(
+            {
+                "host": pa.array(df["host"], type=pa.string()),
+                "kind": pa.array(df["kind"], type=pa.string()),
+                "key": pa.array(df["key"], type=pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+            }
+        )
+
+    def bucket_profile(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        tri = df[df["kind"] == "t"].groupby("host")["n"].sum()
+        dist = (
+            df[df["kind"] != "t"]
+            .drop_duplicates(["host", "kind", "key"])
+            .groupby(["host", "kind"])
+            .size()
+            .unstack(fill_value=0)
+        )
+        out = pd.DataFrame(
+            {
+                "host": tri.index,
+                "n_docs": dist["d"].reindex(tri.index, fill_value=0),
+                "n_triples": tri.to_numpy(np.int64),
+                "n_entities": dist["e"].reindex(tri.index, fill_value=0),
+            }
+        )
+        return pa.table(
+            {
+                "host": pa.array(out["host"], type=pa.string()),
+                "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+                "n_triples": pa.array(out["n_triples"].to_numpy(np.int64)),
+                "n_entities": pa.array(out["n_entities"].to_numpy(np.int64)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "host": pa.array([], type=pa.string()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "n_triples": pa.array([], type=pa.int64()),
+            "n_entities": pa.array([], type=pa.int64()),
+        }
+    )
+    return exchange_groups(
+        triples_ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        shuffle_parts(),
+        bucket_profile,
+        empty,
+    )
+
+
 def host_cocitation(pages_ds):
     """Host co-citation pairs: for every page, the DISTINCT pairs of
     target hosts its outlinks point at — ``(host_a, host_b, n_pages)``

@@ -859,6 +859,33 @@ def test_host_reachability_and_int_path(ray_session, monkeypatch):
     assert got_int.equals(got)
 
 
+def test_host_entity_profile_hand_computed(ray_session):
+    """Cross-layer rollup on a hand-built triple set: doc_id urls on
+    two hosts, overlapping entities, duplicate (doc, entity) pairs."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_entity_profile
+
+    triples = [
+        # host a.org: doc1 (x-y, x-z), doc2 (x-y again) -> 2 docs,
+        # 3 triples, entities {x, y, z}
+        {"doc_id": "https://a.org/doc/1", "subj": "x", "pred": "p", "obj": "y"},
+        {"doc_id": "https://a.org/doc/1", "subj": "x", "pred": "p", "obj": "z"},
+        {"doc_id": "https://a.org/doc/2", "subj": "x", "pred": "p", "obj": "y"},
+        # host b.org: 1 doc, 1 self-ish triple -> entities {x, w}
+        {"doc_id": "https://b.org/doc/9", "subj": "w", "pred": "p", "obj": "x"},
+    ]
+    got = (
+        host_entity_profile(rd.from_items(triples).repartition(3))
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    assert got.values.tolist() == [
+        ["a.org", 2, 3, 3],
+        ["b.org", 1, 1, 2],
+    ]
+
+
 def test_corpus_outlinks_never_perturb_extracted_text():
     """The nav anchor line must never win the longest-line rule — the
     per-url text-sha invariant is corpus-content-version independent."""
