@@ -1328,6 +1328,98 @@ def _host_reciprocity(sf_dir: str):
     return host_reciprocity(rd.read_parquet(oracle_dir))
 
 
+def _crawl_delta(sf_dir: str):
+    """Two-snapshot crawl delta (new / gone / changed urls by html md5
+    digest; kazu_ray/ops/web.py::crawl_delta). The two snapshots derive
+    DETERMINISTICALLY from the one pages artifact — old = page ids with
+    id%3≠0, new = id%3≠1 with ids divisible by 5 getting a one-byte
+    content revision — so the DuckDB oracle rebuilds both sides from
+    the identical parquet bytes with the identical rules."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import crawl_delta
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    base = rd.read_parquet(oracle_dir, columns=["url", "html"])
+
+    def split(side: int):
+        def fn(t):
+            import pyarrow as pa
+
+            ids = (
+                t["url"]
+                .to_pandas()
+                .str.extract(r"/doc/(\d+)$", expand=False)
+                .astype("int64")
+            )
+            if side == 0:
+                tt = t.filter(pa.array((ids % 3 != 0).to_numpy()))
+                return pa.table({"url": tt["url"], "html": tt["html"]})
+            mask = (ids % 3 != 1).to_numpy()
+            tt = t.filter(pa.array(mask))
+            ids2 = ids.to_numpy()[mask]
+            htmls = tt["html"].to_pylist()
+            out = [
+                (h + b"<!--rev2-->") if i % 5 == 0 else h
+                for h, i in zip(htmls, ids2)
+            ]
+            return pa.table(
+                {"url": tt["url"], "html": pa.array(out, type=pa.binary())}
+            )
+
+        return fn
+
+    old = base.map_batches(split(0), batch_format="pyarrow")
+    new = base.map_batches(split(1), batch_format="pyarrow")
+    return crawl_delta(old, new)
+
+
+def _host_boilerplate(sf_dir: str):
+    """Per-host boilerplate sentences over the extracted-text artifact
+    (≥50% of a host's pages, hosts with ≥3 pages;
+    kazu_ray/ops/web.py::host_boilerplate)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_boilerplate
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    text_dir = f"/tmp/kazu_ray_oracle/kg_text_{tag}"
+    return host_boilerplate(
+        rd.read_parquet(text_dir, columns=["url", "text"])
+    )
+
+
+def _host_outlink_jaccard(sf_dir: str):
+    """Mirror-host detection: host pairs whose DISTINCT outlink-host
+    sets overlap with Jaccard ≥ 0.5 (integer ppm;
+    kazu_ray/ops/web.py::host_outlink_jaccard)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_link_graph, host_outlink_jaccard
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_outlink_jaccard(host_link_graph(rd.read_parquet(oracle_dir)))
+
+
+def _kg_triple_recency(sf_dir: str):
+    """Triple freshness: per distinct (subj, pred, obj), the first/last
+    capture timestamp (µs) and the number of contributing page rows —
+    the triples artifact hash-joined to the pages artifact on the
+    doc_id==url store contract (kazu_ray/ops/web.py::triple_recency)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import triple_recency
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    triples = rd.read_parquet(
+        f"/tmp/kazu_ray_oracle/triples_{tag}",
+        columns=["subj", "pred", "obj", "doc_id"],
+    )
+    pages_dir = _write_linkgraph_pages(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["url", "warc_ts"])
+    return triple_recency(triples, pages)
+
+
 def _split_assign(sf_dir: str):
     """Deterministic train/val/test assignment by md5(doc_id) bucket —
     reproducible split sizes per split, checked against the identical
@@ -1406,6 +1498,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #         dup_span_stats, stratified_docs — all previously
     #         driver-green, code untouched) slide past #50 under the
     #         local-only gate,
+    #   19-22 crawl_delta + host_boilerplate + host_outlink_jaccard +
+    #         kg_triple_recency — NEW in the fourth round-5 session
+    #         (two-snapshot delta / per-host boilerplate sentences /
+    #         mirror-host similarity join / triple freshness join; SQL
+    #         oracles), displacing four more doubly-green tail keys,
     #   14-16 the no-oracle trio that must stay under the rows-only check,
     #   17-50 the r04 tail (none had an r04 driver row; most
     #         were last driver-checked in r02/r03 — the full displaced
@@ -1440,6 +1537,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_clustering": _host_clustering,
         "host_entity_profile": _host_entity_profile,
         "kg_bfs_distances": _kg_bfs_distances,
+        "crawl_delta": _crawl_delta,
+        "host_boilerplate": _host_boilerplate,
+        "host_outlink_jaccard": _host_outlink_jaccard,
+        "kg_triple_recency": _kg_triple_recency,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -2409,6 +2510,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.d AS host_a, b.d AS host_b, count(*)::BIGINT AS n_pages
             FROM pl a JOIN pl b ON a.url = b.url AND a.d < b.d
             GROUP BY 1, 2
+        """,
+        "crawl_delta": """
+            WITH ids AS (
+                SELECT url, html,
+                       CAST(regexp_extract(url, '/doc/(\\d+)$', 1) AS BIGINT) AS id
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            old AS (
+                SELECT url, min(md5(COALESCE(decode(html), ''))) AS d
+                FROM ids WHERE id % 3 <> 0 GROUP BY url
+            ),
+            new AS (
+                SELECT url,
+                       min(md5(COALESCE(decode(html), '')
+                               || CASE WHEN id % 5 = 0 THEN '<!--rev2-->' ELSE '' END)) AS d
+                FROM ids WHERE id % 3 <> 1 GROUP BY url
+            ),
+            j AS (
+                SELECT COALESCE(o.url, n.url) AS url,
+                       CASE WHEN o.url IS NULL THEN 'new'
+                            WHEN n.url IS NULL THEN 'gone'
+                            WHEN o.d <> n.d THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM old o FULL OUTER JOIN new n ON o.url = n.url
+            )
+            SELECT url, status FROM j WHERE status <> 'unchanged'
+        """,
+        "host_boilerplate": """
+            WITH t AS (
+                SELECT url,
+                       lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS host,
+                       text
+                FROM read_parquet('/tmp/kazu_ray_oracle/kg_text_sf0.01/*.parquet')
+                WHERE text IS NOT NULL
+                  AND regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1) <> ''
+            ),
+            pages AS (SELECT host, count(*) AS np FROM t GROUP BY 1),
+            sent AS (
+                SELECT DISTINCT host, url,
+                       unnest(string_split(text, '. ')) AS sentence
+                FROM t
+            ),
+            carriers AS (
+                SELECT host, sentence, count(*) AS n
+                FROM sent WHERE sentence <> '' GROUP BY 1, 2
+            )
+            SELECT c.host, c.sentence, c.n::BIGINT AS n_pages
+            FROM carriers c JOIN pages p ON c.host = p.host
+            WHERE p.np >= 3 AND 2 * c.n >= p.np
+        """,
+        "host_outlink_jaccard": """
+            WITH pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            links AS (SELECT DISTINCT src_host, dst_host FROM raw),
+            sizes AS (SELECT src_host, count(*) AS k FROM links GROUP BY 1),
+            inter AS (
+                SELECT a.src_host AS ha, b.src_host AS hb, count(*) AS i
+                FROM links a JOIN links b
+                  ON a.dst_host = b.dst_host AND a.src_host < b.src_host
+                GROUP BY 1, 2
+            )
+            SELECT ha AS host_a, hb AS host_b, i::BIGINT AS n_common,
+                   ((i * 1000000) // (sa.k + sb.k - i))::BIGINT AS jaccard_ppm
+            FROM inter
+            JOIN sizes sa ON sa.src_host = ha
+            JOIN sizes sb ON sb.src_host = hb
+            WHERE (i * 1000000) // (sa.k + sb.k - i) >= 500000
+        """,
+        "kg_triple_recency": """
+            WITH pg AS (
+                SELECT url, epoch_us(warc_ts) AS ts
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            )
+            SELECT t.subj, t.pred, t.obj,
+                   min(pg.ts)::BIGINT AS first_ts_us,
+                   max(pg.ts)::BIGINT AS last_ts_us,
+                   count(*)::BIGINT AS n_pages
+            FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet') t
+            JOIN pg ON t.doc_id = pg.url
+            GROUP BY 1, 2, 3
         """,
         "host_reciprocity": """
             WITH pages AS (

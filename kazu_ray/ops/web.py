@@ -1351,6 +1351,484 @@ def host_hits(pages_ds, iterations: int = 2, scale: int = 10**12):
     )
 
 
+def crawl_delta(old_pages_ds, new_pages_ds):
+    """Two-snapshot crawl delta: compare an OLD and a NEW crawl of the
+    same url space by content digest and classify every url that
+    differs — ``(url, status)`` with status ∈ {'new', 'gone',
+    'changed'} (urls whose bytes are identical in both snapshots are
+    dropped; they are the overwhelming majority of a real re-crawl and
+    carrying them would make the result page-scale × 2). This is the
+    incremental-crawl primitive: 'new' urls enter the pipeline, 'gone'
+    urls tombstone their triples, 'changed' urls re-annotate.
+
+    Shapes: both snapshots stream through a stateless digest pass
+    (md5 of the raw html bytes — chosen because DuckDB's ``md5`` over
+    ``decode(html)`` reproduces it, so the SQL oracle is hash-exact)
+    that emits (url, side, digest) rows; ONE url-keyed hash exchange
+    co-locates each url's at-most-two rows, and every bucket resolves
+    statuses vectorized (pandas pivot on the side marker). No
+    broadcast, no global sort; both sides are page-scale and only
+    bucket-sized state ever materializes (spilling past the byte cap).
+    A url captured twice WITHIN one snapshot keeps the lexicographically
+    smallest digest on both sides — deterministic, and identical in the
+    oracle's ``min(digest)``."""
+    import hashlib
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    def digests(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            urls = batch["url"].to_pylist()
+            htmls = batch["html"].to_pylist()
+            digs = [
+                hashlib.md5(h if h is not None else b"").hexdigest()
+                for h in htmls
+            ]
+            return pa.table(
+                {
+                    "url": pa.array(urls, type=pa.string()),
+                    "side": pa.array([side] * len(urls), type=pa.int64()),
+                    "digest": pa.array(digs, type=pa.string()),
+                }
+            )
+
+        return fn
+
+    union = old_pages_ds.map_batches(
+        digests(0), batch_format="pyarrow"
+    ).union(new_pages_ds.map_batches(digests(1), batch_format="pyarrow"))
+
+    empty = pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "status": pa.array([], type=pa.string()),
+        }
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        # within-snapshot repeat captures: keep the min digest (matches
+        # the oracle's min(digest))
+        g = df.groupby(["url", "side"], as_index=False)["digest"].min()
+        w = g.pivot(index="url", columns="side", values="digest")
+        old_d = w[0] if 0 in w.columns else pd.Series(index=w.index, dtype=object)
+        new_d = w[1] if 1 in w.columns else pd.Series(index=w.index, dtype=object)
+        status = pd.Series("unchanged", index=w.index, dtype=object)
+        status[old_d.isna()] = "new"
+        status[new_d.isna()] = "gone"
+        both = old_d.notna() & new_d.notna()
+        status[both & (old_d != new_d)] = "changed"
+        out = status[status != "unchanged"]
+        return pa.table(
+            {
+                "url": pa.array(out.index, type=pa.string()),
+                "status": pa.array(out.to_numpy(object), type=pa.string()),
+            }
+        )
+
+    return exchange_groups(union, ["url"], shuffle_parts(), per_bucket, empty)
+
+
+def host_boilerplate(text_ds, min_pages: int = 3):
+    """Per-host boilerplate detection over extracted page text — the
+    classic web-corpus cleaning signal: a sentence that appears on at
+    least HALF of a host's pages (hosts with ≥ ``min_pages`` pages) is
+    template chrome (nav text, footers, cookie banners), not content,
+    and should be stripped before training-data use. Input is the
+    (url, text) shape of the extracted-text artifact; output is
+    ``(host, sentence, n_pages)`` — one row per boilerplate sentence
+    with the number of the host's pages carrying it.
+
+    The sentence unit is the deterministic split on '. ' (both sides
+    of the oracle apply the identical rule — DuckDB
+    ``string_split(text, '. ')``), counted ONCE per page however often
+    it repeats within the page.
+
+    Shapes: one streaming pass emits per-batch-combined marker rows of
+    two kinds — ``kind='s'`` (host, sentence, pages-carrying partial;
+    distinct per page first, then per-batch summed) and ``kind='p'``
+    (host, page-count partial) — and ONE host-keyed hash exchange
+    finishes both: each bucket sums page counts and sentence carriers
+    for its hosts and applies the ≥50% + ``min_pages`` filter
+    vectorized. A hub host's rows are bounded by its distinct sentence
+    vocabulary per block (never per-page rows), and the exchange
+    spills past the byte cap, so Zipf host skew cannot concentrate
+    state."""
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"url": t["url"], "text": t["text"]}).to_pandas()
+        df["host"] = df["url"].str.extract(_HOST_RE, expand=False).str.lower()
+        df = df.dropna(subset=["host", "text"])
+        pages = df.groupby("host", as_index=False).size()
+        sent = df.assign(sentence=df["text"].str.split(". ", regex=False))
+        sent = sent.explode("sentence").dropna(subset=["sentence"])
+        sent = sent[sent["sentence"] != ""]
+        # distinct per PAGE, then count carriers per batch
+        carriers = (
+            sent.drop_duplicates(["host", "url", "sentence"])
+            .groupby(["host", "sentence"], as_index=False)
+            .size()
+        )
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "host": carriers["host"],
+                        "kind": "s",
+                        "key": carriers["sentence"],
+                        "n": carriers["size"].to_numpy(np.int64),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "host": pages["host"],
+                        "kind": "p",
+                        "key": "",
+                        "n": pages["size"].to_numpy(np.int64),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        return pa.table(
+            {
+                "host": pa.array(out["host"], type=pa.string()),
+                "kind": pa.array(out["kind"], type=pa.string()),
+                "key": pa.array(out["key"], type=pa.string()),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        pages = df[df["kind"] == "p"].groupby("host")["n"].sum()
+        sents = (
+            df[df["kind"] == "s"]
+            .groupby(["host", "key"], as_index=False)["n"]
+            .sum()
+        )
+        sents["host_pages"] = sents["host"].map(pages).fillna(0).astype("int64")
+        keep = (sents["host_pages"] >= min_pages) & (
+            2 * sents["n"] >= sents["host_pages"]
+        )
+        out = sents[keep]
+        return pa.table(
+            {
+                "host": pa.array(out["host"], type=pa.string()),
+                "sentence": pa.array(out["key"], type=pa.string()),
+                "n_pages": pa.array(out["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return exchange_groups(
+        text_ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        shuffle_parts(),
+        per_bucket,
+        pa.table(
+            {
+                "host": pa.array([], type=pa.string()),
+                "sentence": pa.array([], type=pa.string()),
+                "n_pages": pa.array([], type=pa.int64()),
+            }
+        ),
+    )
+
+
+def _jaccard_max_srcs_per_dst() -> int:
+    """Hub cap for the mirror-detection inverted index, in source hosts
+    per target host: a target linked by s sources emits s·(s−1)/2
+    intersection pairs, so an everybody-links-to-it hub (s ~ 10⁶ at
+    crawl scale) would emit ~10¹² pairs from one bucket. Targets past
+    the cap are SKIPPED by contract — a near-universal target carries
+    ~zero Jaccard information (it inflates every pair's intersection
+    and union equally) — and the default is far above anything the test
+    corpora produce, so the SQL oracle (which computes the uncapped
+    exact answer) only diverges at scales where the cap is the
+    documented approximation. Same loud-drop policy as the SimHash
+    hot-bucket cap."""
+    import os
+
+    return int(os.environ.get("KAZU_JACCARD_MAX_SRCS_PER_DST", "10000"))
+
+
+def host_outlink_jaccard(links_ds, threshold_ppm: int = 500_000):
+    """Mirror-host detection: pairs of source hosts whose DISTINCT
+    outlink-target sets overlap with Jaccard ≥ ``threshold_ppm`` —
+    ``(host_a, host_b, n_common, jaccard_ppm)`` with host_a < host_b,
+    jaccard in integer parts-per-million (hash-exact vs the SQL
+    oracle's ``(i*1e6)//(sa+sb−i)``). Two hosts serving the same site
+    under different names (mirrors, parked duplicates, CDN aliases)
+    have near-identical outlink profiles; this is the host-level
+    analogue of document near-dup.
+
+    Shapes — THREE hash exchanges, nothing host- or edge-sized ever
+    broadcast or driver-collected:
+
+    1. src-keyed: co-locate each source host's distinct target rows,
+       count its set size k, and re-emit (dst, src, k) rows — sizes
+       RIDE ALONG the edges instead of broadcasting a host-sized
+       vector (the pagerank rank-vector broadcast is a documented
+       concern at 10⁸ hosts; this op avoids it entirely).
+    2. dst-keyed inverted index: each target's source list emits
+       intersection-pair partials (a, b, ka, kb, 1), combined per
+       bucket before anything moves; targets past
+       :func:`_jaccard_max_srcs_per_dst` are skipped by contract.
+    3. pair-keyed: sum intersections, compute the integer Jaccard,
+       filter to the threshold. Streams back as a Dataset.
+    """
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src_host"].cast(pa.string()),
+                "dst": t["dst_host"].cast(pa.string()),
+            }
+        )
+
+    def src_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        k = df.groupby("src")["dst"].transform("size").to_numpy(np.int64)
+        return pa.table(
+            {
+                "dst": pa.array(df["dst"], type=pa.string()),
+                "src": pa.array(df["src"], type=pa.string()),
+                "k": pa.array(k),
+            }
+        )
+
+    sized = exchange_groups(
+        links_ds.map_batches(dedup_pairs, batch_format="pyarrow"),
+        ["src"],
+        shuffle_parts(),
+        src_bucket,
+        pa.table(
+            {
+                "dst": pa.array([], type=pa.string()),
+                "src": pa.array([], type=pa.string()),
+                "k": pa.array([], type=pa.int64()),
+            }
+        ),
+    )
+
+    pair_empty = pa.table(
+        {
+            "a": pa.array([], type=pa.string()),
+            "b": pa.array([], type=pa.string()),
+            "ka": pa.array([], type=pa.int64()),
+            "kb": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    cap = _jaccard_max_srcs_per_dst()  # driver-read, closed over
+
+    def dst_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_empty
+        df = t.to_pandas().sort_values(["dst", "src"])
+        out_a, out_b, out_ka, out_kb = [], [], [], []
+        for _, g in df.groupby("dst", sort=False):
+            if len(g) < 2 or len(g) > cap:
+                continue
+            srcs = g["src"].to_numpy(object)
+            ks = g["k"].to_numpy(np.int64)
+            iu, ju = np.triu_indices(len(srcs), k=1)
+            out_a.append(srcs[iu])
+            out_b.append(srcs[ju])
+            out_ka.append(ks[iu])
+            out_kb.append(ks[ju])
+        if not out_a:
+            return pair_empty
+        pairs = pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "ka": np.concatenate(out_ka),
+                "kb": np.concatenate(out_kb),
+            }
+        )
+        g = pairs.groupby(["a", "b", "ka", "kb"], as_index=False).size()
+        return pa.table(
+            {
+                "a": pa.array(g["a"], type=pa.string()),
+                "b": pa.array(g["b"], type=pa.string()),
+                "ka": pa.array(g["ka"].to_numpy(np.int64)),
+                "kb": pa.array(g["kb"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    pair_partials = exchange_groups(
+        sized, ["dst"], shuffle_parts(), dst_bucket, pair_empty
+    )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _JACCARD_EMPTY
+        g = (
+            t.to_pandas()
+            .groupby(["a", "b", "ka", "kb"], as_index=False)["n"]
+            .sum()
+        )
+        inter = g["n"].to_numpy(np.int64)
+        union = g["ka"].to_numpy(np.int64) + g["kb"].to_numpy(np.int64) - inter
+        ppm = (inter * 1_000_000) // union
+        keep = ppm >= threshold_ppm
+        return pa.table(
+            {
+                "host_a": pa.array(g["a"][keep], type=pa.string()),
+                "host_b": pa.array(g["b"][keep], type=pa.string()),
+                "n_common": pa.array(inter[keep]),
+                "jaccard_ppm": pa.array(ppm[keep]),
+            }
+        )
+
+    return exchange_groups(
+        pair_partials, ["a", "b"], shuffle_parts(), pair_bucket, _JACCARD_EMPTY
+    )
+
+
+_JACCARD_EMPTY = pa.table(
+    {
+        "host_a": pa.array([], type=pa.string()),
+        "host_b": pa.array([], type=pa.string()),
+        "n_common": pa.array([], type=pa.int64()),
+        "jaccard_ppm": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def triple_recency(triples_ds, pages_ds):
+    """Triple freshness over the store contract ``doc_id == page url``:
+    per distinct (subj, pred, obj), the first and last capture
+    timestamp (µs, from the pages table's ``warc_ts``) and the number
+    of contributing page rows — the signal an INCREMENTAL KG build
+    ranks re-verification by (a triple last seen two years ago on one
+    page is staler than one re-asserted by yesterday's crawl).
+
+    Shapes: a page-scale × triple-scale equi-join expressed as ONE
+    url-keyed marker exchange (page rows carry the timestamp, triple
+    rows carry the key; each bucket joins locally and COMBINES to
+    per-bucket (s, p, o, min, max, n) partials before anything else
+    moves) feeding ONE triple-keyed exchange that finishes the
+    min/max/sum. Neither side is ever broadcast or driver-collected;
+    hot urls are bounded per bucket and the exchange spills past the
+    byte cap."""
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    def page_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "url": t["url"].cast(pa.string()),
+                "s": pa.array([""] * n, type=pa.string()),
+                "p": pa.array([""] * n, type=pa.string()),
+                "o": pa.array([""] * n, type=pa.string()),
+                "ts": t["warc_ts"].cast(pa.int64()),
+                "kind": pa.array([0] * n, type=pa.int64()),
+            }
+        )
+
+    def triple_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "url": t["doc_id"].cast(pa.string()),
+                "s": t["subj"].cast(pa.string()),
+                "p": t["pred"].cast(pa.string()),
+                "o": t["obj"].cast(pa.string()),
+                "ts": pa.array([0] * n, type=pa.int64()),
+                "kind": pa.array([1] * n, type=pa.int64()),
+            }
+        )
+
+    union = pages_ds.map_batches(page_rows, batch_format="pyarrow").union(
+        triples_ds.map_batches(triple_rows, batch_format="pyarrow")
+    )
+
+    partial_empty = pa.table(
+        {
+            "s": pa.array([], type=pa.string()),
+            "p": pa.array([], type=pa.string()),
+            "o": pa.array([], type=pa.string()),
+            "lo": pa.array([], type=pa.int64()),
+            "hi": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return partial_empty
+        df = t.to_pandas()
+        pages = df[df["kind"] == 0]
+        # a url captured more than once joins each capture (count(*)
+        # semantics, identical in the oracle's plain JOIN)
+        trip = df[df["kind"] == 1].merge(
+            pages[["url", "ts"]], on="url", how="inner", suffixes=("", "_pg")
+        )
+        if trip.empty:
+            return partial_empty
+        g = trip.groupby(["s", "p", "o"], as_index=False).agg(
+            lo=("ts_pg", "min"), hi=("ts_pg", "max"), n=("ts_pg", "size")
+        )
+        return pa.table(
+            {
+                "s": pa.array(g["s"], type=pa.string()),
+                "p": pa.array(g["p"], type=pa.string()),
+                "o": pa.array(g["o"], type=pa.string()),
+                "lo": pa.array(g["lo"].to_numpy(np.int64)),
+                "hi": pa.array(g["hi"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = exchange_groups(
+        union, ["url"], shuffle_parts(), join_bucket, partial_empty
+    )
+
+    out_empty = pa.table(
+        {
+            "subj": pa.array([], type=pa.string()),
+            "pred": pa.array([], type=pa.string()),
+            "obj": pa.array([], type=pa.string()),
+            "first_ts_us": pa.array([], type=pa.int64()),
+            "last_ts_us": pa.array([], type=pa.int64()),
+            "n_pages": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def final_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        g = t.to_pandas().groupby(["s", "p", "o"], as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum")
+        )
+        return pa.table(
+            {
+                "subj": pa.array(g["s"], type=pa.string()),
+                "pred": pa.array(g["p"], type=pa.string()),
+                "obj": pa.array(g["o"], type=pa.string()),
+                "first_ts_us": pa.array(g["lo"].to_numpy(np.int64)),
+                "last_ts_us": pa.array(g["hi"].to_numpy(np.int64)),
+                "n_pages": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return exchange_groups(
+        partials, ["s", "p", "o"], shuffle_parts(), final_bucket, out_empty
+    )
+
+
 def host_distinct_outlinks_kmv(pages_ds, k: int = 12):
     """Approximate distinct OUTLINK-URL count per host via a KMV
     (k-minimum-values) sketch — the bounded-memory answer to "how many

@@ -2674,3 +2674,172 @@ def test_int_coded_graph_paths_equal_dict_paths(ray_session, monkeypatch):
     for h, want in want_bfs.items():
         got = graph.bfs_distances(ds, max_hops=h)
         assert got.equals(want), f"bfs max_hops={h} int path differs"
+
+
+def test_crawl_delta_statuses(ray_session):
+    """All four statuses on a hand-built pair of snapshots, including a
+    within-snapshot repeat capture (min-digest rule) and a null html."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import crawl_delta
+
+    def snap(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], type=pa.string()),
+                    "html": pa.array([r[1] for r in rows], type=pa.binary()),
+                }
+            )
+        ).repartition(2)
+
+    old = snap(
+        [
+            ("u/same", b"alpha"),
+            ("u/changed", b"beta-v1"),
+            ("u/gone", b"gamma"),
+            # repeat capture: min(md5(b"d1"), md5(b"d2")) on the old side
+            ("u/dup", b"d1"),
+            ("u/dup", b"d2"),
+            ("u/null", None),
+        ]
+    )
+    new = snap(
+        [
+            ("u/same", b"alpha"),
+            ("u/changed", b"beta-v2"),
+            ("u/new", b"delta"),
+            ("u/dup", b"d1"),  # same min digest -> unchanged
+            ("u/null", None),  # null == null -> unchanged
+        ]
+    )
+    got = (
+        crawl_delta(old, new)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert got.values.tolist() == [
+        ["u/changed", "changed"],
+        ["u/gone", "gone"],
+        ["u/new", "new"],
+    ]
+
+
+def test_host_boilerplate_threshold(ray_session):
+    """Sentence kept iff it appears on >=50% of a host's pages and the
+    host has >= min_pages pages; within-page repeats count once."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_boilerplate
+
+    rows = [
+        # a.org: 4 pages; "FOOT" on 2 (kept, 2*2>=4), "RARE" on 1 (dropped)
+        ("https://a.org/1", "FOOT. body one. FOOT"),  # in-page repeat: 1 carrier
+        ("https://a.org/2", "body two. FOOT"),
+        ("https://a.org/3", "RARE. body three"),
+        ("https://a.org/4", "body four"),
+        # b.org: 2 pages < min_pages -> nothing survives
+        ("https://b.org/1", "NAV. x"),
+        ("https://b.org/2", "NAV. y"),
+        # null text skipped
+        ("https://a.org/5", None),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = (
+        host_boilerplate(ds, min_pages=3)
+        .to_pandas()
+        .sort_values(["host", "sentence"], ignore_index=True)
+    )
+    assert got.values.tolist() == [["a.org", "FOOT", 2]]
+
+
+def test_host_outlink_jaccard_exact_and_hub_cap(ray_session, monkeypatch):
+    """Pairs and ppm values equal the set-based recompute; a target host
+    past the per-dst cap is skipped by contract."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_outlink_jaccard
+
+    # outlink sets: a={x,y,z}, b={x,y,z}, c={x}, d={q}
+    pairs = [
+        ("a", "x"), ("a", "y"), ("a", "z"),
+        ("b", "x"), ("b", "y"), ("b", "z"),
+        ("c", "x"),
+        ("d", "q"),
+    ]
+    links = rd.from_arrow(
+        pa.table(
+            {
+                "src_host": pa.array([p[0] for p in pairs], type=pa.string()),
+                "dst_host": pa.array([p[1] for p in pairs], type=pa.string()),
+                "n_links": pa.array([1] * len(pairs), type=pa.int64()),
+            }
+        )
+    ).repartition(3)
+
+    got = (
+        host_outlink_jaccard(links, threshold_ppm=300_000)
+        .to_pandas()
+        .sort_values(["host_a", "host_b"], ignore_index=True)
+    )
+    # jaccard(a,b)=3/3=1.0; (a,c)=(b,c)=1/3=333333ppm; (d,*) disjoint
+    assert got.values.tolist() == [
+        ["a", "b", 3, 1_000_000],
+        ["a", "c", 1, 333_333],
+        ["b", "c", 1, 333_333],
+    ]
+
+    # cap=2: dst x (3 sources) is skipped from INTERSECTION counting only
+    # (set sizes stay full): inter(a,b)={y,z}=2, union=3+3-2=4 -> 500000
+    monkeypatch.setenv("KAZU_JACCARD_MAX_SRCS_PER_DST", "2")
+    capped = (
+        host_outlink_jaccard(links, threshold_ppm=300_000)
+        .to_pandas()
+        .sort_values(["host_a", "host_b"], ignore_index=True)
+    )
+    assert capped.values.tolist() == [["a", "b", 2, 500_000]]
+
+
+def test_triple_recency_hand_computed(ray_session):
+    """Min/max capture ts and page counts over a hand-built join,
+    including a triple asserted by two pages and a doc with no page row
+    (dropped by the inner-join contract)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import triple_recency
+
+    triples = rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(["g1", "g1", "g2"], type=pa.string()),
+                "pred": pa.array(["p", "p", "p"], type=pa.string()),
+                "obj": pa.array(["d1", "d1", "d2"], type=pa.string()),
+                "doc_id": pa.array(["u1", "u2", "orphan"], type=pa.string()),
+            }
+        )
+    ).repartition(2)
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["u1", "u2", "u3"], type=pa.string()),
+                "warc_ts": pa.array([100, 200, 300], type=pa.int64()),
+            }
+        )
+    ).repartition(2)
+    got = (
+        triple_recency(triples, pages)
+        .to_pandas()
+        .sort_values(["subj", "obj"], ignore_index=True)
+    )
+    assert got.values.tolist() == [["g1", "p", "d1", 100, 200, 2]]
