@@ -1389,6 +1389,23 @@ def _host_boilerplate(sf_dir: str):
     )
 
 
+def _boilerplate_stripped(sf_dir: str):
+    """Boilerplate removal over the extracted-text artifact: every page
+    re-emitted with its host's boilerplate sentences deleted
+    (kazu_ray/ops/web.py::strip_boilerplate) — the full page-scale
+    string output is hash-compared against DuckDB's
+    array_to_string(list_filter(...)) reconstruction."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import strip_boilerplate
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    text_dir = f"/tmp/kazu_ray_oracle/kg_text_{tag}"
+    return strip_boilerplate(
+        rd.read_parquet(text_dir, columns=["url", "text"])
+    )
+
+
 def _host_outlink_jaccard(sf_dir: str):
     """Mirror-host detection: host pairs whose DISTINCT outlink-host
     sets overlap with Jaccard ≥ 0.5 (integer ppm;
@@ -1498,11 +1515,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #         dup_span_stats, stratified_docs — all previously
     #         driver-green, code untouched) slide past #50 under the
     #         local-only gate,
-    #   19-22 crawl_delta + host_boilerplate + host_outlink_jaccard +
-    #         kg_triple_recency — NEW in the fourth round-5 session
-    #         (two-snapshot delta / per-host boilerplate sentences /
-    #         mirror-host similarity join / triple freshness join; SQL
-    #         oracles), displacing four more doubly-green tail keys,
+    #   19-23 crawl_delta + host_boilerplate + boilerplate_stripped +
+    #         host_outlink_jaccard + kg_triple_recency — NEW in the
+    #         fourth round-5 session (two-snapshot delta / per-host
+    #         boilerplate detect + strip / mirror-host similarity join /
+    #         triple freshness join; SQL oracles), displacing five more
+    #         doubly-green tail keys,
     #   14-16 the no-oracle trio that must stay under the rows-only check,
     #   17-50 the r04 tail (none had an r04 driver row; most
     #         were last driver-checked in r02/r03 — the full displaced
@@ -1539,6 +1557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_distances": _kg_bfs_distances,
         "crawl_delta": _crawl_delta,
         "host_boilerplate": _host_boilerplate,
+        "boilerplate_stripped": _boilerplate_stripped,
         "host_outlink_jaccard": _host_outlink_jaccard,
         "kg_triple_recency": _kg_triple_recency,
         # --- no-oracle trio (rows-only driver check) ---
@@ -2559,6 +2578,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.host, c.sentence, c.n::BIGINT AS n_pages
             FROM carriers c JOIN pages p ON c.host = p.host
             WHERE p.np >= 3 AND 2 * c.n >= p.np
+        """,
+        "boilerplate_stripped": """
+            WITH t AS (
+                SELECT url,
+                       lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS host,
+                       text
+                FROM read_parquet('/tmp/kazu_ray_oracle/kg_text_sf0.01/*.parquet')
+                WHERE text IS NOT NULL
+            ),
+            pages AS (SELECT host, count(*) AS np FROM t GROUP BY 1),
+            sent AS (
+                SELECT DISTINCT host, url,
+                       unnest(string_split(text, '. ')) AS sentence
+                FROM t
+            ),
+            carriers AS (
+                SELECT host, sentence, count(*) AS n
+                FROM sent WHERE sentence <> '' GROUP BY 1, 2
+            ),
+            bp AS (
+                SELECT c.host, list(c.sentence) AS bps
+                FROM carriers c JOIN pages p ON c.host = p.host
+                WHERE p.np >= 3 AND 2 * c.n >= p.np
+                GROUP BY 1
+            )
+            SELECT t.url,
+                   array_to_string(
+                       list_filter(string_split(t.text, '. '),
+                           x -> x = '' OR NOT list_contains(COALESCE(b.bps, []), x)),
+                       '. ') AS clean_text
+            FROM t LEFT JOIN bp b ON t.host = b.host
         """,
         "host_outlink_jaccard": """
             WITH pages AS (

@@ -180,6 +180,31 @@ def run_web_suite() -> dict[str, float]:
         host_distinct_outlinks_kmv(pages).count()
         best = min(best, time.time() - t0)
     out["host_distinct_urls_kmv"] = round(best, 3)
+    # round-5 cont.: mirror detection (3-exchange similarity join over
+    # the host-scale links), crawl delta (two pages-scale digest scans
+    # through one url-keyed exchange), boilerplate (pages-scale text
+    # scan through one host-keyed exchange)
+    from kazu_ray.ops.web import crawl_delta, host_boilerplate, host_outlink_jaccard
+
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        host_outlink_jaccard(links).count()
+        best = min(best, time.time() - t0)
+    out["host_outlink_jaccard"] = round(best, 3)
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        crawl_delta(pages, pages).count()  # identical snapshots: worst-case full compare
+        best = min(best, time.time() - t0)
+    out["crawl_delta"] = round(best, 3)
+    texts = rd.read_parquet(pages_dir, columns=["url", "text"])
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        host_boilerplate(texts).count()
+        best = min(best, time.time() - t0)
+    out["host_boilerplate"] = round(best, 3)
     return out
 
 

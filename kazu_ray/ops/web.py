@@ -1540,6 +1540,57 @@ def host_boilerplate(text_ds, min_pages: int = 3):
     )
 
 
+def strip_boilerplate(text_ds, min_pages: int = 3):
+    """Boilerplate REMOVAL — the consumer of :func:`host_boilerplate`'s
+    detection, completing the detect→strip chain the way
+    ``dedup_survivors`` completes LSH→verify→cluster: every page comes
+    back as ``(url, clean_text)`` with its host's boilerplate sentences
+    deleted (split on '. ', filter, rejoin with '. ' — the identical
+    deterministic rule on both sides, so the oracle's
+    ``array_to_string(list_filter(...))`` reproduces the string
+    byte-for-byte). Pages whose host has no boilerplate pass through
+    unchanged; null-text rows are dropped by contract on both sides.
+
+    Shapes: two passes. Pass 1 is the :func:`host_boilerplate`
+    exchange; its result is BOUNDED by hosts × the few above-50%
+    sentences per host, so it broadcasts as one ``ray.put`` dict
+    (host → frozenset) — the same broadcast-threshold pattern as the
+    tf-idf idf pass, and the same hosts-sized broadcast concern as the
+    PageRank rank vector (acceptable, and strictly better than keying
+    the page TEXT stream by host, where one hub host's pages would
+    pile into a single exchange bucket). Pass 2 is a stateless
+    ``map_batches`` strip — page-scale, no shuffle."""
+    import ray
+
+    bp = host_boilerplate(text_ds, min_pages=min_pages).to_pandas()
+    bp_map: dict[str, frozenset] = {
+        h: frozenset(g["sentence"]) for h, g in bp.groupby("host")
+    }
+    bp_ref = ray.put(bp_map)
+
+    def strip(t: pa.Table) -> pa.Table:
+        m = ray.get(bp_ref)
+        df = pa.table({"url": t["url"], "text": t["text"]}).to_pandas()
+        df = df.dropna(subset=["text"])
+        hosts = df["url"].str.extract(_HOST_RE, expand=False).str.lower()
+        out = []
+        for text, host in zip(df["text"], hosts):
+            bad = m.get(host)
+            if not bad:
+                out.append(text)
+                continue
+            parts = text.split(". ")
+            out.append(". ".join(p for p in parts if p == "" or p not in bad))
+        return pa.table(
+            {
+                "url": pa.array(df["url"], type=pa.string()),
+                "clean_text": pa.array(out, type=pa.string()),
+            }
+        )
+
+    return text_ds.map_batches(strip, batch_format="pyarrow")
+
+
 def _jaccard_max_srcs_per_dst() -> int:
     """Hub cap for the mirror-detection inverted index, in source hosts
     per target host: a target linked by s sources emits s·(s−1)/2

@@ -224,6 +224,7 @@ def main() -> None:
     from kazu_ray.ops.web import (
         host_degrees_from_links,
         host_hits_from_links,
+        host_outlink_jaccard,
         host_pagerank_from_links,
         host_reciprocity_from_links,
     )
@@ -308,10 +309,37 @@ def main() -> None:
     bfs_ref = _driver_bfs(und, max_hops=3)
     assert dict(zip(bfs_got["node"], bfs_got["dist"])) == bfs_ref, "bfs differs"
 
+    # mirror detection vs a set-based driver recompute (cap does not
+    # bind at overlap scale: the hub target has overlap/100 sources)
+    jac_got = (
+        host_outlink_jaccard(small, threshold_ppm=200_000)
+        .to_pandas()
+        .sort_values(["host_a", "host_b"], ignore_index=True)
+    )
+    sets: dict = {}
+    for a, b in dirs:
+        sets.setdefault(a, set()).add(b)
+    inv: dict = {}
+    for s, ds in sets.items():
+        for d in ds:
+            inv.setdefault(d, []).append(s)
+    inter: dict = {}
+    for d, ss in inv.items():
+        ss = sorted(ss)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                inter[(ss[i], ss[j])] = inter.get((ss[i], ss[j]), 0) + 1
+    jac_ref = sorted(
+        (a, b, i, i * 1_000_000 // (len(sets[a]) + len(sets[b]) - i))
+        for (a, b), i in inter.items()
+        if i * 1_000_000 // (len(sets[a]) + len(sets[b]) - i) >= 200_000
+    )
+    assert jac_got.values.tolist() == [list(r) for r in jac_ref], "jaccard differs"
+
     print(
         f"overlap ({overlap} hosts, {len(small_df)} edges): degrees/pagerank/"
-        "components/hits/reciprocity/kcore/personalized-pagerank/bfs EQUAL "
-        "to the driver-side formulation"
+        "components/hits/reciprocity/kcore/personalized-pagerank/bfs/"
+        "outlink-jaccard EQUAL to the driver-side formulation"
     )
 
     # ---- scale timing: the de-drivered ops at n_hosts ----
@@ -351,6 +379,15 @@ def main() -> None:
     bfs = bfs_distances(triples, max_hops=3)
     t_bfs = time.time() - t0
 
+    # mirror detection at scale: the hub target (n_hosts/100 sources)
+    # would emit ~(n/100)²/2 intersection pairs from one bucket — set
+    # the cap BELOW it so the drill exercises the documented hub-skip
+    # (the contract a real crawl's everybody-links-to-it targets need)
+    os.environ["KAZU_JACCARD_MAX_SRCS_PER_DST"] = str(max(2, n_hosts // 200))
+    t0 = time.time()
+    n_jac = host_outlink_jaccard(links, threshold_ppm=200_000).count()
+    t_jac = time.time() - t0
+
     print(
         f"scale ({n_hosts} hosts, {n_edges} edges): "
         f"host_degrees {t_deg:.1f}s ({n_deg} hosts), "
@@ -361,7 +398,8 @@ def main() -> None:
         f"(recip_ppm {int(rec['reciprocity_ppm'].iloc[0])}), "
         f"kcore(k=6, cascading peel) {t_kc:.1f}s ({len(kc)} core nodes), "
         f"personalized_pagerank(2 iters) {t_ppr:.1f}s ({len(ppr)} rows), "
-        f"bfs_distances(3 hops) {t_bfs:.1f}s ({len(bfs)} reached)"
+        f"bfs_distances(3 hops) {t_bfs:.1f}s ({len(bfs)} reached), "
+        f"host_outlink_jaccard {t_jac:.1f}s ({n_jac} mirror pairs, hub capped)"
     )
     ray.shutdown()
 

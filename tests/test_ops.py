@@ -2843,3 +2843,44 @@ def test_triple_recency_hand_computed(ray_session):
         .sort_values(["subj", "obj"], ignore_index=True)
     )
     assert got.values.tolist() == [["g1", "p", "d1", 100, 200, 2]]
+
+
+def test_strip_boilerplate_roundtrip(ray_session):
+    """Pages on a boilerplate-free host pass through byte-identical;
+    boilerplate hosts lose exactly the >=50% sentences; within-page
+    repeats of a boilerplate sentence are all removed."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import strip_boilerplate
+
+    rows = [
+        ("https://a.org/1", "FOOT. body one. FOOT"),
+        ("https://a.org/2", "body two. FOOT"),
+        ("https://a.org/3", "RARE. body three"),
+        ("https://a.org/4", "body four"),
+        ("https://b.org/1", "NAV. x"),  # b.org below min_pages: untouched
+        ("https://b.org/2", "NAV. y"),
+        ("https://a.org/5", None),  # null text dropped
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = (
+        strip_boilerplate(ds, min_pages=3)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert got.values.tolist() == [
+        ["https://a.org/1", "body one"],
+        ["https://a.org/2", "body two"],
+        ["https://a.org/3", "RARE. body three"],
+        ["https://a.org/4", "body four"],
+        ["https://b.org/1", "NAV. x"],
+        ["https://b.org/2", "NAV. y"],
+    ]
