@@ -289,6 +289,16 @@ def _kg_clustering(sf_dir: str):
     return clustering_coefficient(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the co-occurrence graph as exact integer
+    terms + ppm (symmetrized Pearson — no sqrt;
+    kazu_ray/ops/graph.py::degree_assortativity)."""
+    from kazu_ray.ops.graph import degree_assortativity
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return degree_assortativity(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
 def _kg_degree_histogram(sf_dir: str):
     from kazu_ray.ops.graph import degree_histogram
     from kazu_ray.pipelines.kg import triples_dataset
@@ -1515,12 +1525,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #         dup_span_stats, stratified_docs — all previously
     #         driver-green, code untouched) slide past #50 under the
     #         local-only gate,
-    #   19-23 crawl_delta + host_boilerplate + boilerplate_stripped +
-    #         host_outlink_jaccard + kg_triple_recency — NEW in the
-    #         fourth round-5 session (two-snapshot delta / per-host
-    #         boilerplate detect + strip / mirror-host similarity join /
-    #         triple freshness join; SQL oracles), displacing five more
-    #         doubly-green tail keys,
+    #   19-24 crawl_delta + host_boilerplate + boilerplate_stripped +
+    #         host_outlink_jaccard + kg_triple_recency +
+    #         kg_degree_assortativity — NEW in the fourth round-5
+    #         session (two-snapshot delta / per-host boilerplate
+    #         detect + strip / mirror-host similarity join / triple
+    #         freshness join / integer assortativity; SQL oracles),
+    #         displacing six more doubly-green tail keys,
     #   14-16 the no-oracle trio that must stay under the rows-only check,
     #   17-50 the r04 tail (none had an r04 driver row; most
     #         were last driver-checked in r02/r03 — the full displaced
@@ -1560,6 +1571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_stripped": _boilerplate_stripped,
         "host_outlink_jaccard": _host_outlink_jaccard,
         "kg_triple_recency": _kg_triple_recency,
+        "kg_degree_assortativity": _kg_degree_assortativity,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -2635,6 +2647,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.src_host = ha
             JOIN sizes sb ON sb.src_host = hb
             WHERE (i * 1000000) // (sa.k + sb.k - i) >= 500000
+        """,
+        "kg_degree_assortativity": """
+            WITH e AS (
+                SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')
+                WHERE subj <> obj
+            ),
+            ends AS (SELECT a AS n, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT n, count(*)::HUGEINT AS d FROM ends GROUP BY 1),
+            x AS (
+                SELECT da.d AS dx, db.d AS dy
+                FROM ends JOIN deg da ON ends.n = da.n JOIN deg db ON ends.nb = db.n
+            ),
+            s AS (
+                SELECT count(*)::HUGEINT AS m, sum(dx) AS sd,
+                       sum(dx * dy) AS sp, sum(dx * dx) AS sq
+                FROM x
+            )
+            SELECT m::BIGINT AS n_edge_ends, sd::BIGINT AS sum_deg,
+                   sp::BIGINT AS sum_prod, sq::BIGINT AS sum_sq,
+                   (CASE WHEN m * sq - sd * sd = 0 THEN 0
+                         ELSE (1000000 * (m * sp - sd * sd)) // (m * sq - sd * sd)
+                    END)::BIGINT AS assortativity_ppm
+            FROM s
         """,
         "kg_triple_recency": """
             WITH pg AS (

@@ -782,6 +782,104 @@ def degree_histogram(triples_ds):
     )
 
 
+def degree_assortativity(triples_ds, edges=None):
+    """Degree assortativity of the co-occurrence graph — the Pearson
+    correlation of endpoint degrees over edges (Newman 2002), the
+    hub-mixing summary (negative = hubs attach to leaves, the typical
+    web/biology shape; positive = hubs attach to hubs). Reported as a
+    1-row integer table ``(n_edge_ends, sum_deg, sum_prod, sum_sq,
+    assortativity_ppm)`` — because each undirected edge contributes
+    BOTH orientations, Σx = Σy and Σx² = Σy², so the usual sqrt in the
+    Pearson denominator collapses to the plain integer
+    ``m·Σx² − (Σx)²`` and the whole statistic is exact integer
+    arithmetic (ppm, truncated toward zero to match DuckDB's ``//``):
+
+        r_ppm = 10⁶ · (m·Σxy − (Σx)²)  //  (m·Σx² − (Σx)²),  m = 2·|E|
+
+    with x, y the endpoint degrees of each oriented edge; 0 when the
+    denominator is 0 (degree-regular graph).
+
+    Shapes: degrees come from the size-dispatched :func:`_edge_degrees`
+    (node-sized, the module's documented driver/broadcast contract) and
+    broadcast ONCE via ``ray.put``; one streaming pass over the
+    distinct-edge Dataset emits a single partial-sums row per batch
+    (Σ(da+db), Σ2·da·db, Σ(da²+db²) — sums commute, so per-batch
+    aggregation is exact), and the driver folds a blocks-sized table in
+    unbounded Python ints (no int64 overflow for any graph whose
+    degree² × edges exceeds int64 — the per-batch partials accumulate
+    in float-free object arithmetic when the guard trips, loudly
+    matching the oracle's HUGEINT sums)."""
+    import ray
+
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
+    deg = _edge_degrees(edges)
+    if not deg:
+        return pd.DataFrame(
+            {
+                "n_edge_ends": [0],
+                "sum_deg": [0],
+                "sum_prod": [0],
+                "sum_sq": [0],
+                "assortativity_ppm": [0],
+            }
+        ).astype("int64")
+    deg_ref = ray.put(deg)
+    int64_max = 2**63 - 1
+    max_deg = max(deg.values())
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        a = t["a"].to_pandas().map(d).to_numpy(np.int64)
+        b = t["b"].to_pandas().map(d).to_numpy(np.int64)
+        n = len(a)
+        if n and max_deg * max_deg * n > int64_max:
+            # exact big-int path (the oracle sums in HUGEINT)
+            sp = 2 * sum(int(x) * int(y) for x, y in zip(a, b))
+            sq = sum(int(x) * int(x) + int(y) * int(y) for x, y in zip(a, b))
+            sd = int(a.sum()) + int(b.sum())
+            if max(sp, sq) > int64_max:
+                raise OverflowError(
+                    "degree_assortativity partial exceeds int64 — shrink "
+                    "batches or aggregate in a wider type"
+                )
+        else:
+            sd = int(a.sum() + b.sum())
+            sp = int(2 * (a * b).sum())
+            sq = int((a * a).sum() + (b * b).sum())
+        return pa.table(
+            {
+                "ends": pa.array([2 * n], type=pa.int64()),
+                "sd": pa.array([sd], type=pa.int64()),
+                "sp": pa.array([sp], type=pa.int64()),
+                "sq": pa.array([sq], type=pa.int64()),
+            }
+        )
+
+    parts = edges.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = int(parts["ends"].sum())
+    sd = int(parts["sd"].sum())
+    sp = int(parts["sp"].sum())
+    sq = int(parts["sq"].sum())
+    num = m * sp - sd * sd
+    den = m * sq - sd * sd
+    if den == 0:
+        r_ppm = 0
+    else:
+        scaled = 1_000_000 * num
+        # truncate toward zero (DuckDB // semantics), not Python floor
+        r_ppm = (abs(scaled) // den) * (1 if scaled >= 0 else -1)
+    return pd.DataFrame(
+        {
+            "n_edge_ends": [m],
+            "sum_deg": [sd],
+            "sum_prod": [sp],
+            "sum_sq": [sq],
+            "assortativity_ppm": [r_ppm],
+        }
+    ).astype("int64")
+
+
 def clustering_coefficient(triples_ds, max_driver_edges: int | None = None, edges=None):
     """Global clustering coefficient of the co-occurrence graph —
     3·triangles / wedges, reported as integer parts-per-million

@@ -2884,3 +2884,62 @@ def test_strip_boilerplate_roundtrip(ray_session):
         ["https://b.org/1", "NAV. x"],
         ["https://b.org/2", "NAV. y"],
     ]
+
+
+def test_degree_assortativity_brute_force(ray_session):
+    """Exact integer terms + truncated-toward-zero ppm vs a from-scratch
+    recompute on random graphs (both assortativity signs exercised),
+    plus the degenerate regular-graph denominator."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import degree_assortativity
+
+    def ref(edges):
+        from collections import Counter
+
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        m = 2 * len(edges)
+        sd = sum(deg[a] + deg[b] for a, b in edges)
+        sp = 2 * sum(deg[a] * deg[b] for a, b in edges)
+        sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+        num, den = m * sp - sd * sd, m * sq - sd * sd
+        if den == 0:
+            ppm = 0
+        else:
+            s = 1_000_000 * num
+            ppm = (abs(s) // den) * (1 if s >= 0 else -1)
+        return [m, sd, sp, sq, ppm]
+
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = set()
+        for _ in range(120):
+            a, b = f"n{rng.randint(0, 25):02d}", f"n{rng.randint(0, 25):02d}"
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        rows = [
+            {"subj": a, "obj": b, "doc_id": f"d{i}"}
+            for i, (a, b) in enumerate(sorted(edges))
+        ]
+        ds = rd.from_items(rows).repartition(4)
+        got = degree_assortativity(ds)
+        assert got.values.tolist() == [ref(edges)], f"trial {trial} differs"
+
+    # star graph: strongly disassortative (hub meets leaves only)
+    star = [{"subj": "hub", "obj": f"l{i}", "doc_id": str(i)} for i in range(6)]
+    got = degree_assortativity(rd.from_items(star))
+    assert int(got["assortativity_ppm"].iloc[0]) < 0
+
+    # 2-regular ring: zero variance -> ppm 0 by contract
+    ring = [
+        {"subj": f"r{i}", "obj": f"r{(i + 1) % 5}", "doc_id": str(i)}
+        for i in range(5)
+    ]
+    got = degree_assortativity(rd.from_items(ring))
+    assert int(got["assortativity_ppm"].iloc[0]) == 0
