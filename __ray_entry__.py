@@ -1428,6 +1428,17 @@ def _host_outlink_jaccard(sf_dir: str):
     return host_outlink_jaccard(host_link_graph(rd.read_parquet(oracle_dir)))
 
 
+def _host_assortativity(sf_dir: str):
+    """Degree assortativity of the undirected host link graph (exact
+    integer terms + ppm; kazu_ray/ops/web.py::host_assortativity)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_assortativity
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_assortativity(rd.read_parquet(oracle_dir))
+
+
 def _kg_triple_recency(sf_dir: str):
     """Triple freshness: per distinct (subj, pred, obj), the first/last
     capture timestamp (µs) and the number of contributing page rows —
@@ -1525,13 +1536,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #         dup_span_stats, stratified_docs — all previously
     #         driver-green, code untouched) slide past #50 under the
     #         local-only gate,
-    #   19-24 crawl_delta + host_boilerplate + boilerplate_stripped +
+    #   19-25 crawl_delta + host_boilerplate + boilerplate_stripped +
     #         host_outlink_jaccard + kg_triple_recency +
-    #         kg_degree_assortativity — NEW in the fourth round-5
-    #         session (two-snapshot delta / per-host boilerplate
-    #         detect + strip / mirror-host similarity join / triple
-    #         freshness join / integer assortativity; SQL oracles),
-    #         displacing six more doubly-green tail keys,
+    #         kg_degree_assortativity + host_assortativity — NEW in the
+    #         fourth round-5 session (two-snapshot delta / per-host
+    #         boilerplate detect + strip / mirror-host similarity join /
+    #         triple freshness join / integer assortativity on both
+    #         graph layers; SQL oracles), displacing seven more
+    #         doubly-green tail keys,
     #   14-16 the no-oracle trio that must stay under the rows-only check,
     #   17-50 the r04 tail (none had an r04 driver row; most
     #         were last driver-checked in r02/r03 — the full displaced
@@ -1572,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_outlink_jaccard": _host_outlink_jaccard,
         "kg_triple_recency": _kg_triple_recency,
         "kg_degree_assortativity": _kg_degree_assortativity,
+        "host_assortativity": _host_assortativity,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -2647,6 +2660,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.src_host = ha
             JOIN sizes sb ON sb.src_host = hb
             WHERE (i * 1000000) // (sa.k + sb.k - i) >= 500000
+        """,
+        "host_assortativity": """
+            WITH pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            e AS (
+                SELECT DISTINCT least(src_host, dst_host) AS a,
+                                greatest(src_host, dst_host) AS b
+                FROM raw WHERE src_host <> dst_host
+            ),
+            ends AS (SELECT a AS n, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT n, count(*)::HUGEINT AS d FROM ends GROUP BY 1),
+            x AS (
+                SELECT da.d AS dx, db.d AS dy
+                FROM ends JOIN deg da ON ends.n = da.n JOIN deg db ON ends.nb = db.n
+            ),
+            s AS (
+                SELECT count(*)::HUGEINT AS m, sum(dx) AS sd,
+                       sum(dx * dy) AS sp, sum(dx * dx) AS sq
+                FROM x
+            )
+            SELECT m::BIGINT AS n_edge_ends, sd::BIGINT AS sum_deg,
+                   sp::BIGINT AS sum_prod, sq::BIGINT AS sum_sq,
+                   (CASE WHEN m * sq - sd * sd = 0 THEN 0
+                         ELSE (1000000 * (m * sp - sd * sd)) // (m * sq - sd * sd)
+                    END)::BIGINT AS assortativity_ppm
+            FROM s
         """,
         "kg_degree_assortativity": """
             WITH e AS (

@@ -897,6 +897,23 @@ def host_clustering(pages_ds):
     return clustering_coefficient(_links_as_subj_obj(host_link_graph(pages_ds)))
 
 
+def host_assortativity(pages_ds):
+    """Degree assortativity of the undirected host link graph — the
+    hub-mixing summary of the crawl (real web host graphs are
+    disassortative: hub hosts link to long tails). Pure reuse of
+    ``kazu_ray/ops/graph.py::degree_assortativity`` over the subj/obj
+    link view: distinct-edge exchange, node-sized degree dict broadcast
+    once, one streaming partial-sums edge pass, exact integer ppm.
+
+    Scale note: the degree dict is HOST-sized — the same
+    hosts-sized-broadcast acceptance as the PageRank rank vector (and
+    strictly bounded by it: one int per host). The edge set itself
+    never leaves the cluster."""
+    from kazu_ray.ops.graph import degree_assortativity
+
+    return degree_assortativity(_links_as_subj_obj(host_link_graph(pages_ds)))
+
+
 def host_entity_profile(triples_ds):
     """Per-host KG density profile — the cross-layer (webtext × KG)
     rollup a construction pipeline reports on: for every host whose
