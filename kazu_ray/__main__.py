@@ -106,6 +106,29 @@ def cmd_update(args) -> None:
     ray.shutdown()
 
 
+def cmd_delta_update(args) -> None:
+    """Reconcile a store with a new crawl snapshot: classify the url
+    delta (new/gone/changed by content digest), retract stale triples,
+    re-annotate only the new+changed pages, merge
+    (``pipelines/incremental.py::apply_crawl_delta``). Re-running the
+    same --update-id is a fast no-op; a crash replays safely."""
+    ray = _ray_session()
+    import ray.data as rd
+
+    from kazu_ray.pipelines.incremental import apply_crawl_delta
+    from kazu_ray.pipelines.kg import broadcast_store
+
+    summary = apply_crawl_delta(
+        rd.read_parquet(args.old_pages),
+        rd.read_parquet(args.new_pages),
+        args.store,
+        args.update_id,
+        store_ref=broadcast_store(),
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
 def cmd_annotate(args) -> None:
     ray = _ray_session()
     from kazu_ray.pipelines.kg import annotated_docs, broadcast_store
@@ -189,6 +212,16 @@ def main(argv=None) -> None:
     p.add_argument("--update-id", required=True)
     p.add_argument("--multiplier", type=int, default=1)
     p.set_defaults(fn=cmd_update)
+
+    p = sub.add_parser(
+        "delta-update",
+        help="reconcile a store with a new crawl snapshot (retract + re-annotate)",
+    )
+    p.add_argument("--old-pages", required=True, help="old snapshot parquet dir")
+    p.add_argument("--new-pages", required=True, help="new snapshot parquet dir")
+    p.add_argument("--store", required=True)
+    p.add_argument("--update-id", required=True)
+    p.set_defaults(fn=cmd_delta_update)
 
     p = sub.add_parser("annotate", help="annotated docs + failure side channel")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")

@@ -1,0 +1,129 @@
+"""Incremental KG maintenance from a crawl delta.
+
+The lifecycle operation a 10¹²-document KG pipeline actually runs
+day-to-day is not "rebuild the store" — it is "a re-crawl landed;
+reconcile the store with it". This module composes three pieces that
+each already exist and are separately tested into that cycle:
+
+1. :func:`kazu_ray.ops.web.crawl_delta` classifies every url whose
+   content digest differs between the old and new snapshots
+   (new / gone / changed) — a url-keyed marker exchange, page-scale
+   streaming on both sides.
+2. :func:`kazu_ray.stages.materialize.retract_docs` removes the OLD
+   triples of every delta url from the partitioned store
+   (tombstone-free partition rewrite, manifests re-derived).
+3. The standard annotate pipeline re-annotates ONLY the new+changed
+   pages and :func:`update_triple_store` merges their triples in.
+
+The correctness contract — gated by
+``tests/test_extensions.py::test_apply_crawl_delta_equals_rebuild`` —
+is that the incrementally maintained store's per-partition manifests
+(row counts AND content hashes) are IDENTICAL to a from-scratch build
+over the new snapshot.
+
+Resume analysis (why the retract set is ALL delta urls, not just
+changed∪gone): every step is idempotent and the cycle re-runs safely
+from any crash point under the same ``update_id``. Retraction returns
+every affected partition EXACTLY to its post-retract base state —
+including removing rows a half-finished update already re-added for
+changed or new urls — so ``update_partitioned``'s per-partition journal
+(expected = base + incoming) stays consistent on re-run: partitions
+that fully absorbed the update sit at expected and are skipped;
+partitions returned to base re-apply and land on expected. Had the
+retract set excluded NEW urls, a crash mid-update could leave a
+partition holding new-url rows that re-retraction would NOT remove,
+and the re-applied update would double-add them. A ``_DELTA_DONE``
+marker makes the fully-applied re-run a fast no-op (the idempotency
+above is the safety net, not the fast path).
+
+Scale note: the delta result collects to the driver — it is
+CHURN-sized (one day's changed/new/gone urls), not corpus-sized, which
+is the realistic daily contract; a delta approaching corpus scale
+(first crawl, full re-crawl) is a rebuild, not an update, and callers
+should use the build path. The retract set broadcasts once via
+``ray.put``; the re-annotate filter is a per-batch ``pc.is_in`` mask
+over the streaming new snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def apply_crawl_delta(
+    old_pages_ds,
+    new_pages_ds,
+    store_dir: str,
+    update_id: str,
+    store_ref=None,
+    **annotate_kw,
+) -> dict:
+    """Reconcile an existing triple store with a new crawl snapshot.
+
+    Returns a summary dict (delta counts, retracted/added rows). See
+    the module docstring for the resume contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from kazu_ray.ops.web import crawl_delta
+    from kazu_ray.pipelines.kg import annotated_docs, broadcast_store
+    from kazu_ray.stages.materialize import (
+        explode_triples,
+        load_manifests,
+        retract_docs,
+        update_triple_store,
+    )
+
+    marker = os.path.join(store_dir, "_updates", update_id, "_DELTA_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f)
+        done["resumed_noop"] = True
+        return done
+
+    delta = crawl_delta(old_pages_ds, new_pages_ds).to_pandas()
+    by_status = {
+        s: sorted(delta.loc[delta["status"] == s, "url"])
+        for s in ("new", "gone", "changed")
+    }
+    all_urls = sorted(set(delta["url"]))
+    reannotate = sorted(set(by_status["new"]) | set(by_status["changed"]))
+
+    retract_summary = {"retracted_rows": 0}
+    if all_urls:
+        retract_summary = retract_docs(store_dir, all_urls, update_id)
+
+    added_rows = 0
+    if reannotate:
+        urls_ref = ray.put(pa.array(reannotate, type=pa.string()))
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["url"], value_set=ray.get(urls_ref)))
+
+        if store_ref is None:
+            store_ref = broadcast_store()
+        pages = new_pages_ds.map_batches(keep, batch_format="pyarrow")
+        triples = explode_triples(
+            annotated_docs(None, store_ref=store_ref, pages_ds=pages, **annotate_kw)
+        )
+        before = sum(m["row_count"] for m in load_manifests(store_dir))
+        update_triple_store(triples, store_dir, update_id)
+        added_rows = sum(m["row_count"] for m in load_manifests(store_dir)) - before
+
+    summary = {
+        "update_id": update_id,
+        "n_new": len(by_status["new"]),
+        "n_gone": len(by_status["gone"]),
+        "n_changed": len(by_status["changed"]),
+        "retracted_rows": retract_summary["retracted_rows"],
+        "added_rows": added_rows,
+        "row_count": sum(m["row_count"] for m in load_manifests(store_dir)),
+    }
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(summary, f)
+    os.replace(tmp, marker)
+    return summary

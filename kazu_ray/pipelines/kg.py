@@ -62,6 +62,7 @@ def annotated_docs(
     pages_dir: str | None = None,
     compute: str = "tasks",
     emit: tuple = ("entities", "triples"),
+    pages_ds=None,
 ):
     """pages → fully processed docs (ents_json + triples_json columns).
 
@@ -73,7 +74,11 @@ def annotated_docs(
     """
     if store_ref is None:
         store_ref = broadcast_store()
-    if pages_dir is not None:
+    if pages_ds is not None:
+        # caller-supplied pages Dataset (the incremental-delta path
+        # annotates a FILTERED slice of a crawl, not a directory)
+        pages = pages_ds
+    elif pages_dir is not None:
         from kazu_ray.sources.corpus import pages_from_parquet
 
         pages = pages_from_parquet(pages_dir)

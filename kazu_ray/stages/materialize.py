@@ -849,6 +849,137 @@ def update_triple_store(triples_ds, out_dir: str, update_id: str) -> list[dict]:
     )
 
 
+def retract_docs(
+    out_dir: str,
+    doc_ids,
+    update_id: str,
+    doc_col: str = "doc_id",
+    file_name: str = "triples.parquet",
+) -> dict:
+    """Remove every row whose ``doc_col`` is in ``doc_ids`` from a
+    partitioned store — the missing half of incremental KG maintenance
+    (:func:`update_partitioned` ADDS a new crawl day; a changed or
+    vanished page's OLD triples must also GO, or the store accretes
+    stale assertions forever). This is tombstone-free compaction: each
+    affected partition is filtered and atomically rewritten in place,
+    its manifest re-derived over the surviving rows with the exact
+    content-hash rule the writers use — so a retraction followed by an
+    :func:`update_partitioned` of the re-annotated pages yields
+    manifests IDENTICAL to a from-scratch rebuild on the new corpus
+    (the equality the incremental pipeline's test gates on).
+
+    Shapes: the retract set is CHURN-sized (one delta's changed+gone
+    urls, not the corpus) and broadcasts once via ``ray.put``; each
+    partition rewrites in its own Ray task, streaming row-group chunks
+    (never holding a whole partition unless it fits), and partitions
+    with no matching rows are left untouched — byte-identical file,
+    untouched manifest. Idempotent by construction (re-running finds
+    no matches), which is the whole resume story: a crash mid-retract
+    re-runs safely under the same ``update_id``."""
+    import ray
+
+    manifests = {m["partition_id"]: m for m in load_manifests(out_dir)}
+    if not manifests:
+        raise ValueError(f"no existing store at {out_dir}")
+    ids = pa.array(sorted(set(doc_ids)), type=pa.string())
+    ids_ref = ray.put(ids)
+    manifest_dir = os.path.join(out_dir, "_manifests")
+
+    @ray.remote(num_cpus=1)
+    def _retract_part(part: int, key_col: str, sort_cols, content_cols) -> dict | None:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        bad = ray.get(ids_ref)
+        part_dir = os.path.join(out_dir, f"part={part}")
+        path = os.path.join(part_dir, file_name)
+        if not os.path.exists(path):
+            return None
+        pf = pq.ParquetFile(path)
+        # pass 1: any matches? (row-group stream, no rewrite if clean)
+        n_hits = 0
+        for batch in pf.iter_batches(columns=[doc_col]):
+            mask = pc.is_in(batch.column(0), value_set=bad)
+            n_hits += pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        if not n_hits:
+            return None
+        # pass 2: filtered rewrite + re-manifest (same hash rule as the
+        # writer: sorted-order rows, content_cols tab-joined lines)
+        content_hash = hashlib.sha256()
+        n_rows = 0
+        min_key = max_key = None
+        keep = list(dict.fromkeys(content_cols))
+        writer = None
+        tmp = os.path.join(part_dir, f".tmp.{file_name}")
+        try:
+            for batch in pf.iter_batches():
+                table = pa.Table.from_batches([batch])
+                table = table.filter(
+                    pc.invert(pc.is_in(table[doc_col], value_set=bad))
+                )
+                if not table.num_rows:
+                    continue
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, table.schema)
+                writer.write_table(table)
+                n_rows += table.num_rows
+                str_cols = [pc.cast(table[c], pa.string()) for c in keep]
+                lines = pc.binary_join_element_wise(
+                    *str_cols, "\t", null_handling="replace", null_replacement="None"
+                )
+                lines = pc.binary_join_element_wise(lines, "", "\n")
+                content_hash.update(lines.to_pandas().str.cat().encode())
+                mm = pc.min_max(table[key_col])
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                min_key = lo if min_key is None else min(min_key, lo)
+                max_key = hi if max_key is None else max(max_key, hi)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            # every row retracted: an empty partition keeps an empty
+            # file slot (schema-stable stores; lookups see 0 rows)
+            pq.write_table(pf.schema_arrow.empty_table(), tmp)
+        os.replace(tmp, path)
+        manifest = {
+            "partition_id": part,
+            "row_count": n_rows,
+            "min_key": min_key,
+            "max_key": max_key,
+            "sha256": content_hash.hexdigest(),
+        }
+        tmp_manifest = os.path.join(manifest_dir, f".{part}.json.tmp")
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_manifest, os.path.join(manifest_dir, f"{part}.json"))
+        return {"partition_id": part, "removed": int(n_hits)}
+
+    # the triple store's layout constants (subj-keyed, (s,p,o)-sorted
+    # and -hashed) — callers with other layouts pass through kwargs of
+    # update_partitioned instead; retraction only supports the triple
+    # layout today because it is the only store with a doc provenance
+    # column
+    results = ray.get(
+        [
+            _retract_part.remote(
+                p, "subj", ["subj", "pred", "obj"], ["subj", "pred", "obj"]
+            )
+            for p in sorted(manifests)
+        ]
+    )
+    touched = [r for r in results if r]
+    out = {
+        "update_id": update_id,
+        "retracted_rows": sum(r["removed"] for r in touched),
+        "rewritten_parts": [r["partition_id"] for r in touched],
+        "untouched_parts": sorted(
+            set(manifests) - {r["partition_id"] for r in touched}
+        ),
+    }
+    _write_build_metrics(out_dir, out, file_name="last_retract.json")
+    return out
+
+
 def load_manifests(out_dir: str) -> list[dict]:
     manifest_dir = os.path.join(out_dir, "_manifests")
     out = []

