@@ -21,6 +21,19 @@ multiple captures over time. Standard pre-NLP hygiene:
 * :func:`synth_url_log` — deterministic messy URL log derived from the
   documents table (clean row per doc + tracking/fragment/host-case
   variants for a deterministic subset) for tests and benchmarks.
+
+Beyond URL hygiene, this module carries the whole webgraph / corpus-
+hygiene suite over the pages table: the host link graph and its
+analytics (degrees, weighted PageRank, HITS, components, reachability,
+triangles/clustering, assortativity, co-citation, reciprocity, mirror
+detection via outlink Jaccard, KMV distinct sketch), crawl operations
+(frontier, recency, two-snapshot delta), per-host boilerplate
+detection + stripping, and the cross-layer KG rollups
+(host_entity_profile, triple_recency). Shared shape vocabulary:
+per-batch combiners in front of every exchange, host-keyed hash
+exchanges (``exchange_groups``) instead of sort-based groupbys, size
+dispatch between driver math (sub-cap graphs) and streaming
+exchange/int-coded forms, and loud—not silent—caps on hub skew.
 """
 
 from __future__ import annotations
@@ -1462,7 +1475,12 @@ def host_boilerplate(text_ds, min_pages: int = 3):
     The sentence unit is the deterministic split on '. ' (both sides
     of the oracle apply the identical rule — DuckDB
     ``string_split(text, '. ')``), counted ONCE per page however often
-    it repeats within the page.
+    it repeats within the page. Input contract: ONE row per url (the
+    extracted-text artifact's shape — each page row is whole within
+    one batch, so the per-batch distinct-per-page is globally exact);
+    a multi-capture url log must be deduplicated first
+    (:func:`url_dedup`), or a capture split across batches would count
+    its sentences once per batch.
 
     Shapes: one streaming pass emits per-batch-combined marker rows of
     two kinds — ``kind='s'`` (host, sentence, pages-carrying partial;
