@@ -1096,3 +1096,70 @@ def test_apply_crawl_delta_equals_rebuild(ray_session, tmp_path):
     replay = apply_crawl_delta(old_ds, new_ds, out_inc, "day2", store_ref=ref)
     assert not replay.get("resumed_noop")
     assert key(load_manifests(out_inc)) == key(load_manifests(out_ref))
+
+
+def test_retract_docs_full_and_partial(ray_session, tmp_path):
+    """retract_docs edge cases: partial retraction rewrites only the
+    partitions holding matching rows (others byte-untouched); full
+    retraction leaves schema-stable empty partitions with row_count-0
+    manifests; retraction is idempotent."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kazu_ray.stages.materialize import (
+        load_manifests,
+        materialize_triples,
+        retract_docs,
+    )
+
+    rows = [
+        {
+            "subj": f"S:{i % 7:02d}",
+            "pred": "p",
+            "obj": f"O:{i % 5:02d}",
+            "doc_id": f"https://h.org/doc/{i:04d}",
+        }
+        for i in range(200)
+    ]
+    out = str(tmp_path / "store")
+    materialize_triples(rd.from_items(rows), out, num_parts=4)
+    base = {m["partition_id"]: m for m in load_manifests(out)}
+    files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{out}/part=*/triples.parquet")
+    }
+
+    # partial: retract one doc's rows
+    s = retract_docs(out, ["https://h.org/doc/0000"], "r1")
+    assert s["retracted_rows"] == 1
+    after = {m["partition_id"]: m for m in load_manifests(out)}
+    touched = set(s["rewritten_parts"])
+    assert touched  # the doc's subject bucket
+    for p, m in after.items():
+        if p in touched:
+            assert m["row_count"] == base[p]["row_count"] - 1
+            assert m["sha256"] != base[p]["sha256"]
+        else:
+            assert m == base[p]
+    # untouched partitions: files not rewritten
+    for f, mtime in files_before.items():
+        part = int(f.split("part=")[1].split("/")[0])
+        if part not in touched:
+            assert os.path.getmtime(f) == mtime
+
+    # idempotent: same retraction again is a no-op
+    s2 = retract_docs(out, ["https://h.org/doc/0000"], "r1")
+    assert s2["retracted_rows"] == 0 and not s2["rewritten_parts"]
+
+    # full: retract everything -> empty but schema-stable partitions
+    s3 = retract_docs(out, [r["doc_id"] for r in rows], "r2")
+    assert s3["retracted_rows"] == sum(m["row_count"] for m in after.values())
+    for m in load_manifests(out):
+        assert m["row_count"] == 0
+    for f in glob.glob(f"{out}/part=*/triples.parquet"):
+        t = pq.read_table(f)
+        assert t.num_rows == 0
+        assert "subj" in t.schema.names and "doc_id" in t.schema.names
