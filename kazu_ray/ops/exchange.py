@@ -327,6 +327,17 @@ def scatter_groups(ds, key_cols: list[str], num_buckets: int, per_bucket_fn, emp
 # ~2 s beats the sort's row-proportional cost. Env-overridable so a
 # cluster with different exchange economics can re-tune without a code
 # change.
+#
+# Round-5 re-calibration caveat: row count is a PROXY — the real driver
+# is the input's BLOCK count. A controlled A/B on a pre-materialized
+# low-block input showed the sort form winning even at 3M rows
+# (0.99-1.18 s vs 1.7-2.3 s scatter), while the crawl_delta union
+# (2 × ~258 read blocks feeding the exchange) showed the opposite at
+# 1M rows (scatter 9.6 s vs sort 22-24 s) — the sort shuffle's cost
+# grows with participating blocks, the scatter's does not. Call sites
+# whose input is high-block by construction (page-scale unions) pin
+# the scatter form via ``est_rows`` (see ops/web.py::_page_scale_rows)
+# rather than re-tuning this global default.
 def exchange_crossover_rows() -> int:
     import os
 
