@@ -83,7 +83,11 @@ def apply_crawl_delta(
         done["resumed_noop"] = True
         return done
 
+    import time as _time
+
+    _t0 = _time.monotonic()
     delta = crawl_delta(old_pages_ds, new_pages_ds).to_pandas()
+    t_classify = _time.monotonic() - _t0
     by_status = {
         s: sorted(delta.loc[delta["status"] == s, "url"])
         for s in ("new", "gone", "changed")
@@ -92,10 +96,13 @@ def apply_crawl_delta(
     reannotate = sorted(set(by_status["new"]) | set(by_status["changed"]))
 
     retract_summary = {"retracted_rows": 0}
+    _t0 = _time.monotonic()
     if all_urls:
         retract_summary = retract_docs(store_dir, all_urls, update_id)
+    t_retract = _time.monotonic() - _t0
 
     added_rows = 0
+    _t0 = _time.monotonic()
     if reannotate:
         urls_ref = ray.put(pa.array(reannotate, type=pa.string()))
 
@@ -120,6 +127,13 @@ def apply_crawl_delta(
         "retracted_rows": retract_summary["retracted_rows"],
         "added_rows": added_rows,
         "row_count": sum(m["row_count"] for m in load_manifests(store_dir)),
+        # phase wall times: classification scales with the CORPUS (two
+        # digest scans), retract with the STORE (partition scans),
+        # annotate+merge with the CHURN — the split that tells an
+        # operator whether incremental beats rebuild for their kernel
+        "sec_classify": round(t_classify, 2),
+        "sec_retract": round(t_retract, 2),
+        "sec_annotate_merge": round(_time.monotonic() - _t0, 2),
     }
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     tmp = marker + ".tmp"
