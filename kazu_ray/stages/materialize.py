@@ -238,6 +238,81 @@ def _check_or_write_format(
     return num_parts
 
 
+# ---------------------------------------------------------------------------
+# Per-partition doc-id bloom sidecar
+# ---------------------------------------------------------------------------
+# Lineage metadata that makes point retraction O(affected partitions)
+# instead of O(all partitions): every partition write (build, update,
+# retract-rewrite) also writes `docs.bloom.npy` — a fixed-size bloom
+# filter over the partition's provenance column — and retract_docs
+# pre-checks it so partitions that definitely hold none of the retract
+# set are never even OPENED. Fixed m keeps the build streaming (bits
+# set per batch, no per-row state accumulates); a saturated bloom on a
+# huge partition degrades to "always scan" — safe, never wrong.
+
+_BLOOM_K = 4
+_BLOOM_FILE = "docs.bloom.npy"
+
+
+def _bloom_bits() -> int:
+    return int(os.environ.get("KAZU_DOC_BLOOM_BITS", 1 << 20))
+
+
+def _bloom_positions(values, m: int):
+    """k bit positions per value — pandas hash_array under k fixed salts
+    (vectorized, deterministic across runs/processes)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = np.asarray(values, dtype=object)
+    return [
+        pd.util.hash_array(vals, hash_key=f"{salt:016d}") % m
+        for salt in range(_BLOOM_K)
+    ]
+
+
+def _bloom_set(bits, values, m: int) -> None:
+    import numpy as np
+
+    for pos in _bloom_positions(values, m):
+        idx = (pos // 8).astype(np.int64)
+        masks = np.uint8(1) << (pos % 8).astype(np.uint8)
+        # duplicate indices must accumulate — plain fancy-index |= is
+        # buffered and drops all but one write per index
+        np.bitwise_or.at(bits, idx, masks)
+
+
+def _bloom_any_hit(bits, values, m: int):
+    """True iff AT LEAST ONE value has all k bits set (i.e. the
+    partition MIGHT contain it)."""
+    import numpy as np
+
+    hit = np.ones(len(values), dtype=bool)
+    for pos in _bloom_positions(values, m):
+        idx = (pos // 8).astype(np.int64)
+        shift = (pos % 8).astype(np.uint8)
+        hit &= ((bits[idx] >> shift) & 1) == 1
+    return bool(hit.any())
+
+
+def _write_bloom_sidecar(part_dir: str, bits) -> None:
+    import numpy as np
+
+    tmp = os.path.join(part_dir, f".tmp.{_BLOOM_FILE}")
+    with open(tmp, "wb") as f:
+        np.save(f, bits)
+    os.replace(tmp, os.path.join(part_dir, _BLOOM_FILE))
+
+
+def _load_bloom_sidecar(part_dir: str):
+    import numpy as np
+
+    path = os.path.join(part_dir, _BLOOM_FILE)
+    if not os.path.exists(path):
+        return None
+    return np.load(path)
+
+
 class _PartitionWriter:
     """One output partition's accumulator: receives hash-bucketed
     sub-tables from the scatter, then sorts, writes atomically and
@@ -266,6 +341,7 @@ class _PartitionWriter:
         content_cols,
         file_name,
         spill_bytes: int | None = None,
+        bloom_col: str | None = None,
     ):
         self.part = part
         self.out_dir = out_dir
@@ -274,6 +350,7 @@ class _PartitionWriter:
         self.sort_cols = sort_cols
         self.content_cols = content_cols
         self.file_name = file_name
+        self.bloom_col = bloom_col
         self.tables: list[pa.Table] = []
         if spill_bytes is None:
             spill_bytes = int(
@@ -476,6 +553,11 @@ class _PartitionWriter:
         min_key = max_key = None
         keep = list(dict.fromkeys(self.content_cols))
         writer = None
+        bloom = None
+        if self.bloom_col is not None:
+            import numpy as np
+
+            bloom = np.zeros(_bloom_bits() // 8, dtype=np.uint8)
         tmp = os.path.join(part_dir, f".tmp.{self.file_name}")
         try:
             for table in self._merged_stream():
@@ -486,6 +568,12 @@ class _PartitionWriter:
                     writer = pq.ParquetWriter(tmp, table.schema)
                 writer.write_table(table)
                 n_rows += table.num_rows
+                if bloom is not None and self.bloom_col in table.schema.names:
+                    _bloom_set(
+                        bloom,
+                        table[self.bloom_col].to_pandas().to_numpy(object),
+                        _bloom_bits(),
+                    )
                 if keep:
                     # vectorized content hash: cast → tab-join → newline
                     str_cols = [pc.cast(table[c], pa.string()) for c in keep]
@@ -503,6 +591,8 @@ class _PartitionWriter:
                 writer.close()
         if writer is not None:
             os.replace(tmp, os.path.join(part_dir, self.file_name))
+        if bloom is not None and writer is not None:
+            _write_bloom_sidecar(part_dir, bloom)
         for path in self.run_paths:
             try:
                 os.remove(path)
@@ -554,6 +644,7 @@ def materialize_partitioned(
     hash_cols: list[str] | None = None,
     file_name: str = "data.parquet",
     spill_bytes: int | None = None,
+    bloom_col: str | None = None,
 ) -> list[dict]:
     """Generic resumable partitioned materialize.
 
@@ -644,7 +735,7 @@ def materialize_partitioned(
     writers = {
         p: writer_cls.remote(
             p, out_dir, manifest_dir, key_col, sort_cols, content_cols, file_name,
-            spill_bytes,
+            spill_bytes, bloom_col,
         )
         for p in pending
     }
@@ -704,6 +795,7 @@ def materialize_triples(
         sort_cols=["subj", "pred", "obj"],
         hash_cols=["subj", "pred", "obj"],
         file_name="triples.parquet",
+        bloom_col="doc_id",
     )
 
 
@@ -716,6 +808,7 @@ def update_partitioned(
     hash_cols: list[str] | None = None,
     file_name: str = "data.parquet",
     spill_bytes: int | None = None,
+    bloom_col: str | None = None,
 ) -> list[dict]:
     """Incrementally merge new rows into an existing partitioned store —
     the KG-lifecycle operation (a new crawl day lands, the store
@@ -802,7 +895,7 @@ def update_partitioned(
     writers = {
         p: writer_cls.remote(
             p, out_dir, manifest_dir, key_col, sort_cols, content_cols, file_name,
-            spill_bytes,
+            spill_bytes, bloom_col,
         )
         for p in pending
     }
@@ -846,6 +939,7 @@ def update_triple_store(triples_ds, out_dir: str, update_id: str) -> list[dict]:
         sort_cols=["subj", "pred", "obj"],
         hash_cols=["subj", "pred", "obj"],
         file_name="triples.parquet",
+        bloom_col="doc_id",
     )
 
 
@@ -875,7 +969,17 @@ def retract_docs(
     with no matching rows are left untouched — byte-identical file,
     untouched manifest. Idempotent by construction (re-running finds
     no matches), which is the whole resume story: a crash mid-retract
-    re-runs safely under the same ``update_id``."""
+    re-runs safely under the same ``update_id``.
+
+    Point-retraction fast path: partitions written by this engine carry
+    a ``docs.bloom.npy`` sidecar (bloom filter over the provenance
+    column, built by every writer path); a partition whose bloom
+    excludes EVERY retract url is skipped without even opening its
+    parquet file — a one-doc retraction on an N-partition store opens
+    ~1 partition instead of N (the difference between an O(store)
+    scan and an O(affected) touch at 100 TB). False positives just
+    fall through to the scan; stores predating the sidecar scan every
+    partition (and gain the sidecar on their next rewrite)."""
     import ray
 
     manifests = {m["partition_id"]: m for m in load_manifests(out_dir)}
@@ -887,6 +991,7 @@ def retract_docs(
 
     @ray.remote(num_cpus=1)
     def _retract_part(part: int, key_col: str, sort_cols, content_cols) -> dict | None:
+        import numpy as np
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
@@ -895,6 +1000,12 @@ def retract_docs(
         path = os.path.join(part_dir, file_name)
         if not os.path.exists(path):
             return None
+        # pass 0: bloom pre-check — skip without opening the parquet
+        bloom = _load_bloom_sidecar(part_dir)
+        if bloom is not None and not _bloom_any_hit(
+            bloom, np.asarray(bad.to_pylist(), dtype=object), len(bloom) * 8
+        ):
+            return {"partition_id": part, "removed": 0, "bloom_skipped": True}
         pf = pq.ParquetFile(path)
         # pass 1: any matches? (row-group stream, no rewrite if clean)
         n_hits = 0
@@ -902,14 +1013,16 @@ def retract_docs(
             mask = pc.is_in(batch.column(0), value_set=bad)
             n_hits += pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
         if not n_hits:
-            return None
+            return {"partition_id": part, "removed": 0, "bloom_skipped": False}
         # pass 2: filtered rewrite + re-manifest (same hash rule as the
-        # writer: sorted-order rows, content_cols tab-joined lines)
+        # writer: sorted-order rows, content_cols tab-joined lines) +
+        # bloom rebuild over the surviving rows
         content_hash = hashlib.sha256()
         n_rows = 0
         min_key = max_key = None
         keep = list(dict.fromkeys(content_cols))
         writer = None
+        new_bloom = np.zeros(_bloom_bits() // 8, dtype=np.uint8)
         tmp = os.path.join(part_dir, f".tmp.{file_name}")
         try:
             for batch in pf.iter_batches():
@@ -923,6 +1036,11 @@ def retract_docs(
                     writer = pq.ParquetWriter(tmp, table.schema)
                 writer.write_table(table)
                 n_rows += table.num_rows
+                _bloom_set(
+                    new_bloom,
+                    table[doc_col].to_pandas().to_numpy(object),
+                    _bloom_bits(),
+                )
                 str_cols = [pc.cast(table[c], pa.string()) for c in keep]
                 lines = pc.binary_join_element_wise(
                     *str_cols, "\t", null_handling="replace", null_replacement="None"
@@ -941,6 +1059,7 @@ def retract_docs(
             # file slot (schema-stable stores; lookups see 0 rows)
             pq.write_table(pf.schema_arrow.empty_table(), tmp)
         os.replace(tmp, path)
+        _write_bloom_sidecar(part_dir, new_bloom)
         manifest = {
             "partition_id": part,
             "row_count": n_rows,
@@ -967,13 +1086,18 @@ def retract_docs(
             for p in sorted(manifests)
         ]
     )
-    touched = [r for r in results if r]
+    results = [r for r in results if r]
+    rewritten = [r for r in results if r["removed"] > 0]
     out = {
         "update_id": update_id,
-        "retracted_rows": sum(r["removed"] for r in touched),
-        "rewritten_parts": [r["partition_id"] for r in touched],
+        "retracted_rows": sum(r["removed"] for r in rewritten),
+        "rewritten_parts": sorted(r["partition_id"] for r in rewritten),
+        "parts_bloom_skipped": sum(
+            1 for r in results if r.get("bloom_skipped")
+        ),
+        "parts_scanned": sum(1 for r in results if not r.get("bloom_skipped")),
         "untouched_parts": sorted(
-            set(manifests) - {r["partition_id"] for r in touched}
+            set(manifests) - {r["partition_id"] for r in rewritten}
         ),
     }
     _write_build_metrics(out_dir, out, file_name="last_retract.json")

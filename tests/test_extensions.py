@@ -1132,9 +1132,15 @@ def test_retract_docs_full_and_partial(ray_session, tmp_path):
         for f in glob.glob(f"{out}/part=*/triples.parquet")
     }
 
-    # partial: retract one doc's rows
+    # bloom sidecars written by the build
+    assert len(glob.glob(f"{out}/part=*/docs.bloom.npy")) == 4
+
+    # partial: retract one doc's rows — the bloom pre-check must open
+    # only the partition(s) that can contain it
     s = retract_docs(out, ["https://h.org/doc/0000"], "r1")
     assert s["retracted_rows"] == 1
+    assert s["parts_scanned"] + s["parts_bloom_skipped"] == 4
+    assert s["parts_scanned"] == len(s["rewritten_parts"])  # zero false scans here
     after = {m["partition_id"]: m for m in load_manifests(out)}
     touched = set(s["rewritten_parts"])
     assert touched  # the doc's subject bucket
@@ -1150,13 +1156,23 @@ def test_retract_docs_full_and_partial(ray_session, tmp_path):
         if part not in touched:
             assert os.path.getmtime(f) == mtime
 
-    # idempotent: same retraction again is a no-op
+    # idempotent: same retraction again is a no-op — and the rewritten
+    # partition's REBUILT bloom now excludes the doc, so nothing scans
     s2 = retract_docs(out, ["https://h.org/doc/0000"], "r1")
     assert s2["retracted_rows"] == 0 and not s2["rewritten_parts"]
+    assert s2["parts_scanned"] == 0 and s2["parts_bloom_skipped"] == 4
+
+    # legacy store (no sidecars): every partition is scanned
+    for f in glob.glob(f"{out}/part=*/docs.bloom.npy"):
+        os.remove(f)
+    s_legacy = retract_docs(out, ["https://h.org/doc/0001"], "r1b")
+    assert s_legacy["parts_scanned"] == 4 and s_legacy["parts_bloom_skipped"] == 0
+    assert s_legacy["retracted_rows"] == 1
 
     # full: retract everything -> empty but schema-stable partitions
+    remaining = sum(m["row_count"] for m in load_manifests(out))
     s3 = retract_docs(out, [r["doc_id"] for r in rows], "r2")
-    assert s3["retracted_rows"] == sum(m["row_count"] for m in after.values())
+    assert s3["retracted_rows"] == remaining
     for m in load_manifests(out):
         assert m["row_count"] == 0
     for f in glob.glob(f"{out}/part=*/triples.parquet"):
