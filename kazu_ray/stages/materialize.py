@@ -949,6 +949,9 @@ def retract_docs(
     update_id: str,
     doc_col: str = "doc_id",
     file_name: str = "triples.parquet",
+    key_col: str = "subj",
+    sort_cols: list[str] | None = None,
+    hash_cols: list[str] | None = None,
 ) -> dict:
     """Remove every row whose ``doc_col`` is in ``doc_ids`` from a
     partitioned store — the missing half of incremental KG maintenance
@@ -971,6 +974,14 @@ def retract_docs(
     no matches), which is the whole resume story: a crash mid-retract
     re-runs safely under the same ``update_id``.
 
+    Layout: defaults are the triple store's (``key_col="subj"``,
+    (subj, pred, obj) sort + content hash); pass the annotated-docs
+    layout (``key_col="doc_id"``, ``file_name="docs.parquet"``) to
+    reconcile that sink too. When ``doc_col == key_col`` (the docs
+    store), retraction is PARTITION-PRUNED exactly: the retract ids
+    hash straight to their partitions and no other partition is even
+    submitted — strictly better than the bloom check.
+
     Point-retraction fast path: partitions written by this engine carry
     a ``docs.bloom.npy`` sidecar (bloom filter over the provenance
     column, built by every writer path); a partition whose bloom
@@ -985,9 +996,20 @@ def retract_docs(
     manifests = {m["partition_id"]: m for m in load_manifests(out_dir)}
     if not manifests:
         raise ValueError(f"no existing store at {out_dir}")
+    if sort_cols is None and key_col == "subj":
+        sort_cols = ["subj", "pred", "obj"]
+    content_cols = hash_cols or ([key_col] + (sort_cols or []))
     ids = pa.array(sorted(set(doc_ids)), type=pa.string())
     ids_ref = ray.put(ids)
     manifest_dir = os.path.join(out_dir, "_manifests")
+
+    candidate_parts = sorted(manifests)
+    if doc_col == key_col:
+        # keyed store: the retract ids hash straight to their partitions
+        from kazu_ray.functions.hashing import bucket_ids
+
+        hit = set(bucket_ids(ids, len(manifests)).tolist())
+        candidate_parts = sorted(p for p in manifests if p in hit)
 
     @ray.remote(num_cpus=1)
     def _retract_part(part: int, key_col: str, sort_cols, content_cols) -> dict | None:
@@ -1073,17 +1095,10 @@ def retract_docs(
         os.replace(tmp_manifest, os.path.join(manifest_dir, f"{part}.json"))
         return {"partition_id": part, "removed": int(n_hits)}
 
-    # the triple store's layout constants (subj-keyed, (s,p,o)-sorted
-    # and -hashed) — callers with other layouts pass through kwargs of
-    # update_partitioned instead; retraction only supports the triple
-    # layout today because it is the only store with a doc provenance
-    # column
     results = ray.get(
         [
-            _retract_part.remote(
-                p, "subj", ["subj", "pred", "obj"], ["subj", "pred", "obj"]
-            )
-            for p in sorted(manifests)
+            _retract_part.remote(p, key_col, sort_cols, content_cols)
+            for p in candidate_parts
         ]
     )
     results = [r for r in results if r]
@@ -1096,6 +1111,7 @@ def retract_docs(
             1 for r in results if r.get("bloom_skipped")
         ),
         "parts_scanned": sum(1 for r in results if not r.get("bloom_skipped")),
+        "parts_key_pruned": len(manifests) - len(candidate_parts),
         "untouched_parts": sorted(
             set(manifests) - {r["partition_id"] for r in rewritten}
         ),

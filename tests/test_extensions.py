@@ -1179,3 +1179,45 @@ def test_retract_docs_full_and_partial(ray_session, tmp_path):
         t = pq.read_table(f)
         assert t.num_rows == 0
         assert "subj" in t.schema.names and "doc_id" in t.schema.names
+
+
+def test_retract_docs_keyed_store_prunes_partitions(ray_session, tmp_path):
+    """Docs-layout retraction (doc_col == key_col): the retract ids hash
+    straight to their partitions — other partitions are never submitted
+    (parts_key_pruned), and the removal is exact."""
+    import ray.data as rd
+
+    from kazu_ray.stages.materialize import (
+        load_manifests,
+        materialize_partitioned,
+        retract_docs,
+    )
+
+    rows = [
+        {"doc_id": f"https://h.org/doc/{i:04d}", "payload": f"p{i}"}
+        for i in range(100)
+    ]
+    out = str(tmp_path / "docs_store")
+    materialize_partitioned(
+        rd.from_items(rows),
+        out,
+        key_col="doc_id",
+        num_parts=8,
+        file_name="docs.parquet",
+        bloom_col="doc_id",
+    )
+    total = sum(m["row_count"] for m in load_manifests(out))
+    assert total == 100
+
+    s = retract_docs(
+        out,
+        ["https://h.org/doc/0007"],
+        "r1",
+        doc_col="doc_id",
+        file_name="docs.parquet",
+        key_col="doc_id",
+    )
+    assert s["retracted_rows"] == 1
+    assert s["parts_key_pruned"] == 7  # only the id's own partition submitted
+    assert s["parts_scanned"] + s["parts_bloom_skipped"] == 1
+    assert sum(m["row_count"] for m in load_manifests(out)) == 99
