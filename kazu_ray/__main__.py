@@ -124,6 +124,7 @@ def cmd_delta_update(args) -> None:
         args.store,
         args.update_id,
         store_ref=broadcast_store(),
+        docs_dir=args.docs,
     )
     print(json.dumps(summary))
     ray.shutdown()
@@ -221,6 +222,11 @@ def main(argv=None) -> None:
     p.add_argument("--new-pages", required=True, help="new snapshot parquet dir")
     p.add_argument("--store", required=True)
     p.add_argument("--update-id", required=True)
+    p.add_argument(
+        "--docs",
+        default=None,
+        help="also reconcile this annotated-docs sink (write_annotated dir)",
+    )
     p.set_defaults(fn=cmd_delta_update)
 
     p = sub.add_parser("annotate", help="annotated docs + failure side channel")

@@ -57,12 +57,24 @@ def apply_crawl_delta(
     store_dir: str,
     update_id: str,
     store_ref=None,
+    docs_dir: str | None = None,
     **annotate_kw,
 ) -> dict:
     """Reconcile an existing triple store with a new crawl snapshot.
 
-    Returns a summary dict (delta counts, retracted/added rows). See
-    the module docstring for the resume contract."""
+    ``docs_dir``: optionally ALSO reconcile an annotated-docs sink
+    (a :func:`kazu_ray.stages.materialize.write_annotated` output
+    directory) with the same delta — its ``docs/`` partitions retract
+    the delta urls (keyed partition pruning: doc_id IS the partition
+    key there) and absorb the re-annotated pages through the same
+    journaled update path, so both sinks stay consistent with the new
+    snapshot under one ``update_id``. The ``failed/`` side-channel is
+    append-only triage material and is left untouched.
+
+    Returns a summary dict (delta counts, retracted/added rows,
+    per-phase wall times). See the module docstring for the resume
+    contract — it covers the docs sink identically (the ``_DELTA_DONE``
+    marker is written only after BOTH stores are reconciled)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
@@ -73,6 +85,7 @@ def apply_crawl_delta(
         explode_triples,
         load_manifests,
         retract_docs,
+        update_partitioned,
         update_triple_store,
     )
 
@@ -96,9 +109,19 @@ def apply_crawl_delta(
     reannotate = sorted(set(by_status["new"]) | set(by_status["changed"]))
 
     retract_summary = {"retracted_rows": 0}
+    docs_retracted = 0
     _t0 = _time.monotonic()
     if all_urls:
         retract_summary = retract_docs(store_dir, all_urls, update_id)
+        if docs_dir is not None:
+            docs_retracted = retract_docs(
+                os.path.join(docs_dir, "docs"),
+                all_urls,
+                update_id,
+                doc_col="doc_id",
+                file_name="docs.parquet",
+                key_col="doc_id",
+            )["retracted_rows"]
     t_retract = _time.monotonic() - _t0
 
     added_rows = 0
@@ -112,12 +135,32 @@ def apply_crawl_delta(
         if store_ref is None:
             store_ref = broadcast_store()
         pages = new_pages_ds.map_batches(keep, batch_format="pyarrow")
-        triples = explode_triples(
-            annotated_docs(None, store_ref=store_ref, pages_ds=pages, **annotate_kw)
+        annotated = annotated_docs(
+            None, store_ref=store_ref, pages_ds=pages, **annotate_kw
         )
+        if docs_dir is not None:
+            # churn-sized: one materialize feeds both sinks instead of
+            # re-annotating per sink
+            annotated = annotated.materialize()
+        triples = explode_triples(annotated)
         before = sum(m["row_count"] for m in load_manifests(store_dir))
         update_triple_store(triples, store_dir, update_id)
         added_rows = sum(m["row_count"] for m in load_manifests(store_dir)) - before
+        if docs_dir is not None:
+            ok = annotated.map_batches(
+                lambda t: t.filter(
+                    pc.equal(t["processing_exception"], "")
+                ),
+                batch_format="pyarrow",
+            )
+            update_partitioned(
+                ok,
+                os.path.join(docs_dir, "docs"),
+                update_id,
+                key_col="doc_id",
+                file_name="docs.parquet",
+                bloom_col="doc_id",
+            )
 
     summary = {
         "update_id": update_id,
@@ -134,6 +177,7 @@ def apply_crawl_delta(
         "sec_classify": round(t_classify, 2),
         "sec_retract": round(t_retract, 2),
         "sec_annotate_merge": round(_time.monotonic() - _t0, 2),
+        "docs_retracted_rows": docs_retracted,
     }
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     tmp = marker + ".tmp"

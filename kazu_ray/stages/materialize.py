@@ -1162,6 +1162,7 @@ def write_annotated(docs_ds, out_dir: str, num_parts: int | None = 16) -> dict:
         key_col="doc_id",
         num_parts=num_parts,
         file_name="docs.parquet",
+        bloom_col="doc_id",
     )
     # failed docs route through the same partitioned, manifest-tracked
     # sink as the ok branch — never collected to the driver (a poisoned

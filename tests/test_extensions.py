@@ -1068,16 +1068,26 @@ def test_apply_crawl_delta_equals_rebuild(ray_session, tmp_path):
 
     ref = broadcast_store()
 
-    def build(ds, out):
-        triples = explode_triples(annotated_docs(None, store_ref=ref, pages_ds=ds))
+    from kazu_ray.stages.materialize import write_annotated
+
+    def build(ds, out, docs_out=None):
+        ann = annotated_docs(None, store_ref=ref, pages_ds=ds)
+        if docs_out is not None:
+            ann = ann.materialize()
+            write_annotated(ann, docs_out, num_parts=4)
+        triples = explode_triples(ann)
         materialize_triples(triples, out, num_parts=4)
 
     out_inc = str(tmp_path / "incremental")
     out_ref = str(tmp_path / "rebuild")
-    build(old_ds, out_inc)
-    build(new_ds, out_ref)
+    docs_inc = str(tmp_path / "docs_incremental")
+    docs_ref = str(tmp_path / "docs_rebuild")
+    build(old_ds, out_inc, docs_inc)
+    build(new_ds, out_ref, docs_ref)
 
-    s = apply_crawl_delta(old_ds, new_ds, out_inc, "day2", store_ref=ref)
+    s = apply_crawl_delta(
+        old_ds, new_ds, out_inc, "day2", store_ref=ref, docs_dir=docs_inc
+    )
     assert s["n_new"] > 0 and s["n_gone"] > 0 and s["n_changed"] > 0
     assert s["retracted_rows"] > 0 and s["added_rows"] != 0 or True
 
@@ -1086,6 +1096,26 @@ def test_apply_crawl_delta_equals_rebuild(ray_session, tmp_path):
 
     assert key(load_manifests(out_inc)) == key(load_manifests(out_ref))
 
+    # docs sink reconciled too: per-partition row counts + the exact
+    # doc_id multiset match the rebuild (the docs store is unsorted, so
+    # content shas hash arrival order and are not comparable)
+    def docs_state(root):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        counts = {
+            m["partition_id"]: m["row_count"]
+            for m in load_manifests(os.path.join(root, "docs"))
+        }
+        ids = []
+        for f in glob.glob(os.path.join(root, "docs", "part=*", "docs.parquet")):
+            ids.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        return counts, sorted(ids)
+
+    assert s["docs_retracted_rows"] > 0
+    assert docs_state(docs_inc) == docs_state(docs_ref)
+
     # fully-applied re-run: fast no-op via the done marker
     again = apply_crawl_delta(old_ds, new_ds, out_inc, "day2", store_ref=ref)
     assert again.get("resumed_noop")
@@ -1093,9 +1123,12 @@ def test_apply_crawl_delta_equals_rebuild(ray_session, tmp_path):
     # crash-replay: drop the marker and re-run the WHOLE cycle — the
     # retract-all-delta-urls + re-add path must land on the same store
     os.remove(os.path.join(out_inc, "_updates", "day2", "_DELTA_DONE"))
-    replay = apply_crawl_delta(old_ds, new_ds, out_inc, "day2", store_ref=ref)
+    replay = apply_crawl_delta(
+        old_ds, new_ds, out_inc, "day2", store_ref=ref, docs_dir=docs_inc
+    )
     assert not replay.get("resumed_noop")
     assert key(load_manifests(out_inc)) == key(load_manifests(out_ref))
+    assert docs_state(docs_inc) == docs_state(docs_ref)
 
 
 def test_retract_docs_full_and_partial(ray_session, tmp_path):
