@@ -2943,3 +2943,77 @@ def test_degree_assortativity_brute_force(ray_session):
     ]
     got = degree_assortativity(rd.from_items(ring))
     assert int(got["assortativity_ppm"].iloc[0]) == 0
+
+
+def test_host_outlink_jaccard_random_brute_force(ray_session):
+    """Pairs, intersections, and ppm values equal a set-based recompute
+    on random link graphs (beyond the hand fixture)."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_outlink_jaccard
+
+    rng = random.Random(23)
+    for trial in range(3):
+        pairs = set()
+        for _ in range(200):
+            pairs.add((f"s{rng.randint(0, 15):02d}", f"d{rng.randint(0, 25):02d}"))
+        links = rd.from_arrow(
+            pa.table(
+                {
+                    "src_host": pa.array([p[0] for p in sorted(pairs)]),
+                    "dst_host": pa.array([p[1] for p in sorted(pairs)]),
+                    "n_links": pa.array([1] * len(pairs), type=pa.int64()),
+                }
+            )
+        ).repartition(4)
+        got = (
+            host_outlink_jaccard(links, threshold_ppm=250_000)
+            .to_pandas()
+            .sort_values(["host_a", "host_b"], ignore_index=True)
+        )
+        sets: dict = {}
+        for a, b in pairs:
+            sets.setdefault(a, set()).add(b)
+        want = []
+        hosts = sorted(sets)
+        for i, a in enumerate(hosts):
+            for b in hosts[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                if not inter:
+                    continue
+                ppm = inter * 1_000_000 // len(sets[a] | sets[b])
+                if ppm >= 250_000:
+                    want.append([a, b, inter, ppm])
+        assert got.values.tolist() == want, f"trial {trial} differs"
+
+
+def test_bloom_sidecar_properties(tmp_path):
+    """The bloom helpers: NO false negatives ever (every inserted value
+    reports a possible hit); false-positive rate on disjoint values is
+    far below 1 at test load; duplicate-index writes accumulate."""
+    import numpy as np
+
+    from kazu_ray.stages.materialize import (
+        _bloom_any_hit,
+        _bloom_bits,
+        _bloom_set,
+    )
+
+    m = _bloom_bits()
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    inserted = np.asarray([f"https://h.org/doc/{i:06d}" for i in range(5000)], dtype=object)
+    _bloom_set(bits, inserted, m)
+    # no false negatives: every inserted value individually hits
+    for v in inserted[:200]:
+        assert _bloom_any_hit(bits, np.asarray([v], dtype=object), m)
+    # disjoint values: with 5k inserts in 2^20 bits the FP rate is tiny,
+    # so a 500-value disjoint batch must not be all-hits (and almost
+    # certainly no-hit); assert the strong-but-safe property
+    disjoint = np.asarray([f"https://x.org/p/{i:06d}" for i in range(500)], dtype=object)
+    fps = sum(
+        _bloom_any_hit(bits, np.asarray([v], dtype=object), m) for v in disjoint
+    )
+    assert fps < 5  # expected ~0 at this load
