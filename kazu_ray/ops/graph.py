@@ -826,14 +826,18 @@ def degree_assortativity(triples_ds, edges=None):
         ).astype("int64")
     deg_ref = ray.put(deg)
     int64_max = 2**63 - 1
-    max_deg = max(deg.values())
+    # Python int — a numpy int64 here would make the guard product
+    # itself wrap before it could trip
+    max_deg = int(max(deg.values()))
 
     def partial(t: pa.Table) -> pa.Table:
         d = ray.get(deg_ref)
         a = t["a"].to_pandas().map(d).to_numpy(np.int64)
         b = t["b"].to_pandas().map(d).to_numpy(np.int64)
         n = len(a)
-        if n and max_deg * max_deg * n > int64_max:
+        # 2× covers the worst partial (sp = 2·Σa·b, sq = Σa²+b² ≤ 2·n·max²);
+        # all-Python-int arithmetic so the guard cannot wrap
+        if n and 2 * max_deg * max_deg * n > int64_max:
             # exact big-int path (the oracle sums in HUGEINT)
             sp = 2 * sum(int(x) * int(y) for x, y in zip(a, b))
             sq = sum(int(x) * int(x) + int(y) * int(y) for x, y in zip(a, b))
@@ -857,10 +861,12 @@ def degree_assortativity(triples_ds, edges=None):
         )
 
     parts = edges.map_batches(partial, batch_format="pyarrow").to_pandas()
-    m = int(parts["ends"].sum())
-    sd = int(parts["sd"].sum())
-    sp = int(parts["sp"].sum())
-    sq = int(parts["sq"].sum())
+    # fold the blocks-sized partials in unbounded Python ints (a pandas
+    # .sum() would re-wrap in int64 exactly where the partials are big)
+    m = sum(int(v) for v in parts["ends"])
+    sd = sum(int(v) for v in parts["sd"])
+    sp = sum(int(v) for v in parts["sp"])
+    sq = sum(int(v) for v in parts["sq"])
     num = m * sp - sd * sd
     den = m * sq - sd * sd
     if den == 0:

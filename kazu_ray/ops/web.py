@@ -1659,18 +1659,21 @@ def strip_boilerplate(text_ds, min_pages: int = 3):
 def _jaccard_max_srcs_per_dst() -> int:
     """Hub cap for the mirror-detection inverted index, in source hosts
     per target host: a target linked by s sources emits s·(s−1)/2
-    intersection pairs, so an everybody-links-to-it hub (s ~ 10⁶ at
-    crawl scale) would emit ~10¹² pairs from one bucket. Targets past
-    the cap are SKIPPED by contract — a near-universal target carries
-    ~zero Jaccard information (it inflates every pair's intersection
-    and union equally) — and the default is far above anything the test
-    corpora produce, so the SQL oracle (which computes the uncapped
-    exact answer) only diverges at scales where the cap is the
-    documented approximation. Same loud-drop policy as the SimHash
-    hot-bucket cap."""
+    intersection pairs — all DISTINCT, so no combiner can shrink them —
+    and an everybody-links-to-it hub (s ~ 10⁶ at crawl scale) would
+    emit ~10¹² pair rows from one bucket. Targets past the cap are
+    SKIPPED by contract — a near-universal target carries ~zero Jaccard
+    information (it inflates every pair's intersection and union
+    equally). The default of 2000 bounds one at-cap target to ~2M pair
+    rows (~160 MB of string-keyed partials inside a bucket actor —
+    sized to a worker heap; 10⁴ would be ~5×10⁷ rows / several GB).
+    Far above anything the test corpora produce, so the SQL oracle
+    (which computes the uncapped exact answer) only diverges at scales
+    where the cap is the documented approximation. Same loud-drop
+    policy as the SimHash hot-bucket cap."""
     import os
 
-    return int(os.environ.get("KAZU_JACCARD_MAX_SRCS_PER_DST", "10000"))
+    return int(os.environ.get("KAZU_JACCARD_MAX_SRCS_PER_DST", "2000"))
 
 
 def host_outlink_jaccard(links_ds, threshold_ppm: int = 500_000):

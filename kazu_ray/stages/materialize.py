@@ -313,6 +313,72 @@ def _load_bloom_sidecar(part_dir: str):
     return np.load(path)
 
 
+class _ManifestStream:
+    """Shared manifest accumulator — THE single definition of how a
+    partition's manifest (content sha, min/max key, row count) and its
+    bloom sidecar are derived from a stream of tables. Both the writer
+    path (:meth:`_PartitionWriter.finalize`) and the retraction rewrite
+    (:func:`retract_docs`) feed it, so the store-equality contract
+    (retract-then-update manifests == rebuild manifests) can never
+    drift between two hand-kept copies of the hash rule."""
+
+    def __init__(self, part, key_col, content_cols, bloom_col=None):
+        self.part = part
+        self.key_col = key_col
+        self.keep = list(dict.fromkeys(content_cols))
+        self.bloom_col = bloom_col
+        self.content_hash = hashlib.sha256()
+        self.n_rows = 0
+        self.min_key = self.max_key = None
+        self.bloom = None
+        if bloom_col is not None:
+            import numpy as np
+
+            self.bloom = np.zeros(_bloom_bits() // 8, dtype=np.uint8)
+
+    def add(self, table: pa.Table) -> None:
+        import pyarrow.compute as pc
+
+        if not table.num_rows:
+            return
+        self.n_rows += table.num_rows
+        if self.bloom is not None and self.bloom_col in table.schema.names:
+            _bloom_set(
+                self.bloom,
+                table[self.bloom_col].to_pandas().to_numpy(object),
+                _bloom_bits(),
+            )
+        if self.keep:
+            # vectorized content hash: cast → tab-join → newline
+            str_cols = [pc.cast(table[c], pa.string()) for c in self.keep]
+            lines = pc.binary_join_element_wise(
+                *str_cols, "\t", null_handling="replace", null_replacement="None"
+            )
+            lines = pc.binary_join_element_wise(lines, "", "\n")
+            self.content_hash.update(lines.to_pandas().str.cat().encode())
+        mm = pc.min_max(table[self.key_col])
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        self.min_key = lo if self.min_key is None else min(self.min_key, lo)
+        self.max_key = hi if self.max_key is None else max(self.max_key, hi)
+
+    def manifest(self) -> dict:
+        return {
+            "partition_id": self.part,
+            "row_count": self.n_rows,
+            "min_key": self.min_key,
+            "max_key": self.max_key,
+            "sha256": self.content_hash.hexdigest(),
+        }
+
+    def write_manifest(self, manifest_dir: str) -> dict:
+        manifest = self.manifest()
+        tmp = os.path.join(manifest_dir, f".{self.part}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(manifest_dir, f"{self.part}.json"))
+        return manifest
+
+
 class _PartitionWriter:
     """One output partition's accumulator: receives hash-bucketed
     sub-tables from the scatter, then sorts, writes atomically and
@@ -544,20 +610,13 @@ class _PartitionWriter:
     # -- finalize ------------------------------------------------------------
 
     def finalize(self) -> dict:
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         part_dir = self._part_dir()
-        content_hash = hashlib.sha256()
-        n_rows = 0
-        min_key = max_key = None
-        keep = list(dict.fromkeys(self.content_cols))
+        ms = _ManifestStream(
+            self.part, self.key_col, self.content_cols, self.bloom_col
+        )
         writer = None
-        bloom = None
-        if self.bloom_col is not None:
-            import numpy as np
-
-            bloom = np.zeros(_bloom_bits() // 8, dtype=np.uint8)
         tmp = os.path.join(part_dir, f".tmp.{self.file_name}")
         try:
             for table in self._merged_stream():
@@ -567,50 +626,21 @@ class _PartitionWriter:
                     os.makedirs(part_dir, exist_ok=True)
                     writer = pq.ParquetWriter(tmp, table.schema)
                 writer.write_table(table)
-                n_rows += table.num_rows
-                if bloom is not None and self.bloom_col in table.schema.names:
-                    _bloom_set(
-                        bloom,
-                        table[self.bloom_col].to_pandas().to_numpy(object),
-                        _bloom_bits(),
-                    )
-                if keep:
-                    # vectorized content hash: cast → tab-join → newline
-                    str_cols = [pc.cast(table[c], pa.string()) for c in keep]
-                    lines = pc.binary_join_element_wise(
-                        *str_cols, "\t", null_handling="replace", null_replacement="None"
-                    )
-                    lines = pc.binary_join_element_wise(lines, "", "\n")
-                    content_hash.update(lines.to_pandas().str.cat().encode())
-                mm = pc.min_max(table[self.key_col])
-                lo, hi = mm["min"].as_py(), mm["max"].as_py()
-                min_key = lo if min_key is None else min(min_key, lo)
-                max_key = hi if max_key is None else max(max_key, hi)
+                ms.add(table)
         finally:
             if writer is not None:
                 writer.close()
         if writer is not None:
             os.replace(tmp, os.path.join(part_dir, self.file_name))
-        if bloom is not None and writer is not None:
-            _write_bloom_sidecar(part_dir, bloom)
+        if ms.bloom is not None and writer is not None:
+            _write_bloom_sidecar(part_dir, ms.bloom)
         for path in self.run_paths:
             try:
                 os.remove(path)
             except OSError:
                 pass
         self.run_paths = []
-        manifest = {
-            "partition_id": self.part,
-            "row_count": n_rows,
-            "min_key": min_key,
-            "max_key": max_key,
-            "sha256": content_hash.hexdigest(),
-        }
-        tmp_manifest = os.path.join(self.manifest_dir, f".{self.part}.json.tmp")
-        with open(tmp_manifest, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp_manifest, os.path.join(self.manifest_dir, f"{self.part}.json"))
-        return manifest
+        return ms.write_manifest(self.manifest_dir)
 
 
 def _write_build_metrics(
@@ -1003,6 +1033,18 @@ def retract_docs(
     ids_ref = ray.put(ids)
     manifest_dir = os.path.join(out_dir, "_manifests")
 
+    # the pinned partition count + hash-rule check (errors loudly on a
+    # pre-versioning store); an INCOMPLETE store (missing manifests)
+    # refuses rather than silently mis-routing keyed pruning or
+    # mis-reporting untouched partitions
+    pinned = _check_or_write_format(out_dir, True)
+    if pinned is not None and len(manifests) != pinned:
+        raise ValueError(
+            f"store at {out_dir} has {len(manifests)} manifests but is "
+            f"pinned to {pinned} partitions — incomplete build; finish "
+            "or rebuild it before retracting"
+        )
+
     candidate_parts = sorted(manifests)
     if doc_col == key_col:
         # keyed store: the retract ids hash straight to their partitions
@@ -1012,7 +1054,9 @@ def retract_docs(
         candidate_parts = sorted(p for p in manifests if p in hit)
 
     @ray.remote(num_cpus=1)
-    def _retract_part(part: int, key_col: str, sort_cols, content_cols) -> dict | None:
+    def _retract_part(
+        part: int, key_col: str, sort_cols, content_cols, manifest_rows: int
+    ) -> dict | None:
         import numpy as np
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -1022,29 +1066,41 @@ def retract_docs(
         path = os.path.join(part_dir, file_name)
         if not os.path.exists(path):
             return None
-        # pass 0: bloom pre-check — skip without opening the parquet
-        bloom = _load_bloom_sidecar(part_dir)
-        if bloom is not None and not _bloom_any_hit(
-            bloom, np.asarray(bad.to_pylist(), dtype=object), len(bloom) * 8
-        ):
-            return {"partition_id": part, "removed": 0, "bloom_skipped": True}
         pf = pq.ParquetFile(path)
-        # pass 1: any matches? (row-group stream, no rewrite if clean)
-        n_hits = 0
-        for batch in pf.iter_batches(columns=[doc_col]):
-            mask = pc.is_in(batch.column(0), value_set=bad)
-            n_hits += pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
-        if not n_hits:
-            return {"partition_id": part, "removed": 0, "bloom_skipped": False}
-        # pass 2: filtered rewrite + re-manifest (same hash rule as the
-        # writer: sorted-order rows, content_cols tab-joined lines) +
-        # bloom rebuild over the surviving rows
-        content_hash = hashlib.sha256()
-        n_rows = 0
-        min_key = max_key = None
-        keep = list(dict.fromkeys(content_cols))
+        # crash-window repair: a prior attempt may have died BETWEEN the
+        # data-file rename and the manifest rename, leaving a manifest
+        # that describes the pre-retract rows. The parquet FOOTER row
+        # count (one small read, no column scan) detects that cheaply;
+        # on mismatch the rewrite below re-derives manifest + sidecar
+        # from the current (already filtered) file, so the filter is a
+        # no-op and the rewrite byte-equivalent. Checked BEFORE the
+        # bloom shortcut — the sidecar may already exclude the retract
+        # set while the manifest is still stale.
+        footer_rows = pf.metadata.num_rows
+        if footer_rows == manifest_rows:
+            # pass 0: bloom pre-check — skip without scanning a column
+            bloom = _load_bloom_sidecar(part_dir)
+            if bloom is not None and not _bloom_any_hit(
+                bloom, np.asarray(bad.to_pylist(), dtype=object), len(bloom) * 8
+            ):
+                return {"partition_id": part, "removed": 0, "bloom_skipped": True}
+            # pass 1: any matches? (row-group stream, no rewrite if clean)
+            n_hits = 0
+            for batch in pf.iter_batches(columns=[doc_col]):
+                mask = pc.is_in(batch.column(0), value_set=bad)
+                n_hits += pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+            if not n_hits:
+                return {"partition_id": part, "removed": 0, "bloom_skipped": False}
+        else:
+            n_hits = 0
+            for batch in pf.iter_batches(columns=[doc_col]):
+                mask = pc.is_in(batch.column(0), value_set=bad)
+                n_hits += pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        # pass 2: filtered rewrite + re-manifest — through the SAME
+        # _ManifestStream the writers use, so the hash rule and bloom
+        # rebuild cannot drift from the build path
+        ms = _ManifestStream(part, key_col, content_cols, bloom_col=doc_col)
         writer = None
-        new_bloom = np.zeros(_bloom_bits() // 8, dtype=np.uint8)
         tmp = os.path.join(part_dir, f".tmp.{file_name}")
         try:
             for batch in pf.iter_batches():
@@ -1057,22 +1113,7 @@ def retract_docs(
                 if writer is None:
                     writer = pq.ParquetWriter(tmp, table.schema)
                 writer.write_table(table)
-                n_rows += table.num_rows
-                _bloom_set(
-                    new_bloom,
-                    table[doc_col].to_pandas().to_numpy(object),
-                    _bloom_bits(),
-                )
-                str_cols = [pc.cast(table[c], pa.string()) for c in keep]
-                lines = pc.binary_join_element_wise(
-                    *str_cols, "\t", null_handling="replace", null_replacement="None"
-                )
-                lines = pc.binary_join_element_wise(lines, "", "\n")
-                content_hash.update(lines.to_pandas().str.cat().encode())
-                mm = pc.min_max(table[key_col])
-                lo, hi = mm["min"].as_py(), mm["max"].as_py()
-                min_key = lo if min_key is None else min(min_key, lo)
-                max_key = hi if max_key is None else max(max_key, hi)
+                ms.add(table)
         finally:
             if writer is not None:
                 writer.close()
@@ -1081,23 +1122,15 @@ def retract_docs(
             # file slot (schema-stable stores; lookups see 0 rows)
             pq.write_table(pf.schema_arrow.empty_table(), tmp)
         os.replace(tmp, path)
-        _write_bloom_sidecar(part_dir, new_bloom)
-        manifest = {
-            "partition_id": part,
-            "row_count": n_rows,
-            "min_key": min_key,
-            "max_key": max_key,
-            "sha256": content_hash.hexdigest(),
-        }
-        tmp_manifest = os.path.join(manifest_dir, f".{part}.json.tmp")
-        with open(tmp_manifest, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp_manifest, os.path.join(manifest_dir, f"{part}.json"))
+        _write_bloom_sidecar(part_dir, ms.bloom)
+        ms.write_manifest(manifest_dir)
         return {"partition_id": part, "removed": int(n_hits)}
 
     results = ray.get(
         [
-            _retract_part.remote(p, key_col, sort_cols, content_cols)
+            _retract_part.remote(
+                p, key_col, sort_cols, content_cols, manifests[p]["row_count"]
+            )
             for p in candidate_parts
         ]
     )

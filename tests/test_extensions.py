@@ -1089,7 +1089,7 @@ def test_apply_crawl_delta_equals_rebuild(ray_session, tmp_path):
         old_ds, new_ds, out_inc, "day2", store_ref=ref, docs_dir=docs_inc
     )
     assert s["n_new"] > 0 and s["n_gone"] > 0 and s["n_changed"] > 0
-    assert s["retracted_rows"] > 0 and s["added_rows"] != 0 or True
+    assert s["retracted_rows"] > 0 and s["added_rows"] > 0
 
     def key(ms):
         return sorted((m["partition_id"], m["row_count"], m["sha256"]) for m in ms)
@@ -1254,3 +1254,65 @@ def test_retract_docs_keyed_store_prunes_partitions(ray_session, tmp_path):
     assert s["parts_key_pruned"] == 7  # only the id's own partition submitted
     assert s["parts_scanned"] + s["parts_bloom_skipped"] == 1
     assert sum(m["row_count"] for m in load_manifests(out)) == 99
+
+
+def test_retract_docs_repairs_crashed_manifest(ray_session, tmp_path):
+    """Simulate a crash between the data-file rename and the manifest
+    rename: the file is already filtered but the manifest still
+    describes the pre-retract rows. Re-running the retraction under the
+    same update_id must repair the manifest (row count AND sha) to
+    exactly what an uncrashed retraction produces — through BOTH the
+    stale-manifest scan path and regardless of the bloom shortcut."""
+    import glob
+    import json as _json
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kazu_ray.stages.materialize import (
+        load_manifests,
+        materialize_triples,
+        retract_docs,
+    )
+
+    rows = [
+        {
+            "subj": f"S:{i % 5:02d}",
+            "pred": "p",
+            "obj": f"O:{i % 3:02d}",
+            "doc_id": f"https://h.org/doc/{i:04d}",
+        }
+        for i in range(60)
+    ]
+
+    # reference: an uncrashed retraction of doc 0003
+    ref_out = str(tmp_path / "ref")
+    materialize_triples(rd.from_items(rows), ref_out, num_parts=2)
+    retract_docs(ref_out, ["https://h.org/doc/0003"], "r1")
+    ref_manifests = {m["partition_id"]: m for m in load_manifests(ref_out)}
+
+    # crashed store: filter the doc's rows out of the data files by
+    # hand (simulating the post-file-rename, pre-manifest-rename crash)
+    # while leaving manifests AND bloom sidecars untouched
+    out = str(tmp_path / "crashed")
+    materialize_triples(rd.from_items(rows), out, num_parts=2)
+    for f in glob.glob(f"{out}/part=*/triples.parquet"):
+        t = pq.read_table(f)
+        t = t.filter(
+            pc.invert(pc.equal(t["doc_id"], "https://h.org/doc/0003"))
+        )
+        pq.write_table(t, f)
+    stale = {m["partition_id"]: m for m in load_manifests(out)}
+    assert any(
+        stale[p]["row_count"] != ref_manifests[p]["row_count"] for p in stale
+    )  # the crash state really is inconsistent
+
+    s = retract_docs(out, ["https://h.org/doc/0003"], "r1")
+    # nothing left to remove, but the manifests must now be repaired
+    assert s["retracted_rows"] == 0
+    repaired = {m["partition_id"]: m for m in load_manifests(out)}
+    for p, m in ref_manifests.items():
+        assert repaired[p]["row_count"] == m["row_count"]
+        assert repaired[p]["sha256"] == m["sha256"]
