@@ -1338,6 +1338,42 @@ def _host_reciprocity(sf_dir: str):
     return host_reciprocity(rd.read_parquet(oracle_dir))
 
 
+def _host_bowtie(sf_dir: str):
+    """Bounded-hop bow-tie decomposition of the directed host link
+    graph (Broder et al. WWW 2000): forward + backward directed BFS
+    (≤4 hops) from the deterministic max-degree pivot, classifying
+    every host core/in/out/other
+    (kazu_ray/ops/web.py::host_bowtie)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_bowtie
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_bowtie(rd.read_parquet(oracle_dir))
+
+
+def _training_corpus_funnel(sf_dir: str):
+    """End-to-end training-data cleaning funnel with per-stage survivor
+    counts: raw → language-ID en → C4-style quality gate → exact-dedup
+    keep-min (among survivors) → benchmark decontamination
+    (kazu_ray/ops/text.py::training_corpus_funnel). One streaming
+    corpus pass emits the flags; the dedup keep is an md5-keyed hash
+    exchange — nothing doc-sized is collected."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kazu_ray.ops.text import training_corpus_funnel
+
+    bench = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    benchmark_texts = tuple(
+        t
+        for i, t in zip(bench["doc_id"].to_pylist(), bench["text"].to_pylist())
+        if i < 20
+    )
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return training_corpus_funnel(ds, benchmark_texts)
+
+
 def _crawl_delta(sf_dir: str):
     """Two-snapshot crawl delta (new / gone / changed urls by html md5
     digest; kazu_ray/ops/web.py::crawl_delta). The two snapshots derive
@@ -1585,6 +1621,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triple_recency": _kg_triple_recency,
         "kg_degree_assortativity": _kg_degree_assortativity,
         "host_assortativity": _host_assortativity,
+        # --- NEW in the fifth round-5 session: bow-tie webgraph
+        # decomposition + the end-to-end corpus-cleaning funnel (both
+        # never driver-checked; the two displaced r04-tail keys —
+        # quality_filtered_docs, sampled_docs — stay locally gated) ---
+        "host_bowtie": _host_bowtie,
+        "training_corpus_funnel": _training_corpus_funnel,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -2125,6 +2167,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT s.doc_id
             FROM sh s JOIN bench_sh b ON s.s = b.s
         """,
+        "training_corpus_funnel": """
+            WITH scored AS (
+                SELECT doc_id, text, md5(text) AS h,
+                    len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de_h,
+                    len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN ('the','and','of','is','was','in','a','to'))) AS en_h,
+                    len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN ('el','la','los','es','un','una','que','y'))) AS es_h,
+                    len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN ('le','la','les','est','une','et','que','dans'))) AS fr_h,
+                    len(string_split(text, ' ')) AS n_words,
+                    len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'for', 'on'))) AS n_stop
+                FROM documents
+            ),
+            f AS MATERIALIZED (
+                SELECT doc_id, h,
+                    (CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'unknown'
+                          WHEN de_h >= en_h AND de_h >= es_h AND de_h >= fr_h THEN 'de'
+                          WHEN en_h >= es_h AND en_h >= fr_h THEN 'en'
+                          WHEN es_h >= fr_h THEN 'es'
+                          ELSE 'fr' END) = 'en' AS p_lang,
+                    (n_words >= 30 AND n_stop >= 3) AS p_q
+                FROM scored
+            ),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+                                ELSE list_transform(generate_series(1, len(ws) - 7),
+                                     i -> array_to_string(ws[i : i+7], ' '))
+                           END)) AS s
+                FROM w
+            ),
+            bench_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+            cont AS MATERIALIZED (
+                SELECT DISTINCT s.doc_id FROM sh s JOIN bench_sh b ON s.s = b.s
+            ),
+            s2 AS MATERIALIZED (SELECT doc_id, h FROM f WHERE p_lang AND p_q),
+            -- dedup keep computed AMONG stage-2 survivors (a doc removed
+            -- upstream cannot claim a keep slot) — mirrored in the engine
+            s3 AS MATERIALIZED (
+                SELECT doc_id FROM (
+                    SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS m FROM s2
+                ) WHERE doc_id = m
+            )
+            SELECT 0::BIGINT AS stage_idx, 'raw' AS stage, count(*)::BIGINT AS n_docs FROM f
+            UNION ALL SELECT 1::BIGINT, 'lang_en', count(*)::BIGINT FROM f WHERE p_lang
+            UNION ALL SELECT 2::BIGINT, 'quality', count(*)::BIGINT FROM s2
+            UNION ALL SELECT 3::BIGINT, 'exact_dedup', count(*)::BIGINT FROM s3
+            UNION ALL SELECT 4::BIGINT, 'decontaminated', count(*)::BIGINT
+                      FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        """,
         "source_rebalance": """
             WITH tok AS (SELECT doc_id, source,
                            (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tokens
@@ -2506,6 +2603,69 @@ def oracle_sql() -> dict[str, str]:
                        SELECT und.u, r2.d + 1 FROM und JOIN r2 ON r2.node = und.v
                    ) GROUP BY node)
             SELECT node AS host, d::BIGINT AS dist FROM r3
+        """,
+        "host_bowtie": """
+            WITH pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            -- AS MATERIALIZED throughout: DuckDB inlines single-use
+            -- CTEs and each BFS step references its predecessor twice,
+            -- so an inlined chain re-expands the page scan 2^hops times
+            links AS MATERIALIZED (SELECT DISTINCT src_host AS s, dst_host AS d FROM raw),
+            hosts AS MATERIALIZED (
+                SELECT DISTINCT n AS host FROM (SELECT s AS n FROM links
+                                                UNION ALL SELECT d FROM links)
+            ),
+            outs AS (SELECT s AS host, count(*) AS oh FROM links GROUP BY 1),
+            ins AS (SELECT d AS host, count(*) AS ih FROM links GROUP BY 1),
+            piv AS MATERIALIZED (
+                SELECT h.host FROM hosts h
+                LEFT JOIN outs o ON o.host = h.host
+                LEFT JOIN ins i ON i.host = h.host
+                ORDER BY COALESCE(o.oh, 0) + COALESCE(i.ih, 0) DESC, h.host
+                LIMIT 1
+            ),
+            f0 AS MATERIALIZED (SELECT host AS n FROM piv),
+            f1 AS MATERIALIZED (SELECT DISTINCT n FROM (
+                SELECT n FROM f0
+                UNION ALL SELECT l.d FROM links l JOIN f0 ON f0.n = l.s)),
+            f2 AS MATERIALIZED (SELECT DISTINCT n FROM (
+                SELECT n FROM f1
+                UNION ALL SELECT l.d FROM links l JOIN f1 ON f1.n = l.s)),
+            f3 AS MATERIALIZED (SELECT DISTINCT n FROM (
+                SELECT n FROM f2
+                UNION ALL SELECT l.d FROM links l JOIN f2 ON f2.n = l.s)),
+            f4 AS MATERIALIZED (SELECT DISTINCT n FROM (
+                SELECT n FROM f3
+                UNION ALL SELECT l.d FROM links l JOIN f3 ON f3.n = l.s)),
+            b0 AS MATERIALIZED (SELECT host AS n FROM piv),
+            b1 AS MATERIALIZED (SELECT DISTINCT n FROM (
+                SELECT n FROM b0
+                UNION ALL SELECT l.s FROM links l JOIN b0 ON b0.n = l.d)),
+            b2 AS MATERIALIZED (SELECT DISTINCT n FROM (
+                SELECT n FROM b1
+                UNION ALL SELECT l.s FROM links l JOIN b1 ON b1.n = l.d)),
+            b3 AS MATERIALIZED (SELECT DISTINCT n FROM (
+                SELECT n FROM b2
+                UNION ALL SELECT l.s FROM links l JOIN b2 ON b2.n = l.d)),
+            b4 AS MATERIALIZED (SELECT DISTINCT n FROM (
+                SELECT n FROM b3
+                UNION ALL SELECT l.s FROM links l JOIN b3 ON b3.n = l.d))
+            SELECT h.host,
+                   CASE WHEN f.n IS NOT NULL AND b.n IS NOT NULL THEN 'core'
+                        WHEN b.n IS NOT NULL THEN 'in'
+                        WHEN f.n IS NOT NULL THEN 'out'
+                        ELSE 'other' END AS category
+            FROM hosts h
+            LEFT JOIN f4 f ON f.n = h.host
+            LEFT JOIN b4 b ON b.n = h.host
         """,
         "host_hits": """
             WITH pages AS (

@@ -538,3 +538,154 @@ def dup_shingle_stats(docs_ds, k_words: int = 3, min_docs: int = 2):
         )
 
     return docs_ds.map_batches(membership, batch_format="pyarrow")
+
+
+# --- the end-to-end training-corpus cleaning funnel ----------------------
+
+
+class FunnelFlagsStage:
+    """One corpus pass → a narrow per-doc flag table: everything the
+    training-corpus funnel consumes (language prediction, quality
+    counts, content hash, benchmark contamination) computed TOGETHER so
+    the corpus text streams exactly once. Actor-pool stage: the
+    language tables and the benchmark shingle set build once per worker
+    (``__init__``)."""
+
+    def __init__(self, benchmark_texts: tuple):
+        self._lang = LangIdStage()
+        self._decon = DecontaminateStage(benchmark_texts)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lang = self._lang(batch)["lang_pred"]
+        q = quality_batch(batch)
+        cont = self._decon(batch)["contaminated"]
+        h = pa.array(
+            [
+                hashlib.md5(t.encode()).hexdigest()
+                for t in batch["text"].to_pylist()
+            ],
+            type=pa.string(),
+        )
+        p_lang = pc.equal(lang, "en")
+        p_q = pc.and_(
+            pc.greater_equal(q["n_words"], 30),
+            pc.greater_equal(q["n_stopwords"], 3),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h": h,
+                "p_lang": p_lang,
+                "p_q": p_q,
+                "contaminated": cont,
+            }
+        )
+
+
+def training_corpus_funnel(docs_ds, benchmark_texts: tuple):
+    """The canonical LLM training-data cleaning pipeline, end-to-end,
+    with per-stage survivor counts (the "funnel" report every data
+    curation writeup publishes)::
+
+        0 raw            → every document
+        1 lang_en        → language-ID predicts English
+        2 quality        → C4-style gate (≥30 words, ≥3 stopwords)
+        3 exact_dedup    → keep-min-doc_id per identical md5(text),
+                           computed AMONG stage-2 survivors (a doc
+                           removed upstream cannot claim a keep slot)
+        4 decontaminated → kept doc shares no 8-word shingle with the
+                           benchmark set
+
+    Returns (stage_idx, stage, n_docs) — 5 rows, all-integer so the SQL
+    oracle is hash-exact.
+
+    Shapes: ONE streaming pass over the corpus text
+    (:class:`FunnelFlagsStage`, actor pool) emits a narrow flags table
+    (~1% of corpus bytes — doc_id, md5, three booleans) which is
+    materialized to the object store (spillable) and reused by every
+    stage; stage counts 0-2 are per-batch partial sums (blocks×1 rows
+    to the driver); the dedup keep is a hash-keyed exchange on the md5
+    (:func:`~kazu_ray.ops.exchange.exchange_groups` — each bucket
+    resolves its groups' min-doc winners vectorized and emits TWO
+    integers), so nothing doc-sized is ever collected or globally
+    sorted. Duplicate groups never straddle buckets (hash co-location
+    on the full key)."""
+    import pandas as pd
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    flags = docs_ds.map_batches(
+        FunnelFlagsStage,
+        fn_constructor_args=(tuple(benchmark_texts),),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        pl = t["p_lang"].to_numpy(zero_copy_only=False).astype(bool)
+        pq_ = t["p_q"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table(
+            {
+                "n_raw": pa.array([t.num_rows], type=pa.int64()),
+                "n_lang": pa.array([int(pl.sum())], type=pa.int64()),
+                "n_q": pa.array([int((pl & pq_).sum())], type=pa.int64()),
+            }
+        )
+
+    c = flags.map_batches(count_partial, batch_format="pyarrow").to_pandas().sum()
+
+    survivors = flags.map_batches(
+        lambda t: t.filter(pc.and_(t["p_lang"], t["p_q"])).select(
+            ["h", "doc_id", "contaminated"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bucket_keep_min(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        keep = df.sort_values(["h", "doc_id"], kind="mergesort").drop_duplicates(
+            "h", keep="first"
+        )
+        return pa.table(
+            {
+                "n_kept": pa.array([len(keep)], type=pa.int64()),
+                "n_clean": pa.array(
+                    [int((~keep["contaminated"].astype(bool)).sum())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "n_kept": pa.array([], type=pa.int64()),
+            "n_clean": pa.array([], type=pa.int64()),
+        }
+    )
+    kept = exchange_groups(
+        survivors, ["h"], shuffle_parts(), bucket_keep_min, empty
+    ).to_pandas().sum()
+
+    return pd.DataFrame(
+        {
+            "stage_idx": np.arange(5, dtype=np.int64),
+            "stage": [
+                "raw",
+                "lang_en",
+                "quality",
+                "exact_dedup",
+                "decontaminated",
+            ],
+            "n_docs": np.array(
+                [
+                    c["n_raw"],
+                    c["n_lang"],
+                    c["n_q"],
+                    kept.get("n_kept", 0),
+                    kept.get("n_clean", 0),
+                ],
+                dtype=np.int64,
+            ),
+        }
+    )

@@ -2052,3 +2052,186 @@ def host_distinct_outlinks_kmv(pages_ds, k: int = 12):
             }
         ),
     )
+
+
+# --- bow-tie decomposition (Broder et al., "Graph structure in the
+# web", WWW 2000) ----------------------------------------------------------
+
+
+def _driver_bowtie(links_df: pd.DataFrame, max_hops: int) -> pd.DataFrame:
+    """Exact bounded-hop bow-tie classification on a driver-sized link
+    table — the reference math the distributed form must equal (and the
+    sub-cap fast path). Pivot = host with the largest distinct-neighbor
+    degree (out_hosts + in_hosts), tie → lexmin — a deterministic
+    stand-in for "a node of the giant SCC" that the SQL oracle can
+    reproduce."""
+    fwd: dict = {}
+    bwd: dict = {}
+    for s, d in zip(links_df["src_host"], links_df["dst_host"]):
+        fwd.setdefault(s, set()).add(d)
+        bwd.setdefault(d, set()).add(s)
+    hosts = sorted(set(fwd) | set(bwd))
+    pivot = min(hosts, key=lambda h: (-(len(fwd.get(h, ())) + len(bwd.get(h, ()))), h))
+
+    def reach(adj: dict, start: str, hops: int) -> set:
+        seen = {start}
+        frontier = {start}
+        for _ in range(hops):
+            nxt = set()
+            for u in frontier:
+                nxt |= adj.get(u, set()) - seen
+            if not nxt:
+                break
+            seen |= nxt
+            frontier = nxt
+        return seen
+
+    f = reach(fwd, pivot, max_hops)
+    b = reach(bwd, pivot, max_hops)
+    cat = [
+        "core" if (h in f and h in b) else "in" if h in b else "out" if h in f else "other"
+        for h in hosts
+    ]
+    return pd.DataFrame({"host": hosts, "category": cat})
+
+
+def host_bowtie_from_links(links_ds, max_hops: int = 4):
+    """Bounded-hop bow-tie decomposition of the directed host link
+    graph — the classic Common-Crawl / webgraph structure analysis
+    (Broder et al. 2000): pick a deterministic pivot host (max
+    out_hosts + in_hosts, tie → lexmin), run a DIRECTED forward BFS
+    (src→dst) and a directed backward BFS (dst→src), both ≤
+    ``max_hops``, and classify every host::
+
+        core  — reachable from the pivot AND reaches the pivot
+        in    — reaches the pivot only   (upstream / IN component)
+        out   — reachable from it only   (downstream / OUT component)
+        other — neither within the hop bound (tendrils / disconnected)
+
+    The hop bound is BY CONTRACT part of the definition (it is what
+    makes the SQL oracle's unrolled expansion finite); at ``max_hops``
+    ≥ the graph diameter it equals the unbounded decomposition.
+
+    Shapes: size-dispatched like the other iterative host-graph ops
+    (:func:`_web_driver_pair_cap`). The distributed leg mirrors
+    :func:`host_pagerank_from_links`: the host vocabulary comes from
+    the distributed degree marginals, hosts are salted-hash int-coded
+    (collision-checked), the edge Dataset int-codes itself once and is
+    scanned once per hop per direction, and the per-hop state is ONE
+    host-sized int8 reach vector broadcast zero-copy. Per-batch
+    partials emit newly-reached codes pre-uniqued, a code-keyed hash
+    exchange dedups them (host-bounded), and hops stop early when a
+    frontier is empty. The edge set never reaches the driver."""
+    import ray
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    links = links_ds.materialize()
+    if links.count() <= _web_driver_pair_cap():
+        return _driver_bowtie(links.to_pandas(), max_hops)
+
+    hosts_df = host_degrees_from_links(links).to_pandas().sort_values(
+        "host", ignore_index=True
+    )
+    hosts = hosts_df["host"].tolist()
+    n_hosts = len(hosts)
+    dg = (
+        hosts_df["out_hosts"].to_numpy(np.int64)
+        + hosts_df["in_hosts"].to_numpy(np.int64)
+    )
+    # pivot: max degree, tie lexmin (hosts_df is host-sorted, so the
+    # first argmax IS the lexmin of the maxima)
+    pivot = hosts[int(np.argmax(dg))]
+
+    # salted-hash int coding, collision-checked (the host_pagerank form)
+    salt = 0
+    for salt in range(16):
+        host_hashes = pd.util.hash_array(
+            np.asarray(hosts, dtype=object), hash_key=f"{salt:016d}"
+        )
+        if len(np.unique(host_hashes)) == n_hosts:
+            break
+    else:
+        raise RuntimeError("host_bowtie: host hashing collided at all 16 salts")
+    sorted_hashes = np.sort(host_hashes)
+    hash_ref = ray.put(sorted_hashes)
+
+    def encode(t: pa.Table, _salt=salt) -> pa.Table:
+        sh = ray.get(hash_ref)
+
+        def idx_of(col) -> np.ndarray:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = col.fill_null("").to_pandas().to_numpy()
+            h = pd.util.hash_array(vals, hash_key=f"{_salt:016d}")
+            return np.searchsorted(sh, h).astype(np.int64)
+
+        return pa.table(
+            {
+                "s": pa.array(idx_of(t["src_host"])),
+                "d": pa.array(idx_of(t["dst_host"])),
+            }
+        )
+
+    int_edges = links.map_batches(encode, batch_format="pyarrow").materialize()
+    pivot_idx = int(
+        np.searchsorted(
+            sorted_hashes,
+            pd.util.hash_array(
+                np.asarray([pivot], dtype=object), hash_key=f"{salt:016d}"
+            )[0],
+        )
+    )
+    empty = pa.table({"c": pa.array([], type=pa.int64())})
+
+    def bucket_distinct(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"c": pc.unique(t["c"].combine_chunks()).cast(pa.int64())})
+
+    def directed_reach(reverse: bool) -> np.ndarray:
+        reach = np.zeros(n_hosts, dtype=np.int8)
+        reach[pivot_idx] = 1
+        for _ in range(max_hops):
+            reach_ref = ray.put(reach)
+
+            def partial(t: pa.Table, _ref=reach_ref, _rev=reverse) -> pa.Table:
+                r = ray.get(_ref)  # zero-copy int8 vector
+                s = t["s"].to_numpy()
+                d = t["d"].to_numpy()
+                frm, to = (d, s) if _rev else (s, d)
+                hit = (r[frm] == 1) & (r[to] == 0)
+                if not hit.any():
+                    return empty
+                return pa.table(
+                    {"c": pa.array(np.unique(to[hit]).astype(np.int64))}
+                )
+
+            newly = exchange_groups(
+                int_edges.map_batches(partial, batch_format="pyarrow"),
+                ["c"],
+                shuffle_parts(),
+                bucket_distinct,
+                empty,
+            ).to_pandas()
+            if newly.empty:
+                break
+            nxt = reach.copy()
+            nxt[newly["c"].to_numpy(np.int64)] = 1
+            reach = nxt
+        return reach
+
+    f = directed_reach(False)
+    b = directed_reach(True)
+    idx = np.searchsorted(sorted_hashes, host_hashes)  # host i → code
+    fi, bi = f[idx] == 1, b[idx] == 1
+    cat = np.where(fi & bi, "core", np.where(bi, "in", np.where(fi, "out", "other")))
+    return pd.DataFrame({"host": hosts, "category": cat.astype(object)})
+
+
+def host_bowtie(pages_ds, max_hops: int = 4):
+    """Bow-tie decomposition of the host link graph parsed from the raw
+    page html — :func:`host_link_graph` feeding
+    :func:`host_bowtie_from_links`."""
+    return host_bowtie_from_links(host_link_graph(pages_ds), max_hops=max_hops)

@@ -3017,3 +3017,196 @@ def test_bloom_sidecar_properties(tmp_path):
         _bloom_any_hit(bits, np.asarray([v], dtype=object), m) for v in disjoint
     )
     assert fps < 5  # expected ~0 at this load
+
+
+def _bowtie_reference(pairs: set, max_hops: int = 4):
+    """Independent pure-Python bounded-hop bow-tie classification."""
+    fwd: dict = {}
+    bwd: dict = {}
+    for a, b in pairs:
+        fwd.setdefault(a, set()).add(b)
+        bwd.setdefault(b, set()).add(a)
+    hosts = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    pivot = min(
+        hosts, key=lambda h: (-(len(fwd.get(h, ())) + len(bwd.get(h, ()))), h)
+    )
+
+    def reach(adj, start):
+        seen, frontier = {start}, {start}
+        for _ in range(max_hops):
+            nxt = set()
+            for u in frontier:
+                nxt |= adj.get(u, set()) - seen
+            if not nxt:
+                break
+            seen |= nxt
+            frontier = nxt
+        return seen
+
+    f, b = reach(fwd, pivot), reach(bwd, pivot)
+    return [
+        [
+            h,
+            "core"
+            if (h in f and h in b)
+            else "in"
+            if h in b
+            else "out"
+            if h in f
+            else "other",
+        ]
+        for h in hosts
+    ]
+
+
+@pytest.mark.parametrize("path", ["driver", "distributed"])
+def test_host_bowtie_random_brute_force(ray_session, monkeypatch, path):
+    """host_bowtie_from_links vs an independent pure-Python
+    classification on random directed graphs — through BOTH sides of
+    the KAZU_WEB_MAX_DRIVER_PAIRS dispatch. Random 30-host/120-pair
+    graphs exercise every category (hand-asserted below for one seed)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_bowtie_from_links
+
+    if path == "distributed":
+        monkeypatch.setenv("KAZU_WEB_MAX_DRIVER_PAIRS", "0")
+    saw_cats = set()
+    for seed in (3, 17, 55):
+        t = _random_links_table(seed)
+        got = host_bowtie_from_links(rd.from_arrow(t).repartition(7))
+        got = got.sort_values("host", ignore_index=True)
+        pairs = set(
+            zip(t["src_host"].to_pylist(), t["dst_host"].to_pylist())
+        )
+        assert got.values.tolist() == _bowtie_reference(pairs), f"seed {seed}"
+        saw_cats |= set(got["category"])
+    assert "core" in saw_cats and ("in" in saw_cats or "out" in saw_cats)
+
+
+def test_host_bowtie_hand_fixture(ray_session):
+    """Hand-derived bow-tie on a tiny directed graph:
+
+        in1 → core1 ⇄ core2 → out1 → out2,   iso1 → iso2  (tendril pair)
+
+    pivot = core2 (degree 3: out_hosts {core1,out1} + in_hosts {core1});
+    core1/core2 mutually reachable = core, in1 reaches only = in,
+    out1/out2 reachable only = out, iso* = other."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_bowtie_from_links
+
+    rows = [
+        ("in1", "core1"),
+        ("core1", "core2"),
+        ("core2", "core1"),
+        ("core2", "out1"),
+        ("out1", "out2"),
+        ("iso1", "iso2"),
+    ]
+    t = pa.table(
+        {
+            "src_host": pa.array([a for a, _ in rows]),
+            "dst_host": pa.array([b for _, b in rows]),
+            "n_links": pa.array([1] * len(rows), type=pa.int64()),
+        }
+    )
+    got = host_bowtie_from_links(rd.from_arrow(t))
+    want = {
+        "core1": "core",
+        "core2": "core",
+        "in1": "in",
+        "out1": "out",
+        "out2": "out",
+        "iso1": "other",
+        "iso2": "other",
+    }
+    assert dict(zip(got["host"], got["category"])) == want
+
+
+def test_training_corpus_funnel_brute_force(ray_session):
+    """training_corpus_funnel vs an independent pure-Python recompute
+    of the whole five-stage chain, on a corpus planting every removal
+    reason: a German doc (lang gate), a short doc (quality gate),
+    exact duplicates (keep-min), and a benchmark-contaminated doc."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.text import training_corpus_funnel
+
+    def filler(i: int) -> str:
+        """40-word English doc whose every other word is unique to doc
+        ``i`` — passes the lang + quality gates, but NO 8 consecutive
+        words are shared across different fillers (every 8-gram contains
+        an x{i}* token), so contamination only links identical texts."""
+        ens = ["the", "and", "of", "is", "was", "in", "a", "to"]
+        return " ".join(
+            f"{w} x{i}u{r}{j}" for r in range(5) for j, w in enumerate(ens[:4])
+        )
+
+    docs = {
+        0: filler(0) + " benchmark secret",  # bench doc (self-contaminated)
+        1: filler(1) + " unique one",
+        2: filler(2) + " unique two",
+        3: filler(2) + " unique two",  # exact dup of 2 → dropped at dedup
+        4: "der die das und ist ein nicht mit " * 5,  # German → lang gate
+        5: "the and of",  # 3 words → quality gate
+        6: filler(0) + " benchmark secret",  # = doc 0 text → dup, keeper 0
+    }
+    bench = (docs[0],)
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in docs.items()]
+    ).repartition(3)
+    got = training_corpus_funnel(ds, bench)
+
+    # independent recompute
+    def shingles(t, k=8):
+        ws = t.split(" ")
+        if len(ws) < k:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    bench_sh = set().union(*(shingles(b) for b in bench))
+    quality_stop = {"the", "a", "and", "of", "to", "in", "is", "it", "for", "on"}
+    lang_tables = {
+        "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit"},
+        "en": {"the", "and", "of", "is", "was", "in", "a", "to"},
+        "es": {"el", "la", "los", "es", "un", "una", "que", "y"},
+        "fr": {"le", "la", "les", "est", "une", "et", "que", "dans"},
+    }
+
+    def pred(t):
+        ws = t.lower().split(" ")
+        best, best_l = 0, "unknown"
+        for lang in sorted(lang_tables):
+            hits = sum(1 for w in ws if w in lang_tables[lang])
+            if hits > best:
+                best, best_l = hits, lang
+        return best_l
+
+    s1 = {i for i, t in docs.items() if pred(t) == "en"}
+    s2 = {
+        i
+        for i in s1
+        if len(docs[i].split(" ")) >= 30
+        and sum(1 for w in docs[i].split(" ") if w in quality_stop) >= 3
+    }
+    by_h: dict = {}
+    for i in sorted(s2):
+        by_h.setdefault(hashlib.md5(docs[i].encode()).hexdigest(), i)
+    s3 = set(by_h.values())
+    s4 = {i for i in s3 if not (shingles(docs[i]) & bench_sh)}
+    want = [len(docs), len(s1), len(s2), len(s3), len(s4)]
+    assert got["n_docs"].tolist() == want
+    assert got["stage"].tolist() == [
+        "raw",
+        "lang_en",
+        "quality",
+        "exact_dedup",
+        "decontaminated",
+    ]
+    # the planted corpus exercises every gate
+    assert want == [7, 6, 5, 3, 2]
