@@ -252,6 +252,17 @@ def _kg_link_prediction(sf_dir: str):
     return link_prediction(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_node_jaccard(sf_dir: str):
+    """Entity similarity by neighbor-set Jaccard (ontology-alignment /
+    entity-merge candidate pairs) — the mirror-detection machinery over
+    the symmetrized co-occurrence edge view
+    (kazu_ray/ops/graph.py::node_jaccard)."""
+    from kazu_ray.ops.graph import node_jaccard
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return node_jaccard(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
 def _kg_bfs_distances(sf_dir: str):
     """Multi-source BFS distance (≤3 hops) from the 5 lexmin nodes:
     node-sized distance vector broadcast per hop, one streaming edge
@@ -1622,11 +1633,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_assortativity": _kg_degree_assortativity,
         "host_assortativity": _host_assortativity,
         # --- NEW in the fifth round-5 session: bow-tie webgraph
-        # decomposition + the end-to-end corpus-cleaning funnel (both
-        # never driver-checked; the two displaced r04-tail keys —
+        # decomposition, the end-to-end corpus-cleaning funnel, and
+        # entity neighbor-Jaccard similarity (all never driver-checked;
+        # the three displaced r04-tail keys — doc_langid,
         # quality_filtered_docs, sampled_docs — stay locally gated) ---
         "host_bowtie": _host_bowtie,
         "training_corpus_funnel": _training_corpus_funnel,
+        "kg_node_jaccard": _kg_node_jaccard,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -3242,6 +3255,27 @@ def oracle_sql() -> dict[str, str]:
                             SELECT und.u, r2.d + 1 FROM und JOIN r2 ON r2.node = und.v
                         ) GROUP BY node)
             SELECT node, d::BIGINT AS dist FROM r3
+        """,
+        "kg_node_jaccard": """
+            WITH e AS MATERIALIZED (
+                SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')
+                WHERE subj <> obj
+            ),
+            nb AS MATERIALIZED (SELECT a AS n, b AS m FROM e
+                                UNION ALL SELECT b, a FROM e),
+            sz AS (SELECT n, count(*) AS s FROM nb GROUP BY 1),
+            inter AS (
+                SELECT x.n AS a, y.n AS b, count(*) AS i
+                FROM nb x JOIN nb y ON x.m = y.m AND x.n < y.n
+                GROUP BY 1, 2
+            )
+            SELECT i.a AS node_a, i.b AS node_b, i.i::BIGINT AS n_common,
+                   ((i.i * 1000000) // (sa.s + sb.s - i.i))::BIGINT AS jaccard_ppm
+            FROM inter i
+            JOIN sz sa ON sa.n = i.a
+            JOIN sz sb ON sb.n = i.b
+            WHERE (i.i * 1000000) // (sa.s + sb.s - i.i) >= 200000
         """,
         "kg_edge_embeddedness": """
             WITH t AS (SELECT subj, obj

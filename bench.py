@@ -105,6 +105,10 @@ def run_secondary() -> dict[str, float]:
         # earlier rounds' — comparisons on the shared keys still hold)
         "asof_prior_view",
         "rollup_revenue",
+        # round-5: the end-to-end corpus-cleaning funnel (one streaming
+        # flags pass + an md5-keyed dedup exchange over the documents
+        # table) — the composed LLM-data-pipeline shape
+        "training_corpus_funnel",
     ]
     # min of N passes, same estimator as the headline: a single pass is
     # dominated by one-time actor-pool spawn + worker imports (measured
@@ -192,6 +196,16 @@ def run_web_suite() -> dict[str, float]:
         host_outlink_jaccard(links).count()
         best = min(best, time.time() - t0)
     out["host_outlink_jaccard"] = round(best, 3)
+    # round-5 cont.: bow-tie decomposition (directed BFS both ways —
+    # up to 8 reach-vector exchange passes over the host-scale links)
+    from kazu_ray.ops.web import host_bowtie_from_links
+
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        host_bowtie_from_links(links)
+        best = min(best, time.time() - t0)
+    out["host_bowtie"] = round(best, 3)
     best = float("inf")
     for _ in range(passes):
         t0 = time.time()

@@ -2061,3 +2061,58 @@ def kcore(triples_ds, k: int = 4, max_rounds: int = 64, edges=None):
             return t.filter(pa.array(keep))
 
         edges = edges.map_batches(filt, batch_format="pyarrow").materialize()
+
+
+def node_jaccard(triples_ds, threshold_ppm: int = 200_000, edges=None):
+    """Entity similarity by neighbor-set Jaccard — the KG-side
+    candidate generator for ontology alignment / entity merge review:
+    pairs of nodes whose UNDIRECTED co-occurrence neighbor sets overlap
+    with Jaccard ≥ ``threshold_ppm``. Two ids that are really the same
+    concept (or a synonym pair the linker failed to merge) co-occur
+    with near-identical neighbor sets — the node-level analogue of
+    document near-dup, and the same statistic mirror-host detection
+    computes over outlink sets.
+
+    Implementation IS that machinery
+    (:func:`kazu_ray.ops.web.host_outlink_jaccard`: three hash
+    exchanges, intersection sizes riding along the edges, loud
+    per-target hub cap ``KAZU_JACCARD_MAX_SRCS_PER_DST``) over the
+    symmetrized edge view — emitting each distinct undirected edge in
+    both directions makes a node's "outlink set" exactly its neighbor
+    set. Returns (node_a, node_b, n_common, jaccard_ppm), node_a <
+    node_b, integer ppm (hash-exact vs the SQL oracle)."""
+    from kazu_ray.ops.web import host_outlink_jaccard
+
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pandas()
+        b = t["b"].to_pandas()
+        return pa.table(
+            {
+                "src_host": pa.array(
+                    pd.concat([a, b], ignore_index=True), type=pa.string()
+                ),
+                "dst_host": pa.array(
+                    pd.concat([b, a], ignore_index=True), type=pa.string()
+                ),
+            }
+        )
+
+    out = host_outlink_jaccard(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        threshold_ppm=threshold_ppm,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_a": t["host_a"],
+                "node_b": t["host_b"],
+                "n_common": t["n_common"],
+                "jaccard_ppm": t["jaccard_ppm"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")

@@ -336,10 +336,18 @@ def main() -> None:
     )
     assert jac_got.values.tolist() == [list(r) for r in jac_ref], "jaccard differs"
 
+    # bow-tie decomposition vs the driver-side set math (directed BFS
+    # both ways from the deterministic max-degree pivot)
+    from kazu_ray.ops.web import _driver_bowtie, host_bowtie_from_links
+
+    bt_got = host_bowtie_from_links(small).sort_values("host", ignore_index=True)
+    bt_ref = _driver_bowtie(small_df, max_hops=4)
+    assert bt_got.values.tolist() == bt_ref.values.tolist(), "bowtie differs"
+
     print(
         f"overlap ({overlap} hosts, {len(small_df)} edges): degrees/pagerank/"
         "components/hits/reciprocity/kcore/personalized-pagerank/bfs/"
-        "outlink-jaccard EQUAL to the driver-side formulation"
+        "outlink-jaccard/bowtie EQUAL to the driver-side formulation"
     )
 
     # ---- scale timing: the de-drivered ops at n_hosts ----
@@ -388,6 +396,11 @@ def main() -> None:
     n_jac = host_outlink_jaccard(links, threshold_ppm=200_000).count()
     t_jac = time.time() - t0
 
+    t0 = time.time()
+    bt = host_bowtie_from_links(links)
+    t_bt = time.time() - t0
+    bt_counts = bt["category"].value_counts().to_dict()
+
     print(
         f"scale ({n_hosts} hosts, {n_edges} edges): "
         f"host_degrees {t_deg:.1f}s ({n_deg} hosts), "
@@ -399,7 +412,8 @@ def main() -> None:
         f"kcore(k=6, cascading peel) {t_kc:.1f}s ({len(kc)} core nodes), "
         f"personalized_pagerank(2 iters) {t_ppr:.1f}s ({len(ppr)} rows), "
         f"bfs_distances(3 hops) {t_bfs:.1f}s ({len(bfs)} reached), "
-        f"host_outlink_jaccard {t_jac:.1f}s ({n_jac} mirror pairs, hub capped)"
+        f"host_outlink_jaccard {t_jac:.1f}s ({n_jac} mirror pairs, hub capped), "
+        f"host_bowtie(4 hops ×2 dirs) {t_bt:.1f}s ({bt_counts})"
     )
     ray.shutdown()
 

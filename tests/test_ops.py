@@ -3210,3 +3210,47 @@ def test_training_corpus_funnel_brute_force(ray_session):
     ]
     # the planted corpus exercises every gate
     assert want == [7, 6, 5, 3, 2]
+
+
+@pytest.mark.parametrize("seed", [5, 21])
+def test_kg_node_jaccard_random_brute_force(ray_session, seed):
+    """node_jaccard vs a set-math driver recompute on random undirected
+    graphs: neighbor sets from the distinct edge set, integer-ppm
+    Jaccard, threshold filter, node_a < node_b ordering."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import node_jaccard
+
+    rng = np.random.default_rng(seed)
+    edges = set()
+    while len(edges) < 150:
+        a, b = rng.integers(0, 30, size=2)
+        if a != b:
+            edges.add((f"n{min(a,b):02d}", f"n{max(a,b):02d}"))
+    triples = [
+        {"subj": a, "pred": "co", "obj": b, "doc_id": i}
+        for i, (a, b) in enumerate(sorted(edges))
+    ]
+    thr = 300_000
+    got = (
+        node_jaccard(rd.from_items(triples).repartition(4), threshold_ppm=thr)
+        .to_pandas()
+        .sort_values(["node_a", "node_b"], ignore_index=True)
+    )
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = []
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            inter = len(adj[u] & adj[v])
+            if not inter:
+                continue
+            ppm = inter * 1_000_000 // len(adj[u] | adj[v])
+            if ppm >= thr:
+                want.append([u, v, inter, ppm])
+    assert got.values.tolist() == want, f"seed {seed}"
+    assert want  # the random graphs actually produce similar pairs
