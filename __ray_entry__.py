@@ -263,6 +263,39 @@ def _kg_node_jaccard(sf_dir: str):
     return node_jaccard(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _kg_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus (node2vec/DeepWalk training
+    export): one walk per node, 4 steps, next hop = a DuckDB-replayable
+    hash rule over sorted neighbor ranks
+    (kazu_ray/ops/graph.py::random_walks)."""
+    from kazu_ray.ops.graph import random_walks
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return random_walks(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
+def _kg_communities(sf_dir: str):
+    """Entity communities by deterministic synchronous label
+    propagation (3 rounds, argmax tie -> lexmin label) over the
+    undirected co-occurrence graph
+    (kazu_ray/ops/graph.py::label_propagation)."""
+    from kazu_ray.ops.graph import label_propagation
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return label_propagation(triples_dataset(sf_dir, store_ref=_store_ref()))
+
+
+def _host_communities(sf_dir: str):
+    """Host communities by the same deterministic LPA over the
+    undirected host link graph (kazu_ray/ops/web.py::host_communities)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_communities
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_communities(rd.read_parquet(oracle_dir))
+
+
 def _kg_bfs_distances(sf_dir: str):
     """Multi-source BFS distance (≤3 hops) from the 5 lexmin nodes:
     node-sized distance vector broadcast per hop, one streaming edge
@@ -1640,6 +1673,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_bowtie": _host_bowtie,
         "training_corpus_funnel": _training_corpus_funnel,
         "kg_node_jaccard": _kg_node_jaccard,
+        # --- NEW in the sixth round-5 session: deterministic random-walk
+        # corpus export, and LPA communities on both graph layers (never
+        # driver-checked; three more doubly-green tail keys — doc_quality,
+        # lang_distribution, doc_fingerprints, each driver-green in
+        # r02/r03 with code untouched — slide past #50 to the
+        # locally-gated tail) ---
+        "kg_random_walks": _kg_random_walks,
+        "kg_communities": _kg_communities,
+        "host_communities": _host_communities,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1765,6 +1807,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {k: _self_healing(k, v) for k, v in reg.items()}
 
 
+_KG_EDGES_WITH = (
+    "WITH t AS (SELECT subj, obj FROM"
+    " read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),"
+    " e AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a,"
+    "       greatest(subj, obj) AS b FROM t WHERE subj <> obj),"
+)
+
+_HOST_EDGES_WITH = (
+    "WITH pages AS (SELECT"
+    " lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,"
+    " decode(html) AS h"
+    " FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')),"
+    " raw AS (SELECT src_host,"
+    "  lower(unnest(regexp_extract_all(h, '<a\\s+href=\"https?://([^/\"]+)', 1)))"
+    "   AS dst_host FROM pages),"
+    " e AS MATERIALIZED (SELECT DISTINCT least(src_host, dst_host) AS a,"
+    "       greatest(src_host, dst_host) AS b FROM raw"
+    "       WHERE src_host <> dst_host),"
+)
+
+
+def _lpa_oracle_sql(edges_with: str, rounds: int = 3, node_out: str = "node") -> str:
+    """Unrolled deterministic synchronous label propagation
+    (kazu_ray/ops/graph.py::label_propagation): labels start as node
+    ids; each round every node takes the most frequent neighbor label,
+    ties broken by the lexicographically smallest label. Synchronous
+    rounds unroll exactly; the engine's early fixed-point exit is
+    output-identical to running all ``rounds``. AS MATERIALIZED for the
+    same reason as :func:`_kcore_oracle_sql` (each round CTE is read by
+    the next; DuckDB would otherwise inline the chain)."""
+    parts = [
+        edges_with,
+        " und AS MATERIALIZED (SELECT a AS u, b AS v FROM e"
+        "       UNION ALL SELECT b, a FROM e),",
+        " l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM und),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f" l{r} AS MATERIALIZED (SELECT node, lbl FROM ("
+            f"   SELECT und.u AS node, l{r-1}.lbl AS lbl, count(*) AS c"
+            f"   FROM und JOIN l{r-1} ON l{r-1}.node = und.v GROUP BY 1, 2)"
+            f"  QUALIFY row_number() OVER"
+            f"   (PARTITION BY node ORDER BY c DESC, lbl) = 1),"
+        )
+    parts.append(
+        f" SELECT node AS {node_out}, lbl AS community FROM l{rounds}"
+    )
+    sql = "\n".join(parts)
+    return sql.replace("= 1),\n SELECT", "= 1)\n SELECT")
+
+
+def _walks_oracle_sql(walk_len: int = 4) -> str:
+    """Unrolled deterministic random-walk replay
+    (kazu_ray/ops/graph.py::random_walks): neighbors ranked by sort
+    order, step t moves a walker from u to the neighbor at rank
+    ``((shv*1000003 + md5low(u)*998244353 + t*4294967311 + 1) mod 2^64)
+    mod deg(u)`` — DuckDB's ``md5_number_lower`` equals the engine's
+    ``_md5_low64`` (verified bit-for-bit), and HUGEINT holds the <2^95
+    intermediate exactly, so ``% 2^64`` reproduces the engine's uint64
+    wraparound."""
+    mask = "18446744073709551616"
+    parts = [
+        _KG_EDGES_WITH,
+        " und AS MATERIALIZED (SELECT a AS u, b AS v FROM e"
+        "       UNION ALL SELECT b, a FROM e),",
+        " adj AS MATERIALIZED (SELECT u, v,"
+        "   row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,"
+        "   count(*) OVER (PARTITION BY u) AS deg FROM und),",
+        " w0 AS MATERIALIZED (SELECT DISTINCT u AS seed, u AS node FROM und),",
+        " sh AS MATERIALIZED (SELECT seed,"
+        "   md5_number_lower(seed)::HUGEINT AS shv FROM"
+        "   (SELECT DISTINCT seed FROM w0)),",
+    ]
+    for t in range(1, walk_len + 1):
+        parts.append(
+            f" w{t} AS MATERIALIZED (SELECT w.seed, a.v AS node"
+            f"   FROM w{t-1} w JOIN sh ON sh.seed = w.seed"
+            f"   JOIN adj a ON a.u = w.node AND a.rnk ="
+            f"    ((sh.shv * 1000003"
+            f"      + md5_number_lower(w.node)::HUGEINT * 998244353"
+            f"      + {t} * 4294967311 + 1) % {mask}) % a.deg),"
+        )
+    selects = [" SELECT seed, 0::BIGINT AS step, node FROM w0"]
+    for t in range(1, walk_len + 1):
+        selects.append(f" UNION ALL SELECT seed, {t}::BIGINT, node FROM w{t}")
+    body = "\n".join(parts)
+    # strip the trailing comma of the final CTE before the SELECT union
+    body = body[: body.rfind("),")] + ")"
+    return body + "\n" + "\n".join(selects)
+
+
 def _kcore_oracle_sql(k: int = 4, rounds: int = 12) -> str:
     """Unrolled k-core peel as plain ANSI SQL (k-core is a SHRINKING
     fixpoint, which recursive-CTE UNION semantics cannot express).
@@ -1816,6 +1949,11 @@ def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"))
     return {
         "kg_kcore": _kcore_oracle_sql(k=4, rounds=12),
+        "kg_communities": _lpa_oracle_sql(_KG_EDGES_WITH, rounds=3),
+        "host_communities": _lpa_oracle_sql(
+            _HOST_EDGES_WITH, rounds=3, node_out="host"
+        ),
+        "kg_random_walks": _walks_oracle_sql(walk_len=4),
         "doc_token_stats": """
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -2116,3 +2116,376 @@ def node_jaccard(triples_ds, threshold_ppm: int = 200_000, edges=None):
         )
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+# --- label-propagation communities (Raghavan et al., Phys. Rev. E 2007,
+# made deterministic: synchronous rounds, argmax tie -> lexmin label) ------
+
+
+def _driver_lpa(edge_df: pd.DataFrame, rounds: int) -> pd.DataFrame:
+    """Exact synchronous LPA on a driver-sized edge table — the
+    reference math the distributed form must equal (and the
+    bounded-ontology-vocabulary fast path)."""
+    nbrs: dict = {}
+    for a, b in zip(edge_df["a"], edge_df["b"]):
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lbl = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            counts: dict = {}
+            for m in ns:
+                lm = lbl[m]
+                counts[lm] = counts.get(lm, 0) + 1
+            new[n] = min(counts, key=lambda v: (-counts[v], v))
+        if new == lbl:  # fixed point: every later round is identical
+            break
+        lbl = new
+    nodes = sorted(lbl)
+    return pd.DataFrame({"node": nodes, "community": [lbl[n] for n in nodes]})
+
+
+_LPA_PARTIAL_EMPTY = pa.table(
+    {
+        "node": pa.array([], type=pa.int64()),
+        "lbl": pa.array([], type=pa.int64()),
+        "c": pa.array([], type=pa.int64()),
+    }
+)
+
+_LPA_OUT_EMPTY = pa.table(
+    {
+        "node": pa.array([], type=pa.int64()),
+        "lbl": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def _lpa_int(edges, deg: dict, rounds: int) -> pd.DataFrame:
+    """Int-coded synchronous LPA for open-vocabulary graphs: nodes
+    coded once to their STRING-SORT RANK (hash+searchsorted
+    self-encoding composed with the rank permutation — code order ==
+    label lexicographic order, so the argmax tie-break "lexmin label"
+    is simply "min code"), edges int-coded once and re-scanned per
+    round. Each round: the node-sized label vector broadcasts zero-copy
+    (``ray.put`` numpy int64); ONE streaming edge pass emits per-batch
+    (node, neighbor-label) count partials combined on a composite
+    ``node*n + lbl`` key; a node-keyed hash exchange finishes the
+    per-(node,label) sums and takes the per-node argmax in the bucket
+    (max count, tie -> min label code). Early exit on the fixed point —
+    identical to running the fixed ``rounds`` the SQL oracle unrolls."""
+    import ray
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    nodes_sorted = sorted(deg)
+    n = len(nodes_sorted)
+    if n >= 2**31:
+        raise ValueError("label_propagation: composite int64 key needs n < 2^31")
+    salt, order, sorted_hashes = _hash_code_nodes(nodes_sorted, "label_propagation")
+    rank_of_hashpos = ray.put(order.astype(np.int64))
+    enc = _encode_edges_ab(edges, salt, sorted_hashes)
+
+    def to_rank(t: pa.Table) -> pa.Table:
+        o = ray.get(rank_of_hashpos)
+        return pa.table(
+            {
+                "s": pa.array(o[t["s"].to_numpy()]),
+                "d": pa.array(o[t["d"].to_numpy()]),
+            }
+        )
+
+    enc = enc.map_batches(to_rank, batch_format="pyarrow").materialize()
+    lbl = np.arange(n, dtype=np.int64)
+
+    def bucket_argmax(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["node", "lbl"], as_index=False)["c"]
+            .sum()
+            .sort_values(["node", "c", "lbl"], ascending=[True, False, True])
+            .drop_duplicates("node")
+        )
+        return pa.table(
+            {
+                "node": pa.array(g["node"].to_numpy(np.int64)),
+                "lbl": pa.array(g["lbl"].to_numpy(np.int64)),
+            }
+        )
+
+    for _ in range(rounds):
+        lbl_ref = ray.put(lbl)
+
+        def partial(t: pa.Table, _ref=lbl_ref) -> pa.Table:
+            lv = ray.get(_ref)
+            s = t["s"].to_numpy()
+            d = t["d"].to_numpy()
+            node = np.concatenate([s, d])
+            nl = np.concatenate([lv[d], lv[s]])
+            key, cnt = np.unique(node * n + nl, return_counts=True)
+            return pa.table(
+                {
+                    "node": pa.array(key // n),
+                    "lbl": pa.array(key % n),
+                    "c": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        res = exchange_groups(
+            enc.map_batches(partial, batch_format="pyarrow"),
+            ["node"],
+            shuffle_parts(),
+            bucket_argmax,
+            _LPA_OUT_EMPTY,
+        ).to_pandas()
+        new = lbl.copy()
+        new[res["node"].to_numpy(np.int64)] = res["lbl"].to_numpy(np.int64)
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    names = np.asarray(nodes_sorted, dtype=object)
+    return pd.DataFrame({"node": names, "community": names[lbl]})
+
+
+def label_propagation(triples_ds, rounds: int = 3, edges=None):
+    """Community detection by deterministic synchronous label
+    propagation over the undirected co-occurrence graph — the
+    near-linear community pass (Raghavan et al. 2007) between
+    connected components (too coarse) and modularity methods (not
+    shuffle-friendly). Classic LPA breaks ties randomly and updates
+    asynchronously; both are replaced by deterministic rules so the
+    unrolled SQL oracle reproduces every round bit-for-bit:
+    synchronous rounds, new label = the neighbor label with the
+    highest count, ties -> lexicographically smallest label.
+
+    Shapes: size-dispatched like the other iterative ops
+    (:func:`kcore` / :func:`bfs_distances`) — driver dict form at or
+    below ``KAZU_GRAPH_MAX_DICT_EDGES`` distinct edges, the int-coded
+    streaming form (:func:`_lpa_int`) above it: node-sized label
+    vector broadcast per round, one edge pass emitting per-batch count
+    partials, one node-keyed hash exchange per round for the argmax.
+    Returns (node, community) with community = a member node id (the
+    usual LPA convention). Fixed ``rounds`` bounds work; early exit on
+    the fixed point is output-identical."""
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
+    if edges.count() <= _graph_max_dict_edges():
+        return _driver_lpa(edges.to_pandas(), rounds)
+    return _lpa_int(edges, _edge_degrees(edges), rounds)
+
+
+# --- deterministic random-walk corpus (node2vec/DeepWalk-style training
+# export, Grover & Leskovec KDD'16 / Perozzi et al. KDD'14, with the
+# random choice replaced by a DuckDB-reproducible hash rule) ---------------
+
+_WALK_C_SEED = 1000003
+_WALK_C_CUR = 998244353
+_WALK_C_STEP = 4294967311
+_U64_MASK = (1 << 64) - 1
+
+
+def _md5_low64(s: str) -> int:
+    """SECOND 8 bytes of md5 (little-endian) — identical to DuckDB's
+    ``md5_number_lower``, the same sketch-hash rule as
+    ``kazu_ray/ops/web.py::host_distinct_outlinks_kmv`` (at production
+    scale the md5 would be swapped for a vectorized 64-bit hash; the
+    walk algebra is hash-agnostic)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+
+def _walk_pick(seed_hv: int, cur_hv: int, step: int, deg: int) -> int:
+    """Neighbor index for one walk step: a 64-bit LCG-style mix of the
+    seed hash, the current-node hash and the step counter, mod degree.
+    Both multipliers are < 2^30 so the DuckDB HUGEINT form of
+    ``hv*C + ...`` never overflows int128; numpy uint64 wraparound and
+    the explicit ``& _U64_MASK`` here compute the identical value."""
+    return (
+        (seed_hv * _WALK_C_SEED + cur_hv * _WALK_C_CUR + step * _WALK_C_STEP + 1)
+        & _U64_MASK
+    ) % deg
+
+
+def _driver_walks(edge_df: pd.DataFrame, walk_len: int) -> pd.DataFrame:
+    """Exact walk generation on a driver-sized edge table — the
+    reference math for the distributed form (and the bounded-vocabulary
+    fast path)."""
+    nbrs: dict = {}
+    for a, b in zip(edge_df["a"], edge_df["b"]):
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    for v in nbrs.values():
+        v.sort()
+    hv = {u: _md5_low64(u) for u in nbrs}
+    seeds = sorted(nbrs)
+    rows = [(s, 0, s) for s in seeds]
+    cur = dict(zip(seeds, seeds))
+    for t in range(1, walk_len + 1):
+        for s in seeds:
+            u = cur[s]
+            ns = nbrs[u]
+            v = ns[_walk_pick(hv[s], hv[u], t, len(ns))]
+            cur[s] = v
+            rows.append((s, t, v))
+    out = pd.DataFrame(rows, columns=["seed", "step", "node"])
+    return out.astype({"step": "int64"})
+
+
+_WALK_FRONTIER_EMPTY = pa.table(
+    {
+        "node": pa.array([], type=pa.string()),
+        "nbr": pa.array([], type=pa.string()),
+        "seed": pa.array([], type=pa.string()),
+        "seed_hv": pa.array([], type=pa.uint64()),
+    }
+)
+
+_WALK_NODES_EMPTY = pa.table({"node": pa.array([], type=pa.string())})
+
+
+def _walks_dist(edges, walk_len: int):
+    """Distributed walk generation: the symmetrized adjacency Dataset
+    is materialized once; each step is ONE node-keyed hash exchange
+    over adjacency ∪ walker rows (walkers are NODE-scale — one per
+    seed — so the exchange is dominated by the adjacency side, the
+    same per-round edge-pass cost family as :func:`pagerank`). The
+    bucket sees every neighbor of its nodes plus every walker standing
+    on them, ranks neighbors by sort order, and moves each walker with
+    the deterministic hash pick. Walks never leave the cluster; the
+    result streams as (seed, step, node).
+
+    Scale note: adjacency re-enters the exchange each step; pinning it
+    in scatter-bucket actors across steps (the BSP-components trick,
+    ``ops/dedup.py``) would ship it once — the profitable next step if
+    walk_len grows past a handful."""
+    import functools
+
+    import ray.data as rd
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pandas()
+        b = t["b"].to_pandas()
+        both = len(a) + len(b)
+        return pa.table(
+            {
+                "node": pa.array(
+                    pd.concat([a, b], ignore_index=True), type=pa.string()
+                ),
+                "nbr": pa.array(
+                    pd.concat([b, a], ignore_index=True), type=pa.string()
+                ),
+                "seed": pa.array([None] * both, type=pa.string()),
+                "seed_hv": pa.array(np.zeros(both, dtype=np.uint64)),
+            }
+        )
+
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def endpoint_nodes(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.string()),
+             t["b"].combine_chunks().cast(pa.string())]
+        )
+        return pa.table({"node": u}).group_by(["node"]).aggregate([])
+
+    nodes_ds = exchange_groups(
+        edges.map_batches(endpoint_nodes, batch_format="pyarrow"),
+        ["node"],
+        shuffle_parts(),
+        _batch_distinct(["node"]),
+        _WALK_NODES_EMPTY,
+    )
+
+    def out0(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "seed": t["node"].cast(pa.string()),
+                "step": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "node": t["node"].cast(pa.string()),
+            }
+        )
+
+    outs = [nodes_ds.map_batches(out0, batch_format="pyarrow")]
+    frontier = None  # step-1 walkers are generated inside the bucket
+
+    for t_step in range(1, walk_len + 1):
+
+        def step_bucket(t: pa.Table, _t=t_step) -> pa.Table:
+            df = t.to_pandas()
+            is_adj = df["seed"].isna()
+            adj_df = df[is_adj]
+            lists = adj_df.groupby("node")["nbr"].agg(
+                lambda s: np.sort(s.to_numpy(object))
+            )
+            if _t == 1:
+                walkers = pd.DataFrame({"seed": lists.index.to_numpy(object)})
+                walkers["node"] = walkers["seed"]
+                walkers["seed_hv"] = np.array(
+                    [_md5_low64(s) for s in walkers["seed"]], dtype=np.uint64
+                )
+            else:
+                walkers = df[~is_adj]
+            if not len(walkers):
+                return _WALK_FRONTIER_EMPTY
+            cur_hv = {u: _md5_low64(u) for u in walkers["node"].unique()}
+            nxt = [
+                lists[u][_walk_pick(int(shv), cur_hv[u], _t, len(lists[u]))]
+                for u, shv in zip(walkers["node"], walkers["seed_hv"])
+            ]
+            k = len(nxt)
+            return pa.table(
+                {
+                    "node": pa.array(nxt, type=pa.string()),
+                    "nbr": pa.array([None] * k, type=pa.string()),
+                    "seed": pa.array(walkers["seed"], type=pa.string()),
+                    "seed_hv": pa.array(
+                        walkers["seed_hv"].to_numpy(np.uint64)
+                    ),
+                }
+            )
+
+        feed = adj if frontier is None else adj.union(frontier)
+        frontier = exchange_groups(
+            feed, ["node"], shuffle_parts(), step_bucket, _WALK_FRONTIER_EMPTY
+        ).materialize()
+
+        def to_out(t: pa.Table, _t=t_step) -> pa.Table:
+            return pa.table(
+                {
+                    "seed": t["seed"].cast(pa.string()),
+                    "step": pa.array(np.full(t.num_rows, _t, dtype=np.int64)),
+                    "node": t["node"].cast(pa.string()),
+                }
+            )
+
+        outs.append(frontier.map_batches(to_out, batch_format="pyarrow"))
+    return functools.reduce(lambda x, y: x.union(y), outs)
+
+
+def random_walks(triples_ds, walk_len: int = 4, edges=None):
+    """Deterministic random-walk corpus over the undirected
+    co-occurrence graph — the node2vec/DeepWalk training-data export
+    (one walk per node, ``walk_len`` steps; feed the (seed, step,
+    node) sequences to a skip-gram embedder). The "random" choice is a
+    reproducible hash rule: neighbors ranked by sort order, the step
+    picks rank ``mix(md5low(seed), md5low(cur), step) % degree`` with
+    ``md5_number_lower``-compatible hashing (:func:`_md5_low64`), so
+    the SQL oracle replays every walk exactly and two runs — or an
+    incremental re-run over unchanged graph regions — emit identical
+    corpora. Seeding the mix with BOTH endpoints keeps co-located
+    walkers divergent; a fresh corpus is one constant away.
+
+    Size-dispatched like the other iterative ops: driver dict form at
+    or below ``KAZU_GRAPH_MAX_DICT_EDGES`` distinct edges, the
+    node-keyed exchange form (:func:`_walks_dist`) above it."""
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
+    if edges.count() <= _graph_max_dict_edges():
+        return _driver_walks(edges.to_pandas(), walk_len)
+    return _walks_dist(edges, walk_len)

@@ -2235,3 +2235,24 @@ def host_bowtie(pages_ds, max_hops: int = 4):
     page html — :func:`host_link_graph` feeding
     :func:`host_bowtie_from_links`."""
     return host_bowtie_from_links(host_link_graph(pages_ds), max_hops=max_hops)
+
+
+def host_communities(pages_ds, rounds: int = 3):
+    """Host communities by deterministic synchronous label propagation
+    over the UNDIRECTED host link graph — the site-neighborhood
+    discovery pass between :func:`host_components` (too coarse: the web
+    is one giant component) and anything modularity-based (not
+    shuffle-friendly). Pure reuse of
+    ``kazu_ray/ops/graph.py::label_propagation`` over the subj/obj link
+    view: size-dispatched driver/int-coded forms, node-sized label
+    vector broadcast per round, one edge pass + one node-keyed hash
+    exchange per round. Returns (host, community) with community = a
+    member host name (lexmin-tie-break LPA convention)."""
+    from kazu_ray.ops.graph import _distinct_edges, label_propagation
+
+    out = label_propagation(
+        None,
+        rounds=rounds,
+        edges=_distinct_edges(_links_as_subj_obj(host_link_graph(pages_ds))),
+    )
+    return out.rename(columns={"node": "host"})

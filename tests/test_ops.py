@@ -3254,3 +3254,163 @@ def test_kg_node_jaccard_random_brute_force(ray_session, seed):
                 want.append([u, v, inter, ppm])
     assert got.values.tolist() == want, f"seed {seed}"
     assert want  # the random graphs actually produce similar pairs
+
+
+def test_label_propagation_hand_communities(ray_session):
+    """LPA on two 4-cliques joined by a single bridge: after 3
+    deterministic synchronous rounds each clique converges to its
+    lexmin member's label (the bridge is outvoted by clique
+    neighbors)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import label_propagation
+
+    def clique(names):
+        return [
+            (a, b)
+            for i, a in enumerate(names)
+            for b in names[i + 1 :]
+        ]
+
+    left = ["a1", "a2", "a3", "a4"]
+    right = ["b1", "b2", "b3", "b4"]
+    edges = clique(left) + clique(right) + [("a4", "b1")]
+    triples = [
+        {"subj": a, "pred": "co", "obj": b, "doc_id": i}
+        for i, (a, b) in enumerate(edges)
+    ]
+    got = label_propagation(rd.from_items(triples).repartition(3))
+    comm = dict(zip(got["node"], got["community"]))
+    assert {comm[n] for n in left} == {"a1"}
+    assert {comm[n] for n in right} == {"b1"}
+
+
+def test_label_propagation_int_path_equals_driver(ray_session, monkeypatch):
+    """Forced int-coded LPA (KAZU_GRAPH_MAX_DICT_EDGES=0) must equal
+    the driver dict form on random graphs — including the argmax
+    count/lexmin tie-break and the early fixed-point exit."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import label_propagation
+
+    for seed in (3, 17):
+        rng = np.random.default_rng(seed)
+        edges = set()
+        while len(edges) < 140:
+            a, b = rng.integers(0, 35, size=2)
+            if a != b:
+                edges.add((f"n{min(a,b):02d}", f"n{max(a,b):02d}"))
+        triples = [
+            {"subj": a, "pred": "co", "obj": b, "doc_id": i}
+            for i, (a, b) in enumerate(sorted(edges))
+        ]
+        ds = rd.from_items(triples).repartition(4)
+        monkeypatch.delenv("KAZU_GRAPH_MAX_DICT_EDGES", raising=False)
+        for rounds in (1, 3, 8):
+            want = label_propagation(ds, rounds=rounds)
+            monkeypatch.setenv("KAZU_GRAPH_MAX_DICT_EDGES", "0")
+            got = label_propagation(ds, rounds=rounds)
+            monkeypatch.delenv("KAZU_GRAPH_MAX_DICT_EDGES")
+            assert got.reset_index(drop=True).equals(
+                want.reset_index(drop=True)
+            ), f"seed {seed} rounds {rounds}"
+
+
+def test_random_walks_hand_and_validity(ray_session):
+    """random_walks on a path graph a-b-c: one walk per node, steps
+    0..walk_len, every consecutive (node, next) pair is a graph edge,
+    and the picks replay the documented hash rule."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import _md5_low64, _walk_pick, random_walks
+
+    triples = [
+        {"subj": "a", "pred": "co", "obj": "b", "doc_id": 0},
+        {"subj": "b", "pred": "co", "obj": "c", "doc_id": 1},
+    ]
+    got = random_walks(rd.from_items(triples), walk_len=4)
+    assert sorted(got["seed"].unique()) == ["a", "b", "c"]
+    assert len(got) == 3 * 5  # 3 seeds x steps 0..4
+
+    nbrs = {"a": ["b"], "b": ["a", "c"], "c": ["b"]}
+    for seed in "abc":
+        walk = got[got["seed"] == seed].sort_values("step")["node"].tolist()
+        assert walk[0] == seed
+        for t in range(1, 5):
+            ns = nbrs[walk[t - 1]]
+            pick = _walk_pick(
+                _md5_low64(seed), _md5_low64(walk[t - 1]), t, len(ns)
+            )
+            assert walk[t] == ns[pick]
+
+
+def test_random_walks_int_path_equals_driver(ray_session, monkeypatch):
+    """Forced distributed walk generation (KAZU_GRAPH_MAX_DICT_EDGES=0)
+    must emit the identical (seed, step, node) corpus as the driver
+    form on a random graph."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import random_walks
+
+    rng = np.random.default_rng(29)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.integers(0, 30, size=2)
+        if a != b:
+            edges.add((f"n{min(a,b):02d}", f"n{max(a,b):02d}"))
+    triples = [
+        {"subj": a, "pred": "co", "obj": b, "doc_id": i}
+        for i, (a, b) in enumerate(sorted(edges))
+    ]
+    ds = rd.from_items(triples).repartition(4)
+
+    def norm(x):
+        import pandas as pd
+
+        if not isinstance(x, pd.DataFrame):
+            x = x.to_pandas()
+        return (
+            x[["seed", "step", "node"]]
+            .sort_values(["seed", "step"])
+            .reset_index(drop=True)
+        )
+
+    want = norm(random_walks(ds, walk_len=3))
+    monkeypatch.setenv("KAZU_GRAPH_MAX_DICT_EDGES", "0")
+    got = norm(random_walks(ds, walk_len=3))
+    assert got.equals(want)
+
+
+def test_host_communities_hand(ray_session):
+    """host_communities over raw pages: two link-cliques of hosts and
+    an isolated pair — communities converge to the lexmin host of each
+    group; (host, community) column contract."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_communities
+
+    def page(url, links):
+        nav = "".join(f'<a href="{u}">x</a>' for u in links)
+        return url, f"<html><body><nav>{nav}</nav></body></html>".encode()
+
+    group = ["a.org", "b.org", "c.org"]
+    rows = [
+        page(f"https://{h}/1", [f"https://{o}/x" for o in group if o != h])
+        for h in group
+    ] + [page("https://y.org/1", ["https://z.org/x"])]
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "html": pa.array([r[1] for r in rows], type=pa.binary()),
+            }
+        )
+    ).repartition(2)
+    got = host_communities(pages)
+    comm = dict(zip(got["host"], got["community"]))
+    assert {comm[h] for h in group} == {"a.org"}
+    # the isolated pair oscillates under synchronous LPA: after an odd
+    # round count each holds the OTHER's label (deterministic, and
+    # exactly what the unrolled SQL oracle replays)
+    assert comm["y.org"] == "z.org" and comm["z.org"] == "y.org"
