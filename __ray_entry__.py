@@ -296,6 +296,15 @@ def _host_communities(sf_dir: str):
     return host_communities(rd.read_parquet(oracle_dir))
 
 
+def _kg_ktruss(sf_dir: str):
+    """4-truss of the co-occurrence graph: surviving edges with final
+    in-truss support (kazu_ray/ops/graph.py::ktruss)."""
+    from kazu_ray.ops.graph import ktruss
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return ktruss(triples_dataset(sf_dir, store_ref=_store_ref()), k=4)
+
+
 def _kg_bfs_distances(sf_dir: str):
     """Multi-source BFS distance (≤3 hops) from the 5 lexmin nodes:
     node-sized distance vector broadcast per hop, one streaming edge
@@ -1682,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_random_walks": _kg_random_walks,
         "kg_communities": _kg_communities,
         "host_communities": _host_communities,
+        "kg_ktruss": _kg_ktruss,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1898,6 +1908,58 @@ def _walks_oracle_sql(walk_len: int = 4) -> str:
     return body + "\n" + "\n".join(selects)
 
 
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 10) -> str:
+    """Unrolled k-truss peel (kazu_ray/ops/graph.py::ktruss): each
+    round enumerates triangles x<y<z over the survivor set, counts
+    per-edge support (each triangle contributes to all three edges),
+    and keeps edges with support ≥ k-2. The sf0.01 graph converges in
+    4 rounds (measured); 10 is a 2.5× margin, and the final SELECT
+    emits UNfiltered supports over the last survivor set, so a
+    non-converged run surfaces support < k-2 rows and fails the hash
+    compare loudly (the kcore-oracle convention). AS MATERIALIZED for
+    the same chain-inlining reason as :func:`_kcore_oracle_sql`."""
+    need = k - 2
+    src = "read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')"
+    parts = [
+        f"WITH t AS (SELECT subj, obj FROM {src}),",
+        " e0 AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a,"
+        "       greatest(subj, obj) AS b FROM t WHERE subj <> obj),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f" tri{r} AS MATERIALIZED (SELECT ab.a AS x, ab.b AS y, bc.b AS z"
+            f"   FROM e{r-1} ab JOIN e{r-1} bc ON bc.a = ab.b"
+            f"   JOIN e{r-1} ac ON ac.a = ab.a AND ac.b = bc.b),"
+        )
+        parts.append(
+            f" sup{r} AS MATERIALIZED (SELECT u, v, count(*) AS s FROM ("
+            f"   SELECT x AS u, y AS v FROM tri{r}"
+            f"   UNION ALL SELECT x, z FROM tri{r}"
+            f"   UNION ALL SELECT y, z FROM tri{r}) GROUP BY u, v),"
+        )
+        parts.append(
+            f" e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r-1} e"
+            f"   JOIN sup{r} s ON s.u = e.a AND s.v = e.b"
+            f"   AND s.s >= {need}),"
+        )
+    parts.append(
+        f" trif AS MATERIALIZED (SELECT ab.a AS x, ab.b AS y, bc.b AS z"
+        f"   FROM e{rounds} ab JOIN e{rounds} bc ON bc.a = ab.b"
+        f"   JOIN e{rounds} ac ON ac.a = ab.a AND ac.b = bc.b),"
+    )
+    parts.append(
+        " supf AS MATERIALIZED (SELECT u, v, count(*) AS s FROM ("
+        "   SELECT x AS u, y AS v FROM trif"
+        "   UNION ALL SELECT x, z FROM trif"
+        "   UNION ALL SELECT y, z FROM trif) GROUP BY u, v)"
+    )
+    parts.append(
+        f" SELECT e.a, e.b, COALESCE(s.s, 0)::BIGINT AS support"
+        f" FROM e{rounds} e LEFT JOIN supf s ON s.u = e.a AND s.v = e.b"
+    )
+    return "\n".join(parts)
+
+
 def _kcore_oracle_sql(k: int = 4, rounds: int = 12) -> str:
     """Unrolled k-core peel as plain ANSI SQL (k-core is a SHRINKING
     fixpoint, which recursive-CTE UNION semantics cannot express).
@@ -1954,6 +2016,7 @@ def oracle_sql() -> dict[str, str]:
             _HOST_EDGES_WITH, rounds=3, node_out="host"
         ),
         "kg_random_walks": _walks_oracle_sql(walk_len=4),
+        "kg_ktruss": _ktruss_oracle_sql(k=4, rounds=10),
         "doc_token_stats": """
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -2489,3 +2489,299 @@ def random_walks(triples_ds, walk_len: int = 4, edges=None):
     if edges.count() <= _graph_max_dict_edges():
         return _driver_walks(edges.to_pandas(), walk_len)
     return _walks_dist(edges, walk_len)
+
+
+# --- k-truss decomposition (Cohen 2008, "Trusses: cohesive subgraphs
+# for social network analysis") ---------------------------------------------
+
+
+def _driver_ktruss(edge_df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Exact k-truss peel on a driver-sized edge table — the reference
+    math for the distributed form (and the bounded-ontology-vocabulary
+    fast path). Output = surviving (a, b) edges with their UNfiltered
+    final in-truss support, so a non-converged run surfaces
+    support < k-2 rows and fails an equality gate loudly (the kcore
+    convention)."""
+    adj: dict = {}
+    edges = set()
+    for a, b in zip(edge_df["a"], edge_df["b"]):
+        edges.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    need = k - 2
+    sup: dict = {}
+    while True:
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        drop = [e for e, s in sup.items() if s < need]
+        if not drop:
+            break
+        for a, b in drop:
+            edges.discard((a, b))
+            adj[a].discard(b)
+            adj[b].discard(a)
+    rows = sorted(edges)
+    return pd.DataFrame(
+        {
+            "a": [r[0] for r in rows],
+            "b": [r[1] for r in rows],
+            "support": pd.array(
+                [sup[r] for r in rows], dtype="int64"
+            ),
+        }
+    )
+
+
+_TRUSS_SUP_EMPTY = pa.table(
+    {
+        "u": pa.array([], type=pa.int32()),
+        "v": pa.array([], type=pa.int32()),
+        "c": pa.array([], type=pa.int64()),
+    }
+)
+
+_TRUSS_EDGE_EMPTY = pa.table(
+    {
+        "src": pa.array([], type=pa.int32()),
+        "dst": pa.array([], type=pa.int32()),
+        "s": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def _ktruss_int(edges, k: int, max_rounds: int):
+    """Distributed k-truss peel over an int-coded oriented edge
+    Dataset. Per round (the truss analogue of the kcore peel, with
+    per-EDGE triangle support instead of per-node degree):
+
+    1. wedge pass — the Suri-Vassilvitskii degree orientation from
+       :func:`triangle_count` is computed ONCE from the original
+       degrees (any fixed total order enumerates each triangle exactly
+       once, so survivors keep their orientation as the graph
+       shrinks); a src-keyed exchange emits each node's out-neighbor
+       pairs in bounded strips (:func:`_segment_pair_strips`),
+       CARRYING THE CENTER (support needs all three edges of a closing
+       triangle, so wedges cannot pre-combine per pair the way the
+       global count does);
+    2. closing pass — wedges ∪ edge markers meet in a pair-keyed
+       exchange; for each wedge whose pair is a live edge the bucket
+       emits +1 support partials for (u,v), (c,u), (c,v), combined
+       per bucket before anything moves;
+    3. filter pass — support partials ∪ edge markers meet in a second
+       pair-keyed exchange; the bucket sums partials and keeps edges
+       with support ≥ k-2, emitting (src, dst, support).
+
+    Early exit when no edge drops; at that fixed point the supports
+    from the final round ARE the in-truss supports of the surviving
+    set, so the emit needs no extra pass. Only node-sized state
+    (degree/code tables) is ever broadcast; the edge set stays a
+    Dataset end-to-end."""
+    import os
+
+    import ray
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    deg = _edge_degrees(edges)
+    code, inv = _node_codes(deg)
+    dcode = {code[n]: d for n, d in deg.items()}
+    code_ref = ray.put(code)
+    dcode_ref = ray.put(dcode)
+    n_codes = np.int64(len(inv))
+    need = k - 2
+    strip_pairs = int(os.environ.get("KAZU_LP_STRIP_PAIRS", 4_000_000))
+
+    def orient(t: pa.Table) -> pa.Table:
+        c = ray.get(code_ref)
+        dc = ray.get(dcode_ref)
+        a = t["a"].to_pandas().map(c).astype("int32")
+        b = t["b"].to_pandas().map(c).astype("int32")
+        da = a.map(dc)
+        db = b.map(dc)
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "src": pa.array(a.where(fwd, b), type=pa.int32()),
+                "dst": pa.array(b.where(fwd, a), type=pa.int32()),
+                "s": pa.array(np.zeros(len(a), dtype=np.int64)),
+            }
+        )
+
+    cur = edges.map_batches(orient, batch_format="pyarrow").materialize()
+    n_cur = cur.count()
+
+    def wedges_bucket(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy().astype(np.int64)
+        dst = t["dst"].to_numpy().astype(np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
+        bounds = np.append(starts, len(src))
+        us, vs, cs = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            ns = dst[s:e]  # ascending (lexsort) -> u < v canonical
+            for u_arr, v_arr in _segment_pair_strips(ns, strip_pairs):
+                us.append(u_arr)
+                vs.append(v_arr)
+                cs.append(np.full(len(u_arr), src[s], dtype=np.int64))
+        if not us:
+            return _TRUSS_SUP_EMPTY
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(us).astype(np.int32)),
+                "v": pa.array(np.concatenate(vs).astype(np.int32)),
+                "c": pa.array(np.concatenate(cs)),
+            }
+        )
+
+    def edge_marker_uv(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        # c = -1: src < dst (degree orientation agrees with canonical);
+        # c = -2: flipped — lets the filter pass re-emit the ORIGINAL
+        # degree orientation, preserving the O(sqrt(m)) wedge bound
+        # across rounds
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(src, dst), type=pa.int32()),
+                "v": pa.array(np.maximum(src, dst), type=pa.int32()),
+                "c": pa.array(
+                    np.where(src < dst, -1, -2).astype(np.int64)
+                ),
+            }
+        )
+
+    def closing_bucket(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy().astype(np.int64)
+        v = t["v"].to_numpy().astype(np.int64)
+        c = t["c"].to_numpy()
+        is_edge = c < 0
+        live = np.zeros(0, dtype=np.int64)
+        if is_edge.any():
+            live = (u[is_edge] * n_codes + v[is_edge])
+            live.sort()
+        w = ~is_edge
+        if not w.any() or not len(live):
+            return _TRUSS_SUP_EMPTY
+        wk = u[w] * n_codes + v[w]
+        pos = np.searchsorted(live, wk)
+        pos[pos == len(live)] = 0
+        closed = live[pos] == wk
+        if not closed.any():
+            return _TRUSS_SUP_EMPTY
+        cu, cv, cc = u[w][closed], v[w][closed], c[w][closed]
+        # +1 for the closing pair (cu,cv) and the two center edges
+        xs = np.concatenate([cu, np.minimum(cc, cu), np.minimum(cc, cv)])
+        ys = np.concatenate([cv, np.maximum(cc, cu), np.maximum(cc, cv)])
+        key = xs * n_codes + ys
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "u": pa.array((uk // n_codes).astype(np.int32)),
+                "v": pa.array((uk % n_codes).astype(np.int32)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def filter_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        is_edge = df["c"] < 0
+        sup = (
+            df[~is_edge]
+            .groupby(["u", "v"], as_index=False)["c"]
+            .sum()
+            .set_index(["u", "v"])["c"]
+        )
+        ed = df[is_edge]
+        if not len(ed):
+            return _TRUSS_EDGE_EMPTY
+        idx = pd.MultiIndex.from_arrays([ed["u"], ed["v"]])
+        s = sup.reindex(idx, fill_value=0).to_numpy(np.int64)
+        keep = s >= need
+        u = ed["u"].to_numpy(np.int32)[keep]
+        v = ed["v"].to_numpy(np.int32)[keep]
+        fwd = ed["c"].to_numpy()[keep] == -1
+        return pa.table(
+            {
+                "src": pa.array(np.where(fwd, u, v).astype(np.int32)),
+                "dst": pa.array(np.where(fwd, v, u).astype(np.int32)),
+                "s": pa.array(s[keep]),
+            }
+        )
+
+    parts = shuffle_parts()
+    for _ in range(max_rounds):
+        wedge_rows = cur.map_batches(
+            lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+        )
+        wedges = exchange_groups(
+            wedge_rows, ["src"], parts, wedges_bucket, _TRUSS_SUP_EMPTY
+        )
+        markers = cur.map_batches(edge_marker_uv, batch_format="pyarrow")
+        partials = exchange_groups(
+            wedges.union(markers), ["u", "v"], parts, closing_bucket,
+            _TRUSS_SUP_EMPTY,
+        )
+        # the filter pass re-keys on the CANONICAL pair; markers carry
+        # the oriented edge through as (u,v,c=-1) rows
+        nxt = exchange_groups(
+            partials.union(markers), ["u", "v"], parts, filter_bucket,
+            _TRUSS_EDGE_EMPTY,
+        ).materialize()
+        # the three chained exchanges emit ~3× the input's block count
+        # per round (sort-form output blocks ride the union's); coalesce
+        # back to a size-appropriate count or block-count growth turns
+        # geometric and round cost explodes (measured 3× per round)
+        from kazu_ray.ops.exchange import auto_partition_count
+
+        target_blocks = max(parts, auto_partition_count(nxt.size_bytes()))
+        if nxt.num_blocks() > 2 * target_blocks:
+            nxt = nxt.repartition(target_blocks).materialize()
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            cur = nxt
+            break
+        cur, n_cur = nxt, n_nxt
+
+    inv_ref = ray.put(np.asarray(inv, dtype=object))
+
+    def decode(t: pa.Table) -> pa.Table:
+        iv = ray.get(inv_ref)
+        # cur carries the degree orientation; canonicalize to a < b
+        # (code order == string order) for the output contract
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        return pa.table(
+            {
+                "a": pa.array(iv[np.minimum(src, dst)], type=pa.string()),
+                "b": pa.array(iv[np.maximum(src, dst)], type=pa.string()),
+                "support": t["s"].cast(pa.int64()),
+            }
+        )
+
+    return cur.map_batches(decode, batch_format="pyarrow")
+
+
+def ktruss(triples_ds, k: int = 4, max_rounds: int = 32, edges=None):
+    """k-truss decomposition of the undirected co-occurrence graph —
+    the edge-cohesion analogue of :func:`kcore` (Cohen 2008): the
+    maximal subgraph in which every edge closes at least k-2 triangles
+    WITHIN the subgraph. Stricter than k-core (a k-truss is always
+    inside a (k-1)-core) and the standard dense-community / spam-farm
+    detector on co-occurrence and web graphs.
+
+    Returns the surviving (a, b) edges with their final in-truss
+    support — unfiltered, so a hypothetical non-converged run emits
+    support < k-2 rows and fails equality gates loudly rather than
+    masking (the kcore convention). Size-dispatched like the other
+    iterative ops: exact driver peel at or below
+    ``KAZU_GRAPH_MAX_DICT_EDGES`` distinct edges, the per-round
+    3-exchange wedge/closing/filter form (:func:`_ktruss_int`) above
+    it."""
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
+    if edges.count() <= _graph_max_dict_edges():
+        return _driver_ktruss(edges.to_pandas(), k)
+    return _ktruss_int(edges, k, max_rounds)

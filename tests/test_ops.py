@@ -3414,3 +3414,74 @@ def test_host_communities_hand(ray_session):
     # round count each holds the OTHER's label (deterministic, and
     # exactly what the unrolled SQL oracle replays)
     assert comm["y.org"] == "z.org" and comm["z.org"] == "y.org"
+
+
+def _truss_triples(edges):
+    return [
+        {"subj": a, "pred": "co", "obj": b, "doc_id": i}
+        for i, (a, b) in enumerate(sorted(edges))
+    ]
+
+
+def test_ktruss_hand_fixture(ray_session):
+    """4-truss of a 5-clique with a pendant triangle staircase: the
+    staircase peels away in cascading rounds (boundary edges close one
+    triangle, dropping them starves the next), leaving exactly the
+    clique with per-edge support 3."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import ktruss
+
+    clique = [f"c{i}" for i in range(5)]
+    edges = {
+        (a, b) for i, a in enumerate(clique) for b in clique[i + 1 :]
+    }
+    # staircase v0-v1-v2-v3 with diagonals, attached to the clique at c0
+    chain = ["c0", "v1", "v2", "v3"]
+    for i in range(len(chain) - 1):
+        edges.add(tuple(sorted((chain[i], chain[i + 1]))))
+    for i in range(len(chain) - 2):
+        edges.add(tuple(sorted((chain[i], chain[i + 2]))))
+    got = ktruss(rd.from_items(_truss_triples(edges)).repartition(3), k=4)
+    want_edges = sorted((a, b) for i, a in enumerate(clique) for b in clique[i + 1 :])
+    assert list(zip(got["a"], got["b"])) == want_edges
+    assert (got["support"] == 3).all()
+
+
+def test_ktruss_int_path_equals_driver(ray_session, monkeypatch):
+    """Forced distributed k-truss (KAZU_GRAPH_MAX_DICT_EDGES=0) equals
+    the driver peel: a dense random graph (k=4, shallow peel) and the
+    clique+staircase fixture (k=4, cascading multi-round peel ending
+    nonempty)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import ktruss
+
+    rng = np.random.default_rng(5)
+    rand_edges = set()
+    while len(rand_edges) < 170:
+        a, b = rng.integers(0, 28, size=2)
+        if a != b:
+            rand_edges.add((f"n{min(a,b):02d}", f"n{max(a,b):02d}"))
+    clique = [f"c{i}" for i in range(5)]
+    mixed = {(a, b) for i, a in enumerate(clique) for b in clique[i + 1 :]}
+    chain = ["c0", "v1", "v2", "v3", "v4"]
+    for i in range(len(chain) - 1):
+        mixed.add(tuple(sorted((chain[i], chain[i + 1]))))
+    for i in range(len(chain) - 2):
+        mixed.add(tuple(sorted((chain[i], chain[i + 2]))))
+
+    for name, edge_set in (("random", rand_edges), ("cascade", mixed)):
+        ds = rd.from_items(_truss_triples(edge_set)).repartition(4)
+        monkeypatch.delenv("KAZU_GRAPH_MAX_DICT_EDGES", raising=False)
+        want = ktruss(ds, k=4).reset_index(drop=True)
+        monkeypatch.setenv("KAZU_GRAPH_MAX_DICT_EDGES", "0")
+        got = (
+            ktruss(ds, k=4)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        monkeypatch.delenv("KAZU_GRAPH_MAX_DICT_EDGES")
+        assert got.equals(want), name
+        assert len(want), name  # both scenarios end nonempty
