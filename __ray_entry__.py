@@ -1683,11 +1683,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_corpus_funnel": _training_corpus_funnel,
         "kg_node_jaccard": _kg_node_jaccard,
         # --- NEW in the sixth round-5 session: deterministic random-walk
-        # corpus export, and LPA communities on both graph layers (never
-        # driver-checked; three more doubly-green tail keys — doc_quality,
-        # lang_distribution, doc_fingerprints, each driver-green in
-        # r02/r03 with code untouched — slide past #50 to the
-        # locally-gated tail) ---
+        # corpus export, LPA communities on both graph layers, and the
+        # k-truss peel (never driver-checked; four more doubly-green
+        # tail keys — doc_quality, lang_distribution, doc_fingerprints,
+        # doc_langid, each driver-green in r02/r03 with code untouched —
+        # slide past #50 to the locally-gated tail) ---
         "kg_random_walks": _kg_random_walks,
         "kg_communities": _kg_communities,
         "host_communities": _host_communities,

@@ -206,6 +206,31 @@ def run_web_suite() -> dict[str, float]:
         host_bowtie_from_links(links)
         best = min(best, time.time() - t0)
     out["host_bowtie"] = round(best, 3)
+    # round-5 cont.: graph-ML trio over the same host edge set — LPA
+    # communities (3 label rounds), deterministic walk corpus (4 steps),
+    # k-truss peel (iterative per-edge support)
+    from kazu_ray.ops.graph import (
+        _distinct_edges,
+        ktruss,
+        label_propagation,
+        random_walks,
+    )
+    from kazu_ray.ops.web import _links_as_subj_obj
+
+    edges = _distinct_edges(_links_as_subj_obj(links))
+    for key, fn in (
+        ("host_communities", lambda: label_propagation(None, edges=edges)),
+        ("host_random_walks", lambda: random_walks(None, edges=edges)),
+        ("host_ktruss", lambda: ktruss(None, k=4, edges=edges)),
+    ):
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.time()
+            r = fn()
+            if not hasattr(r, "shape"):
+                r.count()
+            best = min(best, time.time() - t0)
+        out[key] = round(best, 3)
     best = float("inf")
     for _ in range(passes):
         t0 = time.time()
