@@ -296,6 +296,17 @@ def _host_communities(sf_dir: str):
     return host_communities(rd.read_parquet(oracle_dir))
 
 
+def _kg_neighborhood_sizes(sf_dir: str):
+    """Per-entity 2-hop neighborhood-size estimate via deterministic
+    KMV sketch propagation (kazu_ray/ops/graph.py::neighborhood_size_kmv)."""
+    from kazu_ray.ops.graph import neighborhood_size_kmv
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return neighborhood_size_kmv(
+        triples_dataset(sf_dir, store_ref=_store_ref()), hops=2, k=8
+    )
+
+
 def _kg_ktruss(sf_dir: str):
     """4-truss of the co-occurrence graph: surviving edges with final
     in-truss support (kazu_ray/ops/graph.py::ktruss)."""
@@ -1692,6 +1703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": _kg_communities,
         "host_communities": _host_communities,
         "kg_ktruss": _kg_ktruss,
+        "kg_neighborhood_sizes": _kg_neighborhood_sizes,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1908,6 +1920,43 @@ def _walks_oracle_sql(walk_len: int = 4) -> str:
     return body + "\n" + "\n".join(selects)
 
 
+def _nbhood_oracle_sql(hops: int = 2, k: int = 8) -> str:
+    """Unrolled deterministic KMV-sketch propagation
+    (kazu_ray/ops/graph.py::neighborhood_size_kmv): per node, the k
+    smallest ``md5_number_lower`` hashes of node ids within ``hops``
+    hops (self at hop 0, each hop unions every neighbor's sketch and
+    truncates), then the exact-below-k / (k-1)·2⁶⁴ // h_(k) estimator
+    in HUGEINT so the integer division matches the engine's Python-int
+    math exactly."""
+    parts = [
+        _KG_EDGES_WITH,
+        " und AS MATERIALIZED (SELECT a AS u, b AS v FROM e"
+        "       UNION ALL SELECT b, a FROM e),",
+        " s0 AS MATERIALIZED (SELECT node, md5_number_lower(node) AS hv"
+        "       FROM (SELECT DISTINCT u AS node FROM und)),",
+    ]
+    for r in range(1, hops + 1):
+        parts.append(
+            f" s{r} AS MATERIALIZED (SELECT node, hv FROM ("
+            f"   SELECT DISTINCT node, hv FROM ("
+            f"     SELECT node, hv FROM s{r-1}"
+            f"     UNION ALL"
+            f"     SELECT und.u AS node, s.hv FROM und"
+            f"       JOIN s{r-1} s ON s.node = und.v))"
+            f"  QUALIFY row_number() OVER"
+            f"   (PARTITION BY node ORDER BY hv) <= {k}),"
+        )
+    parts.append(
+        f" SELECT node, count(*)::BIGINT AS n_hashes,"
+        f" (CASE WHEN count(*) < {k} THEN count(*)::HUGEINT"
+        f"  ELSE ({k-1}::HUGEINT * 18446744073709551616::HUGEINT)"
+        f"       // max(hv)::HUGEINT END)::BIGINT AS est_size"
+        f" FROM s{hops} GROUP BY node"
+    )
+    sql = "\n".join(parts)
+    return sql.replace(f"<= {k}),\n SELECT", f"<= {k})\n SELECT")
+
+
 def _ktruss_oracle_sql(k: int = 4, rounds: int = 10) -> str:
     """Unrolled k-truss peel (kazu_ray/ops/graph.py::ktruss): each
     round enumerates triangles x<y<z over the survivor set, counts
@@ -2017,6 +2066,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_random_walks": _walks_oracle_sql(walk_len=4),
         "kg_ktruss": _ktruss_oracle_sql(k=4, rounds=10),
+        "kg_neighborhood_sizes": _nbhood_oracle_sql(hops=2, k=8),
         "doc_token_stats": """
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -2785,3 +2785,209 @@ def ktruss(triples_ds, k: int = 4, max_rounds: int = 32, edges=None):
     if edges.count() <= _graph_max_dict_edges():
         return _driver_ktruss(edges.to_pandas(), k)
     return _ktruss_int(edges, k, max_rounds)
+
+
+# --- per-node neighborhood-size estimation (the HyperANF / ANF idea —
+# Palmer et al. KDD'02, Boldi & Vigna WWW'11 — carried by KMV sketches
+# so the estimate is DETERMINISTIC and SQL-replayable) ----------------------
+
+
+def _driver_nbhood_kmv(edge_df: pd.DataFrame, hops: int, k: int) -> pd.DataFrame:
+    """Exact KMV-sketch propagation on a driver-sized edge table — the
+    reference math for the distributed form (and the bounded-vocabulary
+    fast path)."""
+    nbrs: dict = {}
+    for a, b in zip(edge_df["a"], edge_df["b"]):
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    sk = {u: (_md5_low64(u),) for u in nbrs}
+    for _ in range(hops):
+        new = {}
+        for u, ns in nbrs.items():
+            merged = set(sk[u])
+            for v in ns:
+                merged.update(sk[v])
+            new[u] = tuple(sorted(merged)[:k])
+        sk = new
+    nodes = sorted(sk)
+    n_hashes = [len(sk[u]) for u in nodes]
+    est = [
+        n if n < k else (k - 1) * 2**64 // sk[u][-1]
+        for u, n in zip(nodes, n_hashes)
+    ]
+    return pd.DataFrame(
+        {
+            "node": nodes,
+            "n_hashes": pd.array(n_hashes, dtype="int64"),
+            "est_size": pd.array(est, dtype="int64"),
+        }
+    )
+
+
+_NBH_ROW_EMPTY = pa.table(
+    {
+        "node": pa.array([], type=pa.string()),
+        "other": pa.array([], type=pa.string()),
+        "hv": pa.array([], type=pa.uint64()),
+    }
+)
+
+_NBH_OUT_EMPTY = pa.table(
+    {
+        "node": pa.array([], type=pa.string()),
+        "n_hashes": pa.array([], type=pa.int64()),
+        "est_size": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def _nbhood_kmv_dist(edges, hops: int, k: int):
+    """Distributed KMV propagation: the sketch is a flat (node, hv)
+    Dataset (≤ k rows per node); each hop is TWO node-keyed exchanges —
+    a scatter pass co-locating every node's sketch with its adjacency
+    rows and emitting each entry to every neighbor (plus a self-retain
+    row), then a k-min pass keeping the k smallest distinct hashes per
+    node. One finalize exchange computes (n_hashes, est_size). Nothing
+    node-vocabulary-sized is ever broadcast; the per-round exchange
+    volume is ≤ (2·|E| + |V|)·k rows. A degree-d hub emits d·k rows
+    inside one scatter bucket — bounded by k· the same hub skew every
+    edge pass in this layer already carries, and orders of magnitude
+    below shipping the hub's true neighbor SET (the thing the sketch
+    replaces)."""
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    parts = shuffle_parts()
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pandas()
+        b = t["b"].to_pandas()
+        both = len(a) + len(b)
+        return pa.table(
+            {
+                "node": pa.array(
+                    pd.concat([a, b], ignore_index=True), type=pa.string()
+                ),
+                "other": pa.array(
+                    pd.concat([b, a], ignore_index=True), type=pa.string()
+                ),
+                "hv": pa.array(np.zeros(both, dtype=np.uint64)),
+            }
+        )
+
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_sketch(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_pylist()
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.string()),
+                "other": pa.array([None] * len(nodes), type=pa.string()),
+                "hv": pa.array(
+                    np.array([_md5_low64(n) for n in nodes], dtype=np.uint64)
+                ),
+            }
+        )
+
+    nodes_ds = exchange_groups(
+        adj.map_batches(
+            lambda t: t.select(["node"]).group_by(["node"]).aggregate([]),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        parts,
+        _batch_distinct(["node"]),
+        pa.table({"node": pa.array([], type=pa.string())}),
+    )
+    sketch = nodes_ds.map_batches(init_sketch, batch_format="pyarrow").materialize()
+
+    def scatter_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        is_adj = df["other"].notna()
+        sk = df[~is_adj]
+        if not len(sk):
+            return _NBH_ROW_EMPTY
+        # each sketch entry of u goes to every neighbor of u, plus a
+        # self-retain row
+        sent = sk.merge(
+            df[is_adj][["node", "other"]], on="node", how="inner"
+        )
+        out_node = pd.concat([sent["other_y"], sk["node"]], ignore_index=True)
+        out_hv = pd.concat([sent["hv"], sk["hv"]], ignore_index=True)
+        return pa.table(
+            {
+                "node": pa.array(out_node, type=pa.string()),
+                "other": pa.array([None] * len(out_node), type=pa.string()),
+                "hv": pa.array(out_hv.to_numpy(np.uint64)),
+            }
+        )
+
+    def kmin_bucket(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()[["node", "hv"]]
+            .drop_duplicates()
+            .sort_values(["node", "hv"])
+            .groupby("node")
+            .head(k)
+        )
+        return pa.table(
+            {
+                "node": pa.array(df["node"], type=pa.string()),
+                "other": pa.array([None] * len(df), type=pa.string()),
+                "hv": pa.array(df["hv"].to_numpy(np.uint64)),
+            }
+        )
+
+    for _ in range(hops):
+        fanned = exchange_groups(
+            sketch.union(adj), ["node"], parts, scatter_bucket, _NBH_ROW_EMPTY
+        )
+        sketch = exchange_groups(
+            fanned, ["node"], parts, kmin_bucket, _NBH_ROW_EMPTY
+        ).materialize()
+
+    def finalize_bucket(t: pa.Table) -> pa.Table:
+        out_n, out_c, out_e = [], [], []
+        df = t.to_pandas().sort_values(["node", "hv"])
+        for node, g in df.groupby("node", sort=True):
+            vals = g["hv"].to_numpy(np.uint64)
+            n = len(vals)
+            out_n.append(node)
+            out_c.append(n)
+            out_e.append(n if n < k else (k - 1) * 2**64 // int(vals[k - 1]))
+        return pa.table(
+            {
+                "node": pa.array(out_n, type=pa.string()),
+                "n_hashes": pa.array(out_c, type=pa.int64()),
+                "est_size": pa.array(out_e, type=pa.int64()),
+            }
+        )
+
+    return exchange_groups(
+        sketch, ["node"], parts, finalize_bucket, _NBH_OUT_EMPTY
+    )
+
+
+def neighborhood_size_kmv(triples_ds, hops: int = 2, k: int = 8, edges=None):
+    """Per-node ≤``hops``-hop neighborhood-size estimate over the
+    undirected co-occurrence graph — the ANF / HyperANF question ("how
+    big is each node's ball?", the centrality/spam signal exact BFS
+    cannot answer per-node at web scale) carried by KMV sketches
+    instead of HyperLogLog so the result is a deterministic integer the
+    SQL oracle replays BIT-FOR-BIT: the per-node state is the k
+    smallest ``md5_number_lower``-compatible hashes of the node ids
+    seen so far (self at hop 0), each hop merges every neighbor's
+    sketch (union + truncate — lossless for the k smallest), and the
+    estimator is the textbook (k-1)·2⁶⁴ / h_(k) (Bar-Yossef et al.,
+    RANDOM'02), EXACT below k entries. Returns (node, n_hashes,
+    est_size).
+
+    Size-dispatched like the other iterative ops: exact driver
+    propagation at or below ``KAZU_GRAPH_MAX_DICT_EDGES`` distinct
+    edges, the two-exchanges-per-hop flat-sketch form
+    (:func:`_nbhood_kmv_dist`) above it."""
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
+    if edges.count() <= _graph_max_dict_edges():
+        return _driver_nbhood_kmv(edges.to_pandas(), hops, k)
+    return _nbhood_kmv_dist(edges, hops, k)

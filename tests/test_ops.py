@@ -3485,3 +3485,61 @@ def test_ktruss_int_path_equals_driver(ray_session, monkeypatch):
         monkeypatch.delenv("KAZU_GRAPH_MAX_DICT_EDGES")
         assert got.equals(want), name
         assert len(want), name  # both scenarios end nonempty
+
+
+def test_neighborhood_size_kmv_exact_below_k(ray_session):
+    """With k larger than any true ball, the KMV estimate is EXACT:
+    compare n_hashes == est_size == brute-force BFS ball sizes on a
+    random graph (self included, <= hops hops)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import neighborhood_size_kmv
+
+    rng = np.random.default_rng(13)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.integers(0, 25, size=2)
+        if a != b:
+            edges.add((f"n{min(a,b):02d}", f"n{max(a,b):02d}"))
+    ds = rd.from_items(_truss_triples(edges)).repartition(3)
+    got = neighborhood_size_kmv(ds, hops=2, k=64)
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for u in adj:
+        ball = {u} | adj[u]
+        for v in list(adj[u]):
+            ball |= adj[v]
+        want[u] = len(ball)
+    assert dict(zip(got["node"], got["est_size"])) == want
+    assert (got["n_hashes"] == got["est_size"]).all()
+
+
+def test_neighborhood_size_kmv_dist_equals_driver(ray_session, monkeypatch):
+    """Forced distributed sketch propagation (KAZU_GRAPH_MAX_DICT_EDGES=0)
+    equals the driver form, including truncated sketches (k=4 well below
+    the 2-hop ball sizes) where the estimator actually kicks in."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import neighborhood_size_kmv
+
+    rng = np.random.default_rng(21)
+    edges = set()
+    while len(edges) < 150:
+        a, b = rng.integers(0, 30, size=2)
+        if a != b:
+            edges.add((f"n{min(a,b):02d}", f"n{max(a,b):02d}"))
+    ds = rd.from_items(_truss_triples(edges)).repartition(4)
+    want = neighborhood_size_kmv(ds, hops=2, k=4).reset_index(drop=True)
+    assert (want["n_hashes"] == 4).any()  # estimator path exercised
+    monkeypatch.setenv("KAZU_GRAPH_MAX_DICT_EDGES", "0")
+    got = (
+        neighborhood_size_kmv(ds, hops=2, k=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
