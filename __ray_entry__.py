@@ -296,6 +296,19 @@ def _host_communities(sf_dir: str):
     return host_communities(rd.read_parquet(oracle_dir))
 
 
+def _kg_entity_merge(sf_dir: str):
+    """Entity canonicalization: Jaccard merge candidates (≥0.6) →
+    transitive clusters labeled lexmin → triple endpoints rewritten to
+    canonical ids → re-counted distinct triples
+    (kazu_ray/ops/graph.py::entity_merge)."""
+    from kazu_ray.ops.graph import entity_merge
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return entity_merge(
+        triples_dataset(sf_dir, store_ref=_store_ref()), threshold_ppm=600_000
+    )
+
+
 def _kg_neighborhood_sizes(sf_dir: str):
     """Per-entity 2-hop neighborhood-size estimate via deterministic
     KMV sketch propagation (kazu_ray/ops/graph.py::neighborhood_size_kmv)."""
@@ -1704,6 +1717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_communities": _host_communities,
         "kg_ktruss": _kg_ktruss,
         "kg_neighborhood_sizes": _kg_neighborhood_sizes,
+        "kg_entity_merge": _kg_entity_merge,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -2067,6 +2081,46 @@ def oracle_sql() -> dict[str, str]:
         "kg_random_walks": _walks_oracle_sql(walk_len=4),
         "kg_ktruss": _ktruss_oracle_sql(k=4, rounds=10),
         "kg_neighborhood_sizes": _nbhood_oracle_sql(hops=2, k=8),
+        "kg_entity_merge": """
+            WITH RECURSIVE t AS (SELECT subj, pred, obj
+                 FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                FROM t WHERE subj <> obj
+            ),
+            nb AS MATERIALIZED (SELECT a AS n, b AS m FROM e
+                                UNION ALL SELECT b, a FROM e),
+            sz AS (SELECT n, count(*) AS s FROM nb GROUP BY 1),
+            inter AS (
+                SELECT x.n AS a, y.n AS b, count(*) AS i
+                FROM nb x JOIN nb y ON x.m = y.m AND x.n < y.n
+                GROUP BY 1, 2
+            ),
+            pairs AS MATERIALIZED (
+                SELECT i.a, i.b FROM inter i
+                JOIN sz sa ON sa.n = i.a
+                JOIN sz sb ON sb.n = i.b
+                WHERE (i.i * 1000000) // (sa.s + sb.s - i.i) >= 600000
+            ),
+            cnodes AS (SELECT DISTINCT n FROM (SELECT a AS n FROM pairs
+                                               UNION ALL SELECT b FROM pairs)),
+            bidir AS (SELECT a AS src, b AS dst FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            reach(id, lbl) AS (
+                SELECT n, n FROM cnodes
+                UNION
+                SELECT bd.dst, r.lbl FROM reach r JOIN bidir bd ON bd.src = r.id
+            ),
+            canon AS (SELECT id AS node, min(lbl) AS canon
+                      FROM reach GROUP BY id),
+            rw AS (SELECT COALESCE(cs.canon, t.subj) AS subj, t.pred,
+                          COALESCE(co.canon, t.obj) AS obj
+                   FROM t
+                   LEFT JOIN canon cs ON cs.node = t.subj
+                   LEFT JOIN canon co ON co.node = t.obj)
+            SELECT subj, pred, obj, count(*)::BIGINT AS n_source_triples
+            FROM rw GROUP BY subj, pred, obj
+        """,
         "doc_token_stats": """
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -2991,3 +2991,93 @@ def neighborhood_size_kmv(triples_ds, hops: int = 2, k: int = 8, edges=None):
     if edges.count() <= _graph_max_dict_edges():
         return _driver_nbhood_kmv(edges.to_pandas(), hops, k)
     return _nbhood_kmv_dist(edges, hops, k)
+
+
+# --- entity-merge canonicalization (the KG-construction step after
+# similarity candidates: cluster merge candidates, canonicalize every
+# triple endpoint to its cluster's lexmin member, re-distinct) -------------
+
+
+def entity_merge(triples_ds, threshold_ppm: int = 600_000, edges=None):
+    """Entity canonicalization by neighbor-similarity merging — the
+    resolution pass a KG-construction pipeline runs between linking and
+    materialize: :func:`node_jaccard` proposes merge candidates (nodes
+    whose co-occurrence neighborhoods overlap ≥ ``threshold_ppm``),
+    :func:`components_labeled` closes them transitively into clusters
+    labeled by their lexmin member, and one streaming pass rewrites
+    every triple endpoint to its cluster's canonical id and re-counts
+    the collapsed triples. Returns (subj, pred, obj,
+    n_source_triples) — the canonical triple set with how many source
+    rows merged into each.
+
+    Shapes: the merge map is bounded by the CANDIDATE-PAIR contract
+    (node_jaccard's similarity join is hub-capped and
+    threshold-filtered — candidates are a vanishing fraction of the
+    vocabulary, the same boundedness argument as the dedup layer's
+    cluster-representative broadcast), so it collects driver-side and
+    broadcasts once via ``ray.put``; the triples stream through one
+    vectorized map + a combiner-first hash exchange for the re-count.
+    Nothing corpus- or vocabulary-sized is collected."""
+    import ray
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
+    cands = node_jaccard(None, threshold_ppm=threshold_ppm, edges=edges)
+    labels = components_labeled(cands, a_col="node_a", b_col="node_b")
+    lbl = labels.to_pandas()  # candidate-bounded (docstring contract)
+    merge_map = {
+        n: c for n, c in zip(lbl["node"], lbl["component"]) if n != c
+    }
+    map_ref = ray.put(merge_map)
+
+    def rewrite_count(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        subj = t["subj"].to_pandas()
+        obj = t["obj"].to_pandas()
+        if m:
+            subj = subj.map(m).fillna(subj)
+            obj = obj.map(m).fillna(obj)
+        g = (
+            pd.DataFrame(
+                {"subj": subj, "pred": t["pred"].to_pandas(), "obj": obj}
+            )
+            .groupby(["subj", "pred", "obj"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "subj": pa.array(g["subj"], type=pa.string()),
+                "pred": pa.array(g["pred"], type=pa.string()),
+                "obj": pa.array(g["obj"], type=pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by(["subj", "pred", "obj"]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                "subj": g["subj"],
+                "pred": g["pred"],
+                "obj": g["obj"],
+                "n_source_triples": g["n_sum"].cast(pa.int64()),
+            }
+        )
+
+    return exchange_groups(
+        triples_ds.map_batches(rewrite_count, batch_format="pyarrow"),
+        ["subj", "pred", "obj"],
+        shuffle_parts(),
+        sum_bucket,
+        pa.table(
+            {
+                "subj": pa.array([], type=pa.string()),
+                "pred": pa.array([], type=pa.string()),
+                "obj": pa.array([], type=pa.string()),
+                "n_source_triples": pa.array([], type=pa.int64()),
+            }
+        ),
+    )

@@ -3543,3 +3543,36 @@ def test_neighborhood_size_kmv_dist_equals_driver(ray_session, monkeypatch):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_entity_merge_hand_fixture(ray_session):
+    """x1/x2 share the identical neighborhood {p,q,r} (Jaccard 1.0 →
+    merge, canonical = lexmin x1); p/q/r each carry one private
+    neighbor so their pairwise Jaccard is 0.5 < 0.6 and they stay
+    distinct. Rewritten triples collapse the x2 rows onto x1 with
+    n_source_triples = 2."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import entity_merge
+
+    rows = [
+        ("x1", "p"), ("x1", "q"), ("x1", "r"),
+        ("x2", "p"), ("x2", "q"), ("x2", "r"),
+        ("p", "s1"), ("q", "s2"), ("r", "s3"),
+    ]
+    triples = [
+        {"subj": a, "pred": "co", "obj": b, "doc_id": i}
+        for i, (a, b) in enumerate(rows)
+    ]
+    got = (
+        entity_merge(rd.from_items(triples).repartition(3),
+                     threshold_ppm=600_000)
+        .to_pandas()
+        .sort_values(["subj", "obj"], ignore_index=True)
+    )
+    want = {
+        ("x1", "p"): 2, ("x1", "q"): 2, ("x1", "r"): 2,
+        ("p", "s1"): 1, ("q", "s2"): 1, ("r", "s3"): 1,
+    }
+    assert dict(zip(zip(got["subj"], got["obj"]), got["n_source_triples"])) == want
+    assert (got["pred"] == "co").all()
