@@ -296,6 +296,18 @@ def _host_communities(sf_dir: str):
     return host_communities(rd.read_parquet(oracle_dir))
 
 
+def _kg_neighborhood_function(sf_dir: str):
+    """Per-hop neighborhood-function totals N(t), t=0..3 — the
+    effective-diameter curve
+    (kazu_ray/ops/graph.py::neighborhood_function)."""
+    from kazu_ray.ops.graph import neighborhood_function
+    from kazu_ray.pipelines.kg import triples_dataset
+
+    return neighborhood_function(
+        triples_dataset(sf_dir, store_ref=_store_ref()), max_hops=3, k=8
+    )
+
+
 def _kg_entity_merge(sf_dir: str):
     """Entity canonicalization: Jaccard merge candidates (≥0.6) →
     transitive clusters labeled lexmin → triple endpoints rewritten to
@@ -1707,17 +1719,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_corpus_funnel": _training_corpus_funnel,
         "kg_node_jaccard": _kg_node_jaccard,
         # --- NEW in the sixth round-5 session: deterministic random-walk
-        # corpus export, LPA communities on both graph layers, and the
-        # k-truss peel (never driver-checked; four more doubly-green
-        # tail keys — doc_quality, lang_distribution, doc_fingerprints,
-        # doc_langid, each driver-green in r02/r03 with code untouched —
-        # slide past #50 to the locally-gated tail) ---
+        # corpus export, LPA communities on both graph layers, the
+        # k-truss peel, ANF-style neighborhood sizes, and entity-merge
+        # canonicalization (never driver-checked; six more doubly-green
+        # tail keys — tfidf_topk, packed_chunks, doc_token_stats,
+        # doc_quality, lang_distribution, doc_fingerprints, each
+        # driver-green in earlier rounds with code untouched — slide
+        # past #50 to the locally-gated tail) ---
         "kg_random_walks": _kg_random_walks,
         "kg_communities": _kg_communities,
         "host_communities": _host_communities,
         "kg_ktruss": _kg_ktruss,
         "kg_neighborhood_sizes": _kg_neighborhood_sizes,
         "kg_entity_merge": _kg_entity_merge,
+        "kg_neighborhood_function": _kg_neighborhood_function,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1971,6 +1986,48 @@ def _nbhood_oracle_sql(hops: int = 2, k: int = 8) -> str:
     return sql.replace(f"<= {k}),\n SELECT", f"<= {k})\n SELECT")
 
 
+def _nbhood_function_oracle_sql(max_hops: int = 3, k: int = 8) -> str:
+    """Per-hop neighborhood-function totals
+    (kazu_ray/ops/graph.py::neighborhood_function): the same unrolled
+    sketch CTEs as :func:`_nbhood_oracle_sql`, with one per-hop scalar
+    aggregate (sum of the per-node estimators) instead of the per-node
+    output."""
+    parts = [
+        _KG_EDGES_WITH,
+        " und AS MATERIALIZED (SELECT a AS u, b AS v FROM e"
+        "       UNION ALL SELECT b, a FROM e),",
+        " s0 AS MATERIALIZED (SELECT node, md5_number_lower(node) AS hv"
+        "       FROM (SELECT DISTINCT u AS node FROM und)),",
+    ]
+    for r in range(1, max_hops + 1):
+        parts.append(
+            f" s{r} AS MATERIALIZED (SELECT node, hv FROM ("
+            f"   SELECT DISTINCT node, hv FROM ("
+            f"     SELECT node, hv FROM s{r-1}"
+            f"     UNION ALL"
+            f"     SELECT und.u AS node, s.hv FROM und"
+            f"       JOIN s{r-1} s ON s.node = und.v))"
+            f"  QUALIFY row_number() OVER"
+            f"   (PARTITION BY node ORDER BY hv) <= {k})"
+            + ("," if r < max_hops else "")
+        )
+
+    def est_total(r: int) -> str:
+        return (
+            f"(SELECT sum(CASE WHEN c < {k} THEN c::HUGEINT"
+            f" ELSE ({k-1}::HUGEINT * 18446744073709551616::HUGEINT)"
+            f" // mx::HUGEINT END)::BIGINT"
+            f" FROM (SELECT node, count(*) AS c, max(hv) AS mx"
+            f"       FROM s{r} GROUP BY node))"
+        )
+
+    selects = [
+        f" SELECT {r}::BIGINT AS hop, {est_total(r)} AS sum_est_size"
+        for r in range(0, max_hops + 1)
+    ]
+    return "\n".join(parts) + "\n" + "\n UNION ALL".join(selects)
+
+
 def _ktruss_oracle_sql(k: int = 4, rounds: int = 10) -> str:
     """Unrolled k-truss peel (kazu_ray/ops/graph.py::ktruss): each
     round enumerates triangles x<y<z over the survivor set, counts
@@ -2081,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_random_walks": _walks_oracle_sql(walk_len=4),
         "kg_ktruss": _ktruss_oracle_sql(k=4, rounds=10),
         "kg_neighborhood_sizes": _nbhood_oracle_sql(hops=2, k=8),
+        "kg_neighborhood_function": _nbhood_function_oracle_sql(max_hops=3, k=8),
         "kg_entity_merge": """
             WITH RECURSIVE t AS (SELECT subj, pred, obj
                  FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),

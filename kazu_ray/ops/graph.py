@@ -2841,7 +2841,7 @@ _NBH_OUT_EMPTY = pa.table(
 )
 
 
-def _nbhood_kmv_dist(edges, hops: int, k: int):
+def _nbhood_kmv_dist(edges, hops: int, k: int, on_sketch=None, finalize=True):
     """Distributed KMV propagation: the sketch is a flat (node, hv)
     Dataset (≤ k rows per node); each hop is TWO node-keyed exchanges —
     a scatter pass co-locating every node's sketch with its adjacency
@@ -2853,7 +2853,13 @@ def _nbhood_kmv_dist(edges, hops: int, k: int):
     inside one scatter bucket — bounded by k· the same hub skew every
     edge pass in this layer already carries, and orders of magnitude
     below shipping the hub's true neighbor SET (the thing the sketch
-    replaces)."""
+    replaces).
+
+    ``on_sketch(hop, sketch_ds)`` is called with the materialized
+    sketch after init (hop 0) and after every hop —
+    :func:`neighborhood_function` uses it to total per-hop estimates
+    without a second propagation. ``finalize=False`` skips the
+    per-node output pass (callback-only use)."""
     from kazu_ray.ops.dedup import shuffle_parts
     from kazu_ray.ops.exchange import exchange_groups
 
@@ -2938,13 +2944,19 @@ def _nbhood_kmv_dist(edges, hops: int, k: int):
             }
         )
 
-    for _ in range(hops):
+    if on_sketch is not None:
+        on_sketch(0, sketch)
+    for hop in range(1, hops + 1):
         fanned = exchange_groups(
             sketch.union(adj), ["node"], parts, scatter_bucket, _NBH_ROW_EMPTY
         )
         sketch = exchange_groups(
             fanned, ["node"], parts, kmin_bucket, _NBH_ROW_EMPTY
         ).materialize()
+        if on_sketch is not None:
+            on_sketch(hop, sketch)
+    if not finalize:
+        return None
 
     def finalize_bucket(t: pa.Table) -> pa.Table:
         out_n, out_c, out_e = [], [], []
@@ -3080,4 +3092,91 @@ def entity_merge(triples_ds, threshold_ppm: int = 600_000, edges=None):
                 "n_source_triples": pa.array([], type=pa.int64()),
             }
         ),
+    )
+
+
+def _driver_nbhood_function(edge_df: pd.DataFrame, max_hops: int, k: int) -> pd.DataFrame:
+    """Exact per-hop neighborhood-function totals on a driver-sized
+    edge table — one propagation, a snapshot total per hop."""
+    nbrs: dict = {}
+    for a, b in zip(edge_df["a"], edge_df["b"]):
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    sk = {u: (_md5_low64(u),) for u in nbrs}
+
+    def total() -> int:
+        return sum(
+            len(v) if len(v) < k else (k - 1) * 2**64 // v[-1]
+            for v in sk.values()
+        )
+
+    rows = [(0, total())]
+    for t in range(1, max_hops + 1):
+        new = {}
+        for u, ns in nbrs.items():
+            merged = set(sk[u])
+            for v in ns:
+                merged.update(sk[v])
+            new[u] = tuple(sorted(merged)[:k])
+        sk = new
+        rows.append((t, total()))
+    return pd.DataFrame(rows, columns=["hop", "sum_est_size"]).astype(
+        {"hop": "int64", "sum_est_size": "int64"}
+    )
+
+
+def neighborhood_function(triples_ds, max_hops: int = 3, k: int = 8, edges=None):
+    """The neighborhood function N(t) (Palmer et al. KDD'02 ANF /
+    Boldi & Vigna HyperANF): for each hop t = 0..``max_hops``, the sum
+    over all nodes of the estimated ≤t-hop ball size — the curve whose
+    saturation point is the graph's effective diameter and whose shape
+    separates expander-like from clustered webgraphs. Same
+    deterministic KMV machinery as :func:`neighborhood_size_kmv`
+    (exact below k, SQL-replayable estimator), ONE propagation with a
+    per-hop total. Returns (hop, sum_est_size).
+
+    Shapes: size-dispatched; the distributed form reuses
+    :func:`_nbhood_kmv_dist` via its ``on_sketch`` hook — per hop, one
+    extra node-keyed exchange computes bucket-local estimate sums and
+    the driver adds up the bucket partials (a buckets-sized table)."""
+    from ray.data.aggregate import Sum
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    if edges is None:
+        edges = _distinct_edges(triples_ds)
+    if edges.count() <= _graph_max_dict_edges():
+        return _driver_nbhood_function(edges.to_pandas(), max_hops, k)
+
+    totals: dict[int, int] = {}
+
+    def total_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["node", "hv"])
+        s = 0
+        for _node, g in df.groupby("node", sort=False):
+            vals = g["hv"].to_numpy(np.uint64)
+            n = len(vals)
+            s += n if n < k else (k - 1) * 2**64 // int(vals[k - 1])
+        return pa.table({"partial": pa.array([s], type=pa.int64())})
+
+    def on_sketch(hop: int, sketch) -> None:
+        agg = exchange_groups(
+            sketch,
+            ["node"],
+            shuffle_parts(),
+            total_bucket,
+            pa.table({"partial": pa.array([], type=pa.int64())}),
+        ).aggregate(Sum("partial", alias_name="s"))
+        totals[hop] = int(agg["s"] or 0)
+
+    _nbhood_kmv_dist(edges, max_hops, k, on_sketch=on_sketch, finalize=False)
+    hops_sorted = sorted(totals)
+    return pd.DataFrame(
+        {
+            "hop": pd.array(hops_sorted, dtype="int64"),
+            "sum_est_size": pd.array(
+                [totals[h] for h in hops_sorted], dtype="int64"
+            ),
+        }
     )

@@ -3576,3 +3576,54 @@ def test_entity_merge_hand_fixture(ray_session):
     }
     assert dict(zip(zip(got["subj"], got["obj"]), got["n_source_triples"])) == want
     assert (got["pred"] == "co").all()
+
+
+def test_neighborhood_function_monotone_and_dist(ray_session, monkeypatch):
+    """N(t) totals: hop 0 equals the node count, the curve is
+    non-decreasing, with k above every ball it matches brute-force BFS
+    totals exactly, and the forced distributed form (per-hop bucket
+    sums through the on_sketch hook) is identical."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import neighborhood_function
+
+    rng = np.random.default_rng(33)
+    edges = set()
+    while len(edges) < 70:
+        a, b = rng.integers(0, 25, size=2)
+        if a != b:
+            edges.add((f"n{min(a,b):02d}", f"n{max(a,b):02d}"))
+    ds = rd.from_items(_truss_triples(edges)).repartition(3)
+    got = neighborhood_function(ds, max_hops=2, k=64)
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def ball_total(hops):
+        s = 0
+        for u in adj:
+            seen, frontier = {u}, {u}
+            for _ in range(hops):
+                nxt = set().union(*(adj[x] for x in frontier)) - seen
+                seen |= nxt
+                frontier = nxt
+            s += len(seen)
+        return s
+
+    want = [ball_total(t) for t in (0, 1, 2)]
+    assert got["sum_est_size"].tolist() == want
+    assert got["hop"].tolist() == [0, 1, 2]
+    assert want[0] == len(adj)
+    assert want[0] <= want[1] <= want[2]
+
+    monkeypatch.setenv("KAZU_GRAPH_MAX_DICT_EDGES", "0")
+    got_dist = neighborhood_function(ds, max_hops=2, k=64)
+    assert got_dist.equals(got.reset_index(drop=True))
+    # truncated-sketch regime too (estimator path), both forms equal
+    monkeypatch.delenv("KAZU_GRAPH_MAX_DICT_EDGES")
+    want_k4 = neighborhood_function(ds, max_hops=2, k=4)
+    monkeypatch.setenv("KAZU_GRAPH_MAX_DICT_EDGES", "0")
+    got_k4 = neighborhood_function(ds, max_hops=2, k=4)
+    assert got_k4.equals(want_k4.reset_index(drop=True))
