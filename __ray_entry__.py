@@ -1256,6 +1256,57 @@ def _write_linkgraph_pages(sf_dir: str) -> str:
     return oracle_dir
 
 
+def _warc_ingest(sf_dir: str):
+    """WARC ingestion parity: the synthetic pages corpus round-trips
+    through a per-record-gzipped WARC segment file (the Common-Crawl
+    layout) and back via kazu_ray/sources/warc.py::read_warc; the
+    oracle reads the SAME rows from the parquet artifact — url,
+    timestamp and an html content hash must match byte-for-byte."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kazu_ray.sources.warc import read_warc, write_warc_bytes
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    warc_dir = f"/tmp/kazu_ray_oracle/warc_{tag}"
+    marker = os.path.join(warc_dir, "_from")
+    if not (
+        os.path.exists(marker)
+        and open(marker).read() == oracle_dir
+        and os.path.exists(os.path.join(warc_dir, "pages.warc.gz"))
+    ):
+        os.makedirs(warc_dir, exist_ok=True)
+        rows = []
+        for f in sorted(os.listdir(oracle_dir)):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(oracle_dir, f))
+                rows.extend(t.to_pylist())
+        with open(os.path.join(warc_dir, "pages.warc.gz"), "wb") as fh:
+            fh.write(write_warc_bytes(rows, per_record_gzip=True))
+        with open(marker, "w") as fh:
+            fh.write(oracle_dir)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        shas = [
+            hashlib.sha256(h).hexdigest() for h in t["html"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+                "html_sha": pa.array(shas, type=pa.string()),
+            }
+        )
+
+    return read_warc([os.path.join(warc_dir, "pages.warc.gz")]).map_batches(
+        fmt, batch_format="pyarrow"
+    )
+
+
 def _host_link_graph(sf_dir: str):
     """Host-level outlink graph (src_host, dst_host, n_links) parsed
     from the raw page html — per-batch combiner, hosts²-bounded result
@@ -1733,6 +1784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighborhood_sizes": _kg_neighborhood_sizes,
         "kg_entity_merge": _kg_entity_merge,
         "kg_neighborhood_function": _kg_neighborhood_function,
+        "warc_ingest": _warc_ingest,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -2139,6 +2191,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_ktruss": _ktruss_oracle_sql(k=4, rounds=10),
         "kg_neighborhood_sizes": _nbhood_oracle_sql(hops=2, k=8),
         "kg_neighborhood_function": _nbhood_function_oracle_sql(max_hops=3, k=8),
+        "warc_ingest": """
+            SELECT url, warc_ts, sha256(decode(html)) AS html_sha
+            FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+        """,
         "kg_entity_merge": """
             WITH RECURSIVE t AS (SELECT subj, pred, obj
                  FROM read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')),

@@ -3627,3 +3627,55 @@ def test_neighborhood_function_monotone_and_dist(ray_session, monkeypatch):
     monkeypatch.setenv("KAZU_GRAPH_MAX_DICT_EDGES", "0")
     got_k4 = neighborhood_function(ds, max_hops=2, k=4)
     assert got_k4.equals(want_k4.reset_index(drop=True))
+
+
+def test_warc_roundtrip_and_reader(ray_session, tmp_path):
+    """WARC source: write→parse is the identity on (url, warc_ts µs,
+    html) in plain AND per-record-gzip (Common-Crawl) layouts;
+    non-response records are skipped; read_warc exposes the canonical
+    pages schema through Ray."""
+    from datetime import datetime
+
+    from kazu_ray.sources.warc import (
+        parse_warc_bytes,
+        read_warc,
+        write_warc_bytes,
+    )
+
+    rows = [
+        {
+            "url": f"https://h{i}.org/p/{i}",
+            "warc_ts": datetime(2024, 3, 1, 10, 0, i, i * 111),
+            "html": f"<html><body>doc {i} é</body></html>".encode(),
+        }
+        for i in range(5)
+    ]
+    for gz in (False, True):
+        data = write_warc_bytes(rows, per_record_gzip=gz)
+        got = parse_warc_bytes(data)
+        assert got == rows, f"gzip={gz}"
+
+    # non-response records interleaved are skipped
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    mixed = info + write_warc_bytes(rows[:2]) + info
+    assert parse_warc_bytes(mixed) == rows[:2]
+
+    # a record whose payload has no HTTP envelope keeps its body whole
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.org/raw\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"Content-Length: 6\r\n\r\n<html>\r\n\r\n"
+    )
+    (rec,) = parse_warc_bytes(raw)
+    assert rec["html"] == b"<html>"
+
+    p = tmp_path / "seg.warc.gz"
+    p.write_bytes(write_warc_bytes(rows, per_record_gzip=True))
+    ds = read_warc([str(p)])
+    df = ds.to_pandas().sort_values("url", ignore_index=True)
+    assert df["url"].tolist() == [r["url"] for r in rows]
+    assert [h for h in df["html"]] == [r["html"] for r in rows]
+    assert df["warc_ts"].tolist() == [r["warc_ts"] for r in rows]
