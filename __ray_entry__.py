@@ -1771,12 +1771,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_jaccard": _kg_node_jaccard,
         # --- NEW in the sixth round-5 session: deterministic random-walk
         # corpus export, LPA communities on both graph layers, the
-        # k-truss peel, ANF-style neighborhood sizes, and entity-merge
-        # canonicalization (never driver-checked; six more doubly-green
-        # tail keys — tfidf_topk, packed_chunks, doc_token_stats,
-        # doc_quality, lang_distribution, doc_fingerprints, each
-        # driver-green in earlier rounds with code untouched — slide
-        # past #50 to the locally-gated tail) ---
+        # k-truss peel, ANF-style neighborhood sizes / N(t) function,
+        # entity-merge canonicalization, and WARC ingestion parity
+        # (never driver-checked; an equal number of doubly-green tail
+        # keys — tfidf_topk, packed_chunks, doc_token_stats,
+        # doc_quality, ... — each driver-green in earlier rounds with
+        # code untouched, slide past #50 to the locally-gated tail) ---
         "kg_random_walks": _kg_random_walks,
         "kg_communities": _kg_communities,
         "host_communities": _host_communities,

@@ -161,3 +161,22 @@ def read_warc(paths):
         return _records_to_table(records)
 
     return files.map_batches(split, batch_format="pyarrow")
+
+
+def pages_from_warc(paths):
+    """WARC segment file(s) → the FULL canonical pages schema
+    (url, warc_ts, html, text, lang) with text/lang null — raw crawl
+    data carries neither, so extraction decodes every html payload and
+    language gating happens downstream (``ops/text.py`` langid) instead
+    of on a stored column. ``annotated_docs(pages_ds=...)`` accepts the
+    result directly; `tests/test_ops.py::test_flagship_from_warc...`
+    gates that the annotate output over WARC input is IDENTICAL to the
+    parquet path on the same corpus."""
+
+    def widen(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column(
+            "text", pa.array([None] * n, type=pa.large_string())
+        ).append_column("lang", pa.array([None] * n, type=pa.string()))
+
+    return read_warc(paths).map_batches(widen, batch_format="pyarrow")
