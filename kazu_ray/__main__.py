@@ -62,8 +62,22 @@ def cmd_run(args) -> None:
         print(json.dumps({"out": args.out, **result}))
         ray.shutdown()
         return
+    extra = {}
+    if getattr(args, "warc", None):
+        # raw-crawl input: WARC segment files -> canonical pages shape;
+        # no stored lang column, so the gate is the langid heuristic
+        import glob as _glob
+
+        from kazu_ray.sources.warc import pages_from_warc
+
+        paths = sorted(
+            p
+            for pat in args.warc
+            for p in (_glob.glob(pat) or [pat])
+        )
+        extra = {"pages_ds": pages_from_warc(paths), "lang": "auto"}
     triples = triples_dataset(
-        args.sf_dir, store_ref=store_ref, multiplier=args.multiplier
+        args.sf_dir, store_ref=store_ref, multiplier=args.multiplier, **extra
     )
     manifests = materialize_triples(
         triples, args.out, num_parts=args.num_parts or None
@@ -203,6 +217,9 @@ def main(argv=None) -> None:
     p.add_argument("--by-shard", action="store_true",
                    help="checkpoint the whole pipeline per input shard")
     p.add_argument("--pages-dir", default=None)
+    p.add_argument("--warc", nargs="+", default=None,
+                   help="WARC segment file(s)/glob(s) as the corpus "
+                        "(raw-crawl ingestion; lang gate = langid heuristic)")
     p.add_argument("--pack", default=None,
                    help="run with caches from a model pack (verified on load)")
     p.set_defaults(fn=cmd_run)

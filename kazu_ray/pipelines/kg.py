@@ -63,6 +63,7 @@ def annotated_docs(
     compute: str = "tasks",
     emit: tuple = ("entities", "triples"),
     pages_ds=None,
+    lang: str | None = "en",
 ):
     """pages → fully processed docs (ents_json + triples_json columns).
 
@@ -84,7 +85,7 @@ def annotated_docs(
         pages = pages_from_parquet(pages_dir)
     else:
         pages = pages_dataset(sf_dir, multiplier=multiplier)
-    docs = extract_docs(pages)
+    docs = extract_docs(pages, lang=lang)
     if fused:
         from kazu_ray.stages.fused import AnnotateStage, make_annotate_task
 

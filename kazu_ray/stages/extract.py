@@ -90,9 +90,26 @@ def extract_batch(batch: pa.Table) -> pa.Table:
 
 
 def extract_docs(pages, lang: str | None = "en"):
-    """pages Dataset → docs Dataset (streaming; no materialization)."""
+    """pages Dataset → docs Dataset (streaming; no materialization).
+
+    ``lang``: a language code filters on the STORED lang column (the
+    parquet corpus path); ``"auto"`` predicts the language from the
+    extracted text with the deterministic stopword heuristic
+    (``ops/text.py::LangIdStage``) and keeps English — the raw-crawl
+    (WARC) path, where no lang column exists; ``None`` disables the
+    gate."""
     ds = pages.map_batches(extract_batch, batch_format="pyarrow")
-    if lang is not None:
+    if lang == "auto":
+        from kazu_ray.ops.text import LangIdStage
+
+        def auto_gate(t: pa.Table) -> pa.Table:
+            preds = LangIdStage()(
+                t.select(["doc_id", "text"])
+            )["lang_pred"]
+            return t.filter(pc.equal(preds, "en"))
+
+        ds = ds.map_batches(auto_gate, batch_format="pyarrow")
+    elif lang is not None:
         ds = ds.map_batches(
             lambda t, _lang=lang: t.filter(pc.equal(t["lang"], _lang)),
             batch_format="pyarrow",

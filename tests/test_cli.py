@@ -57,3 +57,31 @@ def test_cli_pack_and_run_with_pack(tmp_path):
         )[-1]
     )
     assert r2["rows"] > 0
+
+
+def test_cli_run_from_warc(tmp_path, ray_session):
+    """`run --warc`: build a triple store straight from a WARC segment
+    (raw-crawl ingestion, langid-heuristic gate). The store must be
+    non-empty, partitioned, and point-lookupable like any other."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kazu_ray.sources.corpus import ensure_pages_parquet
+    from kazu_ray.sources.warc import write_warc_bytes
+
+    pages_dir = ensure_pages_parquet("/root/testdata/sf0.001")
+    rows = []
+    for f in sorted(glob.glob(f"{pages_dir}/*.parquet")):
+        rows.extend(
+            pq.read_table(f, columns=["url", "warc_ts", "html"]).to_pylist()
+        )
+    seg = tmp_path / "seg.warc.gz"
+    seg.write_bytes(write_warc_bytes(rows[:200], per_record_gzip=True))
+    store = str(tmp_path / "store")
+    r = json.loads(
+        _run(
+            "run", "--warc", str(seg), "--out", store, "--num-parts", "2"
+        )[-1]
+    )
+    assert r["partitions"] == 2 and r["rows"] > 0
