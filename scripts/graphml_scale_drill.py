@@ -67,6 +67,7 @@ def main() -> None:
         _distinct_edges,
         ktruss,
         label_propagation,
+        neighborhood_function,
         random_walks,
     )
 
@@ -98,10 +99,15 @@ def main() -> None:
     want_lpa = label_propagation(None, edges=small)
     want_walks = norm_walks(random_walks(None, walk_len=2, edges=small))
     want_truss = norm_truss(ktruss(None, k=4, edges=small))
+    want_nf = neighborhood_function(None, max_hops=2, edges=small)
     os.environ["KAZU_GRAPH_MAX_DICT_EDGES"] = "0"
     got_lpa = label_propagation(None, edges=small)
     got_walks = norm_walks(random_walks(None, walk_len=2, edges=small))
     got_truss = norm_truss(ktruss(None, k=4, edges=small))
+    got_nf = neighborhood_function(None, max_hops=2, edges=small)
+    assert got_nf.equals(want_nf.reset_index(drop=True)), (
+        "neighborhood_function paths differ"
+    )
     assert got_lpa.reset_index(drop=True).equals(
         want_lpa.reset_index(drop=True)
     ), "label_propagation paths differ"
@@ -136,6 +142,11 @@ def main() -> None:
     truss = ktruss(None, k=4, edges=edges)
     n_truss = truss.count() if not isinstance(truss, pd.DataFrame) else len(truss)
     print(f"ktruss(k=4): {n_truss} surviving edges, {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    nf = neighborhood_function(None, max_hops=2, k=8, edges=edges)
+    print(f"neighborhood_function(2 hops, k=8): "
+          f"{nf['sum_est_size'].tolist()}, {time.time()-t0:.1f}s")
     ray.shutdown()
 
 
