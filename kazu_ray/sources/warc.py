@@ -180,3 +180,34 @@ def pages_from_warc(paths):
         ).append_column("lang", pa.array([None] * n, type=pa.string()))
 
     return read_warc(paths).map_batches(widen, batch_format="pyarrow")
+
+
+def write_warc_segments(pages_ds, out_dir: str, per_record_gzip: bool = True):
+    """Distributed WARC sink: write a (url, warc_ts, html) Dataset back
+    out as ``.warc.gz`` segment files — the re-emit half of a crawl
+    curation pipeline (ingest → filter/dedup/strip → write segments for
+    downstream consumers). One segment per block, streamed (no driver
+    collect); file names are the sha256 of the segment bytes, so the
+    write is idempotent (a re-run produces the same file set and
+    overwrites in place, never duplicates) and the name doubles as a
+    content checksum. Returns the list of file names written."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"file": pa.array([], type=pa.string())})
+        data = write_warc_bytes(t.to_pylist(), per_record_gzip=per_record_gzip)
+        name = f"{hashlib.sha256(data).hexdigest()[:24]}.warc.gz"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, os.path.join(out_dir, name))  # atomic publish
+        return pa.table({"file": pa.array([name], type=pa.string())})
+
+    out = pages_ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    )
+    return sorted(r["file"] for r in out.take_all())

@@ -3733,3 +3733,40 @@ def test_flagship_from_warc_equals_parquet_path(ray_session, tmp_path):
     got = triples_from(pages_from_warc([str(seg)]))
     assert len(want) > 0
     assert got.equals(want)
+
+
+def test_warc_sink_roundtrip(ray_session, tmp_path):
+    """Distributed WARC sink: a pages Dataset written as segment files
+    reads back IDENTICAL through read_warc (multiset equality), file
+    names are content hashes, and a re-write is idempotent."""
+    from datetime import datetime
+
+    import ray.data as rd
+
+    from kazu_ray.sources.warc import read_warc, write_warc_segments
+
+    rows = [
+        {
+            "url": f"https://s{i % 3}.org/p/{i}",
+            "warc_ts": datetime(2024, 5, 1, 0, 0, i),
+            "html": f"<html><body>page {i}</body></html>".encode(),
+        }
+        for i in range(40)
+    ]
+    ds = rd.from_items(rows).repartition(4)
+    out = tmp_path / "segs"
+    files = write_warc_segments(ds, str(out))
+    assert len(files) >= 2  # one segment per block
+    back = (
+        read_warc([str(out / f) for f in files])
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    import pandas as pd
+
+    want = pd.DataFrame(rows).sort_values("url", ignore_index=True)
+    assert back["url"].tolist() == want["url"].tolist()
+    assert [h for h in back["html"]] == [h for h in want["html"]]
+    assert back["warc_ts"].tolist() == want["warc_ts"].tolist()
+    files2 = write_warc_segments(ds, str(out))
+    assert files2 == files  # idempotent: same content-hash names
