@@ -1256,6 +1256,14 @@ def _write_linkgraph_pages(sf_dir: str) -> str:
     return oracle_dir
 
 
+def _retention_cohorts(sf_dir: str):
+    """Monthly retention triangle over the events log
+    (kazu_ray/ops/relational.py::retention_cohorts)."""
+    from kazu_ray.ops.relational import retention_cohorts
+
+    return retention_cohorts(sf_dir)
+
+
 def _warc_ingest(sf_dir: str):
     """WARC ingestion parity: the synthetic pages corpus round-trips
     through a per-record-gzipped WARC segment file (the Common-Crawl
@@ -1785,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_merge": _kg_entity_merge,
         "kg_neighborhood_function": _kg_neighborhood_function,
         "warc_ingest": _warc_ingest,
+        "retention_cohorts": _retention_cohorts,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -2194,6 +2203,18 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": """
             SELECT url, warc_ts, sha256(decode(html)) AS html_sha
             FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+        """,
+        "retention_cohorts": """
+            WITH am AS (SELECT DISTINCT user_id,
+                               date_trunc('month', ts) AS m
+                        FROM events),
+                 c AS (SELECT user_id, min(m) AS cohort
+                       FROM am GROUP BY user_id)
+            SELECT c.cohort AS cohort_month,
+                   datediff('month', c.cohort, am.m)::BIGINT AS month_offset,
+                   count(*)::BIGINT AS n_users
+            FROM am JOIN c USING (user_id)
+            GROUP BY 1, 2
         """,
         "kg_entity_merge": """
             WITH RECURSIVE t AS (SELECT subj, pred, obj

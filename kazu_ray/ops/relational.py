@@ -397,3 +397,97 @@ def user_funnel(sf_dir: str, steps: tuple = ("view", "click", "purchase")):
         }
     )
     return exchange_groups(ds, ["user_id"], shuffle_parts(), per_bucket, empty)
+
+
+def retention_cohorts(sf_dir: str):
+    """Monthly retention cohorts: cohort(user) = month of the user's
+    first event; for every (cohort_month, month_offset) count the
+    distinct cohort users active that many months later — the standard
+    product-analytics retention triangle, expressed combiner-first:
+
+    1. per-batch distinct (user_id, month) combiner bounds the exchange
+       by users × active-months instead of events;
+    2. ONE user-keyed hash exchange derives each user's cohort (min
+       month) and emits (cohort, offset) rows — per-user output is its
+       distinct-month count, so hot users cost their month set, never
+       their event count;
+    3. per-batch count partials meet in a months²-bounded groupby.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_pandas(),
+                "month": t["ts"].to_pandas().dt.to_period("M"),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                # months as int64 ordinal (year*12+month) — cheap to
+                # exchange, decoded once at the end
+                "m": pa.array(
+                    (df["month"].dt.year * 12 + df["month"].dt.month).to_numpy(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def cohort_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        cohort = df.groupby("user_id")["m"].transform("min")
+        out = (
+            pd.DataFrame(
+                {"cohort_m": cohort, "offset": df["m"] - cohort}
+            )
+            .groupby(["cohort_m", "offset"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "cohort_m": pa.array(out["cohort_m"].to_numpy(np.int64)),
+                "month_offset": pa.array(out["offset"].to_numpy(np.int64)),
+                "n_users": pa.array(out["size"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = exchange_groups(
+        ds.map_batches(month_partial, batch_format="pyarrow", batch_size=65536),
+        ["user_id"],
+        shuffle_parts(),
+        cohort_bucket,
+        pa.table(
+            {
+                "cohort_m": pa.array([], type=pa.int64()),
+                "month_offset": pa.array([], type=pa.int64()),
+                "n_users": pa.array([], type=pa.int64()),
+            }
+        ),
+    )
+    agg = partials.groupby(["cohort_m", "month_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        m = t["cohort_m"].to_numpy()
+        y, mo = (m - 1) // 12, (m - 1) % 12 + 1
+        ts = pd.to_datetime(
+            {"year": y, "month": mo, "day": np.ones(len(m), dtype=np.int64)}
+        )
+        return pa.table(
+            {
+                "cohort_month": pa.array(ts, type=pa.timestamp("us")),
+                "month_offset": t["month_offset"].cast(pa.int64()),
+                "n_users": t["n_users"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")

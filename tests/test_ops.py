@@ -3770,3 +3770,73 @@ def test_warc_sink_roundtrip(ray_session, tmp_path):
     assert back["warc_ts"].tolist() == want["warc_ts"].tolist()
     files2 = write_warc_segments(ds, str(out))
     assert files2 == files  # idempotent: same content-hash names
+
+
+def test_retention_cohorts_multimonth(ray_session, tmp_path, monkeypatch):
+    """Retention triangle on a hand-built multi-month log (the testdata
+    events span one month, so the driver oracle only pins the trivial
+    row): two cohorts, gaps, year boundary, duplicate events per month.
+    Verified against an independent set-math recompute, and through a
+    DuckDB run of the registered oracle SQL on the same parquet."""
+    from datetime import datetime
+
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from kazu_ray.ops.relational import retention_cohorts
+
+    rows = []
+    # user 1: cohort 2023-11, active 11, 12, 2024-02 (offsets 0, 1, 3)
+    for m, d in ((11, 3), (11, 20), (12, 1), (12, 31)):
+        rows.append((1, datetime(2023, m, d)))
+    rows.append((1, datetime(2024, 2, 14)))
+    # user 2: cohort 2023-12, active 12 and 2024-01 (offsets 0, 1)
+    rows.append((2, datetime(2023, 12, 25)))
+    rows.append((2, datetime(2024, 1, 2)))
+    # user 3: cohort 2023-11, active once (offset 0 only)
+    rows.append((3, datetime(2023, 11, 30)))
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    (tmp_path / "events.parquet").write_bytes(b"")
+    df.to_parquet(tmp_path / "events.parquet")
+
+    got = (
+        retention_cohorts(str(tmp_path))
+        .to_pandas()
+        .sort_values(["cohort_month", "month_offset"], ignore_index=True)
+    )
+    want = {
+        (datetime(2023, 11, 1), 0): 2,  # users 1, 3
+        (datetime(2023, 11, 1), 1): 1,  # user 1
+        (datetime(2023, 11, 1), 3): 1,  # user 1
+        (datetime(2023, 12, 1), 0): 1,  # user 2
+        (datetime(2023, 12, 1), 1): 1,  # user 2 (year boundary)
+    }
+    assert {
+        (c.to_pydatetime(), o): n
+        for c, o, n in zip(
+            got["cohort_month"], got["month_offset"], got["n_users"]
+        )
+    } == want
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    ora = (
+        con.sql(entry.oracle_sql()["retention_cohorts"])
+        .df()
+        .sort_values(["cohort_month", "month_offset"], ignore_index=True)
+    )
+    assert ora["n_users"].tolist() == got["n_users"].tolist()
+    assert ora["month_offset"].tolist() == got["month_offset"].tolist()
