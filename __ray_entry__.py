@@ -1256,6 +1256,19 @@ def _write_linkgraph_pages(sf_dir: str) -> str:
     return oracle_dir
 
 
+def _host_quota_sample(sf_dir: str):
+    """Per-host deterministic k-min-md5 page quota (hub-host
+    downsampling; kazu_ray/ops/web.py::host_quota_sample)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_quota_sample
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_quota_sample(
+        rd.read_parquet(oracle_dir, columns=["url"]), k=3
+    )
+
+
 def _retention_cohorts(sf_dir: str):
     """Monthly retention triangle over the events log
     (kazu_ray/ops/relational.py::retention_cohorts)."""
@@ -1794,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighborhood_function": _kg_neighborhood_function,
         "warc_ingest": _warc_ingest,
         "retention_cohorts": _retention_cohorts,
+        "host_quota_sample": _host_quota_sample,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -2203,6 +2217,14 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": """
             SELECT url, warc_ts, sha256(decode(html)) AS html_sha
             FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+        """,
+        "host_quota_sample": """
+            SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS host,
+                   url, md5_number_lower(url) AS hv
+            FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            QUALIFY row_number() OVER (
+                PARTITION BY lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1))
+                ORDER BY md5_number_lower(url)) <= 3
         """,
         "retention_cohorts": """
             WITH am AS (SELECT DISTINCT user_id,

@@ -2256,3 +2256,78 @@ def host_communities(pages_ds, rounds: int = 3):
         edges=_distinct_edges(_links_as_subj_obj(host_link_graph(pages_ds))),
     )
     return out.rename(columns={"node": "host"})
+
+
+def host_quota_sample(pages_ds, k: int = 3):
+    """Per-host crawl/training quota: keep at most ``k`` pages per host,
+    chosen DETERMINISTICALLY as the k smallest ``md5_number_lower``
+    hashes of the url (ties impossible — distinct urls) — the standard
+    hub-host downsampling step in front of a training corpus (a Zipf
+    crawl is dominated by a few giant hosts; an md5 rank is a stable
+    uniform sample that two runs, or an incremental re-run, pick
+    identically). Returns (host, url, hv) rows of the kept pages.
+
+    Shapes: the same k-min-per-key discipline as
+    :func:`host_distinct_outlinks_kmv` — per-batch combiner truncates
+    each host to its k local minima before anything moves, then one
+    host-keyed hash exchange finishes the global k-min. Per-host state
+    is k rows regardless of host size; nothing page-scale is sorted
+    globally."""
+    import hashlib
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+
+    empty = pa.table(
+        {
+            "host": pa.array([], type=pa.string()),
+            "url": pa.array([], type=pa.string()),
+            "hv": pa.array([], type=pa.uint64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pandas()
+        hosts = urls.str.extract(_HOST_RE, expand=False).str.lower()
+        df = pd.DataFrame({"host": hosts, "url": urls}).dropna()
+        if not len(df):
+            return empty
+        df["hv"] = np.array(
+            [
+                int.from_bytes(hashlib.md5(u.encode()).digest()[8:], "little")
+                for u in df["url"]
+            ],
+            dtype=np.uint64,
+        )
+        df = df.sort_values(["host", "hv"]).groupby("host").head(k)
+        return pa.table(
+            {
+                "host": pa.array(df["host"], type=pa.string()),
+                "url": pa.array(df["url"], type=pa.string()),
+                "hv": pa.array(df["hv"].to_numpy(np.uint64)),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .drop_duplicates()
+            .sort_values(["host", "hv"])
+            .groupby("host")
+            .head(k)
+        )
+        return pa.table(
+            {
+                "host": pa.array(df["host"], type=pa.string()),
+                "url": pa.array(df["url"], type=pa.string()),
+                "hv": pa.array(df["hv"].to_numpy(np.uint64)),
+            }
+        )
+
+    return exchange_groups(
+        pages_ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        shuffle_parts(),
+        per_bucket,
+        empty,
+    )

@@ -3840,3 +3840,34 @@ def test_retention_cohorts_multimonth(ray_session, tmp_path, monkeypatch):
     )
     assert ora["n_users"].tolist() == got["n_users"].tolist()
     assert ora["month_offset"].tolist() == got["month_offset"].tolist()
+
+
+def test_host_quota_sample_determinism_and_cap(ray_session):
+    """Per-host quota: at most k urls per host, picked as the k
+    smallest md5 hashes — stable across repartitioning and duplicate
+    input rows."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_quota_sample
+
+    urls = [f"https://big.org/p/{i}" for i in range(20)] + [
+        "https://small.org/only"
+    ]
+    urls += urls[:4]  # duplicate rows must not distort the sample
+    ds = rd.from_arrow(
+        pa.table({"url": pa.array(urls, type=pa.string())})
+    ).repartition(5)
+    got = host_quota_sample(ds, k=3).to_pandas()
+    counts = got.groupby("host")["url"].count().to_dict()
+    assert counts == {"big.org": 3, "small.org": 1}
+    want_big = sorted(
+        (int.from_bytes(hashlib.md5(u.encode()).digest()[8:], "little"), u)
+        for u in set(urls)
+        if "big.org" in u
+    )[:3]
+    assert sorted(got[got["host"] == "big.org"]["url"]) == sorted(
+        u for _h, u in want_big
+    )
