@@ -1269,6 +1269,17 @@ def _host_quota_sample(sf_dir: str):
     )
 
 
+def _frontier_priority(sf_dir: str):
+    """Priority-ordered crawl frontier: n_refs × host PageRank
+    (kazu_ray/ops/web.py::frontier_priority)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import frontier_priority
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return frontier_priority(rd.read_parquet(oracle_dir))
+
+
 def _retention_cohorts(sf_dir: str):
     """Monthly retention triangle over the events log
     (kazu_ray/ops/relational.py::retention_cohorts)."""
@@ -1808,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": _warc_ingest,
         "retention_cohorts": _retention_cohorts,
         "host_quota_sample": _host_quota_sample,
+        "frontier_priority": _frontier_priority,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -2217,6 +2229,78 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": """
             SELECT url, warc_ts, sha256(decode(html)) AS html_sha
             FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+        """,
+        "frontier_priority": """
+            WITH pages AS (
+                SELECT url,
+                       lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            links AS (
+                SELECT src_host, dst_host, count(*)::BIGINT AS w
+                FROM raw GROUP BY 1, 2
+            ),
+            outs AS (SELECT src_host, sum(w)::BIGINT AS ow FROM links GROUP BY 1),
+            hosts AS (
+                SELECT DISTINCT host FROM (
+                    SELECT src_host AS host FROM links
+                    UNION ALL SELECT dst_host FROM links
+                )
+            ),
+            r0 AS (SELECT host, 1000000000000::BIGINT AS r FROM hosts),
+            c1 AS (
+                SELECT l.dst_host AS host, sum((r.r * l.w) // o.ow)::BIGINT AS c
+                FROM links l JOIN r0 r ON r.host = l.src_host
+                JOIN outs o ON o.src_host = l.src_host GROUP BY 1
+            ),
+            r1 AS (
+                SELECT h.host,
+                       (3 * 1000000000000 // 20 + COALESCE(17 * c.c // 20, 0))::BIGINT AS r
+                FROM hosts h LEFT JOIN c1 c ON c.host = h.host
+            ),
+            c2 AS (
+                SELECT l.dst_host AS host, sum((r.r * l.w) // o.ow)::BIGINT AS c
+                FROM links l JOIN r1 r ON r.host = l.src_host
+                JOIN outs o ON o.src_host = l.src_host GROUP BY 1
+            ),
+            r2 AS (
+                SELECT h.host,
+                       (3 * 1000000000000 // 20 + COALESCE(17 * c.c // 20, 0))::BIGINT AS r
+                FROM hosts h LEFT JOIN c2 c ON c.host = h.host
+            ),
+            c3 AS (
+                SELECT l.dst_host AS host, sum((r.r * l.w) // o.ow)::BIGINT AS c
+                FROM links l JOIN r2 r ON r.host = l.src_host
+                JOIN outs o ON o.src_host = l.src_host GROUP BY 1
+            ),
+            r3 AS (
+                SELECT h.host,
+                       (3 * 1000000000000 // 20 + COALESCE(17 * c.c // 20, 0))::BIGINT AS r
+                FROM hosts h LEFT JOIN c3 c ON c.host = h.host
+            ),
+            outl AS (
+                SELECT unnest(regexp_extract_all(h, '<a\\s+href="(https?://[^"]+)"', 1)) AS url
+                FROM pages
+            ),
+            agg AS (SELECT url, count(*)::BIGINT AS n_refs FROM outl GROUP BY 1),
+            frontier AS (
+                SELECT a.url, a.n_refs FROM agg a
+                ANTI JOIN pages p ON p.url = a.url
+            )
+            SELECT f.url,
+                   lower(regexp_extract(f.url, '^[^:/?#]+://([^/?#]+)', 1)) AS host,
+                   f.n_refs,
+                   COALESCE(r3.r, 0)::BIGINT AS rank_scaled,
+                   (f.n_refs * COALESCE(r3.r, 0))::BIGINT AS priority_scaled
+            FROM frontier f
+            LEFT JOIN r3 ON r3.host =
+                lower(regexp_extract(f.url, '^[^:/?#]+://([^/?#]+)', 1))
         """,
         "host_quota_sample": """
             SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS host,

@@ -2331,3 +2331,47 @@ def host_quota_sample(pages_ds, k: int = 3):
         per_bucket,
         empty,
     )
+
+
+def frontier_priority(pages_ds, iterations: int = 3, scale: int = 10**12):
+    """Priority-ordered crawl frontier: every uncrawled outlink url
+    scored ``n_refs × rank_scaled(host(url))`` — reference demand times
+    the authority of the host it lives on, the classic next-fetch
+    ordering a crawler derives from a finished batch (an OPIC-flavored
+    composition of :func:`crawl_frontier` and :func:`host_pagerank`).
+
+    Shapes: the frontier stays a page-scale Dataset end-to-end; the
+    rank table is HOST-sized and rides the same
+    acceptable-as-a-first-step broadcast note as
+    :func:`host_pagerank_from_links` itself (one ``ray.put`` dict, read
+    per batch — at 10⁸-host crawls swap it for a bucketed hash join on
+    the host column). Frontier hosts are dst-hosts of the link graph by
+    construction, so every row finds a rank. The product is guarded:
+    ``n_refs × scale`` past int64 raises loudly rather than wrapping."""
+    import ray
+
+    ranks = host_pagerank(pages_ds, iterations=iterations, scale=scale)
+    rank_ref = ray.put(dict(zip(ranks["host"], ranks["rank_scaled"])))
+    int64_max = np.iinfo(np.int64).max
+
+    def score(t: pa.Table) -> pa.Table:
+        rm = ray.get(rank_ref)
+        urls = t["url"].to_pandas()
+        hosts = urls.str.extract(_HOST_RE, expand=False).str.lower()
+        r = hosts.map(rm).fillna(0).astype("int64")
+        n = t["n_refs"].to_pandas().astype("int64")
+        if len(n) and int(n.max()) * int(r.max()) > int64_max:
+            raise OverflowError(
+                "frontier_priority product exceeds int64 — lower `scale`"
+            )
+        return pa.table(
+            {
+                "url": t["url"],
+                "host": pa.array(hosts, type=pa.string()),
+                "n_refs": pa.array(n.to_numpy(np.int64)),
+                "rank_scaled": pa.array(r.to_numpy(np.int64)),
+                "priority_scaled": pa.array((n * r).to_numpy(np.int64)),
+            }
+        )
+
+    return crawl_frontier(pages_ds).map_batches(score, batch_format="pyarrow")
