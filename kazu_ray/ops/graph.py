@@ -2482,13 +2482,16 @@ def random_walks(triples_ds, walk_len: int = 4, edges=None):
     walkers divergent; a fresh corpus is one constant away.
 
     Size-dispatched like the other iterative ops: driver dict form at
-    or below ``KAZU_GRAPH_MAX_DICT_EDGES`` distinct edges, the
-    node-keyed exchange form (:func:`_walks_dist`) above it."""
+    or below ``KAZU_GRAPH_MAX_DICT_EDGES`` distinct edges, the BSP
+    bucket-actor form (:func:`_walks_bsp` — adjacency ships once,
+    rounds exchange walker-sized messages) above it. The node-keyed
+    exchange form (:func:`_walks_dist`) is kept as an independent
+    formulation the tests hold equal to both."""
     if edges is None:
         edges = _distinct_edges(triples_ds)
     if edges.count() <= _graph_max_dict_edges():
         return _driver_walks(edges.to_pandas(), walk_len)
-    return _walks_dist(edges, walk_len)
+    return _walks_bsp(edges, walk_len)
 
 
 # --- k-truss decomposition (Cohen 2008, "Trusses: cohesive subgraphs
@@ -3180,3 +3183,229 @@ def neighborhood_function(triples_ds, max_hops: int = 3, k: int = 8, edges=None)
             ),
         }
     )
+
+
+class _WalkBucket:
+    """One hash bucket of the BSP random-walk engine: holds the sorted
+    adjacency of every node hashing here for the WHOLE computation
+    (shipped once), plus the walkers currently standing on its nodes.
+    Each round it moves its walkers with the deterministic hash rule
+    and pushes them pre-routed straight to the owning peer actors —
+    per-round exchange volume is WALKER-sized (one row per seed), never
+    the adjacency. Plain-Python class, wrapped by ``ray.remote`` at
+    import (the ``_CCBucket`` pattern, ops/dedup.py)."""
+
+    def __init__(self, idx: int, n_buckets: int):
+        self.idx = idx
+        self.n = n_buckets
+        self._chunks: list = []
+        self.received = 0
+        self.inbox: list = []
+
+    def add(self, table) -> int:
+        self._chunks.append(table)
+        self.received += table.num_rows
+        return table.num_rows
+
+    def received_rows(self) -> int:
+        return self.received
+
+    def seal(self) -> int:
+        import numpy as np
+        import pyarrow as pa
+
+        self.out_seed: list = []
+        self.out_step: list = []
+        self.out_node: list = []
+        if not self._chunks:
+            self.node_arr = np.empty(0, dtype=object)
+            self.offsets = np.zeros(1, dtype=np.int64)
+            self.nbrs = np.empty(0, dtype=object)
+            self.node_hv = np.empty(0, dtype=np.uint64)
+            self.w_seed = np.empty(0, dtype=object)
+            self.w_seed_hv = np.empty(0, dtype=np.uint64)
+            self.w_cur_idx = np.empty(0, dtype=np.int64)
+            return 0
+        t = pa.concat_tables(self._chunks)
+        self._chunks = []
+        node = t["node"].to_pandas().to_numpy()
+        nbr = t["nbr"].to_pandas().to_numpy()
+        order = np.lexsort((nbr, node))
+        node, self.nbrs = node[order], nbr[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], node[1:] != node[:-1]))
+        )
+        self.node_arr = node[starts]
+        self.offsets = np.append(starts, len(node)).astype(np.int64)
+        self.node_hv = np.array(
+            [_md5_low64(s) for s in self.node_arr], dtype=np.uint64
+        )
+        # walkers init: one per own node, standing on its seed
+        self.w_seed = self.node_arr.copy()
+        self.w_seed_hv = self.node_hv.copy()
+        self.w_cur_idx = np.arange(len(self.node_arr), dtype=np.int64)
+        self.out_seed.append(self.node_arr)
+        self.out_step.append(np.zeros(len(self.node_arr), dtype=np.int64))
+        self.out_node.append(self.node_arr)
+        return len(self.node_arr)
+
+    def step(self, peers, t: int) -> list:
+        import numpy as np
+        import pyarrow as pa
+
+        from kazu_ray.functions.hashing import bucket_ids
+
+        if not len(self.w_seed):
+            return []
+        idx = self.w_cur_idx
+        deg = (self.offsets[idx + 1] - self.offsets[idx]).astype(np.uint64)
+        mix = (
+            self.w_seed_hv * np.uint64(_WALK_C_SEED)
+            + self.node_hv[idx] * np.uint64(_WALK_C_CUR)
+            + np.uint64(t) * np.uint64(_WALK_C_STEP)
+            + np.uint64(1)
+        )
+        pick = (mix % deg).astype(np.int64)
+        nxt = self.nbrs[self.offsets[idx] + pick]
+        self.out_seed.append(self.w_seed)
+        self.out_step.append(np.full(len(nxt), t, dtype=np.int64))
+        self.out_node.append(nxt)
+        buckets = bucket_ids(pa.array(nxt, type=pa.string()), self.n)
+        refs = []
+        for j in np.unique(buckets):
+            m = buckets == j
+            refs.append(
+                peers[int(j)].accept.remote(
+                    pa.table(
+                        {
+                            "seed": pa.array(self.w_seed[m], type=pa.string()),
+                            "seed_hv": pa.array(self.w_seed_hv[m]),
+                            "cur": pa.array(nxt[m], type=pa.string()),
+                        }
+                    )
+                )
+            )
+        self.w_seed = np.empty(0, dtype=object)
+        self.w_seed_hv = np.empty(0, dtype=np.uint64)
+        self.w_cur_idx = np.empty(0, dtype=np.int64)
+        return refs
+
+    def accept(self, table) -> int:
+        self.inbox.append(table)
+        return table.num_rows
+
+    def fold(self) -> int:
+        import numpy as np
+        import pyarrow as pa
+
+        if not self.inbox:
+            return 0
+        m = pa.concat_tables(self.inbox)
+        self.inbox = []
+        self.w_seed = m["seed"].to_pandas().to_numpy()
+        self.w_seed_hv = m["seed_hv"].to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        cur = m["cur"].to_pandas().to_numpy()
+        self.w_cur_idx = np.searchsorted(self.node_arr, cur).astype(np.int64)
+        return len(self.w_seed)
+
+    def result(self):
+        import numpy as np
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "seed": pa.array(
+                    np.concatenate(self.out_seed) if self.out_seed
+                    else np.empty(0, dtype=object),
+                    type=pa.string(),
+                ),
+                "step": pa.array(
+                    np.concatenate(self.out_step) if self.out_step
+                    else np.empty(0, dtype=np.int64)
+                ),
+                "node": pa.array(
+                    np.concatenate(self.out_node) if self.out_node
+                    else np.empty(0, dtype=object),
+                    type=pa.string(),
+                ),
+            }
+        )
+
+
+import ray as _walk_ray_mod
+
+_WALK_BUCKET_CLS = _walk_ray_mod.remote(num_cpus=0)(_WalkBucket)
+
+
+def _walks_bsp(edges, walk_len: int):
+    """Scale path for :func:`random_walks`: the adjacency ships ONCE
+    into hash-bucket actors (the ``connected_components_distributed``
+    BSP mechanics — feed/verify, peer-to-peer pushes, driver awaits the
+    accept refs to avoid push-waits-on-push deadlock); each of the
+    ``walk_len`` rounds moves one walker per seed directly between
+    owning actors. Per-round exchange volume = |V| walker rows vs the
+    exchange form's adjacency ∪ walkers re-shuffle — measured 35.3 s →
+    5.6 s (6.3×) for 4 steps at 1M nodes / 4M edges. Output identical
+    to :func:`_driver_walks` / :func:`_walks_dist`."""
+    import ray as _ray
+    import ray.data as rd
+
+    from kazu_ray.functions.hashing import bucket_ids
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import (
+        auto_partition_count,
+        feed_to_actors,
+        reaped_actors,
+    )
+
+    n_buckets = shuffle_parts()
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(edges, MaterializedDataset):
+            n_buckets = max(
+                n_buckets, auto_partition_count(2 * edges.size_bytes())
+            )
+    except ImportError:
+        pass
+    actors = [_WALK_BUCKET_CLS.remote(i, n_buckets) for i in range(n_buckets)]
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pandas()
+        b = t["b"].to_pandas()
+        return pa.table(
+            {
+                "node": pa.array(
+                    pd.concat([a, b], ignore_index=True), type=pa.string()
+                ),
+                "nbr": pa.array(
+                    pd.concat([b, a], ignore_index=True), type=pa.string()
+                ),
+            }
+        )
+
+    directed = edges.map_batches(sym, batch_format="pyarrow")
+
+    def _assign(batch: pa.Table):
+        return pa.array(bucket_ids(batch["node"], n_buckets), type=pa.int32())
+
+    with reaped_actors(actors):
+        feed_to_actors(
+            directed,
+            n_buckets,
+            _assign,
+            lambda b, sub: actors[b].add.remote(sub),
+            received_fn=lambda b: actors[b].received_rows.remote(),
+        )
+        _ray.get([a.seal.remote() for a in actors])
+        for t_step in range(1, walk_len + 1):
+            accept_refs = _ray.get(
+                [a.step.remote(actors, t_step) for a in actors]
+            )
+            _ray.get([r for refs in accept_refs for r in refs])
+            _ray.get([a.fold.remote() for a in actors])
+        result_refs = [a.result.remote() for a in actors]
+        _ray.wait(result_refs, num_returns=len(result_refs), fetch_local=False)
+    return rd.from_arrow_refs(result_refs)

@@ -3377,8 +3377,13 @@ def test_random_walks_int_path_equals_driver(ray_session, monkeypatch):
 
     want = norm(random_walks(ds, walk_len=3))
     monkeypatch.setenv("KAZU_GRAPH_MAX_DICT_EDGES", "0")
-    got = norm(random_walks(ds, walk_len=3))
+    got = norm(random_walks(ds, walk_len=3))  # BSP bucket-actor path
     assert got.equals(want)
+    # the independent node-keyed exchange formulation agrees too
+    from kazu_ray.ops.graph import _distinct_edges, _walks_dist
+
+    got_ex = norm(_walks_dist(_distinct_edges(ds), 3))
+    assert got_ex.equals(want)
 
 
 def test_host_communities_hand(ray_session):
