@@ -2921,13 +2921,34 @@ def _nbhood_kmv_dist(edges, hops: int, k: int, on_sketch=None, finalize=True):
         sent = sk.merge(
             df[is_adj][["node", "other"]], on="node", how="inner"
         )
-        out_node = pd.concat([sent["other_y"], sk["node"]], ignore_index=True)
-        out_hv = pd.concat([sent["hv"], sk["hv"]], ignore_index=True)
+        out = pd.DataFrame(
+            {
+                "node": pd.concat(
+                    [sent["other_y"], sk["node"]], ignore_index=True
+                ),
+                "hv": pd.concat([sent["hv"], sk["hv"]], ignore_index=True),
+            }
+        )
+        # per-destination k-min COMBINER before the shuffle — lossless
+        # (the k-min of a union equals the k-min of per-source k-mins)
+        # but NOT free: on a low-degree graph each destination already
+        # receives ~1 row per source bucket, so the sort+truncate just
+        # burns CPU (measured 83 s → 160 s on the degree-8 drill graph
+        # when applied unconditionally). Combine only when this
+        # bucket's fan-in is hub-heavy enough that truncation actually
+        # shrinks the exchange.
+        if len(out) > 4 * k * out["node"].nunique():
+            out = (
+                out.drop_duplicates()
+                .sort_values(["node", "hv"])
+                .groupby("node")
+                .head(k)
+            )
         return pa.table(
             {
-                "node": pa.array(out_node, type=pa.string()),
-                "other": pa.array([None] * len(out_node), type=pa.string()),
-                "hv": pa.array(out_hv.to_numpy(np.uint64)),
+                "node": pa.array(out["node"], type=pa.string()),
+                "other": pa.array([None] * len(out), type=pa.string()),
+                "hv": pa.array(out["hv"].to_numpy(np.uint64)),
             }
         )
 

@@ -3876,3 +3876,28 @@ def test_host_quota_sample_determinism_and_cap(ray_session):
     assert sorted(got[got["host"] == "big.org"]["url"]) == sorted(
         u for _h, u in want_big
     )
+
+
+def test_neighborhood_kmv_hub_combiner_path(ray_session, monkeypatch):
+    """Star graph (300 leaves → one hub): the scatter-side k-min
+    combiner's hub-heavy branch fires (many sources, one destination
+    co-hashed per bucket) and the distributed result still equals the
+    driver form exactly."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import neighborhood_size_kmv
+
+    edges = {(f"leaf{i:03d}", "zhub") for i in range(300)}
+    ds = rd.from_items(_truss_triples(edges)).repartition(4)
+    want = neighborhood_size_kmv(ds, hops=2, k=8).reset_index(drop=True)
+    monkeypatch.setenv("KAZU_GRAPH_MAX_DICT_EDGES", "0")
+    got = (
+        neighborhood_size_kmv(ds, hops=2, k=8)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # hub ball = whole graph; leaves see everything through the hub
+    row = want[want["node"] == "zhub"].iloc[0]
+    assert row["n_hashes"] == 8  # truncated: true ball is 301
