@@ -3901,3 +3901,55 @@ def test_neighborhood_kmv_hub_combiner_path(ray_session, monkeypatch):
     # hub ball = whole graph; leaves see everything through the hub
     row = want[want["node"] == "zhub"].iloc[0]
     assert row["n_hashes"] == 8  # truncated: true ball is 301
+
+
+def test_warc_roundtrip_adversarial_bodies(ray_session):
+    """Record bodies that contain WARC framing bytes must round-trip:
+    Content-Length (not delimiter scanning) owns the record boundary,
+    so html containing CRLFCRLF, 'WARC/1.0', the gzip magic, or a fake
+    HTTP status line inside the body survives byte-identically."""
+    from datetime import datetime
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kazu_ray.sources.warc import parse_warc_bytes, write_warc_bytes
+
+    adversarial = [
+        b"<html>\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n</html>",
+        b"\x1f\x8bnot actually gzip",
+        b"HTTP/1.1 200 OK\r\n\r\n<html>nested envelope lookalike</html>",
+        b"",
+        b"\r\n\r\n\r\n\r\n",
+    ]
+    rows = [
+        {
+            "url": f"https://a.org/{i}",
+            "warc_ts": datetime(2024, 1, 1, 0, 0, i),
+            "html": h,
+        }
+        for i, h in enumerate(adversarial)
+    ]
+    for gz in (False, True):
+        assert parse_warc_bytes(write_warc_bytes(rows, per_record_gzip=gz)) == rows
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.binary(min_size=0, max_size=200),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def roundtrip(bodies):
+        rws = [
+            {
+                "url": f"https://h.org/{i}",
+                "warc_ts": datetime(2024, 2, 1, 0, 0, i % 60),
+                "html": b,
+            }
+            for i, b in enumerate(bodies)
+        ]
+        assert parse_warc_bytes(write_warc_bytes(rws)) == rws
+
+    roundtrip()
