@@ -285,6 +285,44 @@ def _kg_communities(sf_dir: str):
     return label_propagation(triples_dataset(sf_dir, store_ref=_store_ref()))
 
 
+def _host_ktruss(sf_dir: str):
+    """4-truss of the undirected host link graph — the spam-farm /
+    dense-community edge filter at the web layer (pure reuse of
+    kazu_ray/ops/graph.py::ktruss over the link view)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import _distinct_edges, ktruss
+    from kazu_ray.ops.web import _links_as_subj_obj, host_link_graph
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return ktruss(
+        None,
+        k=4,
+        edges=_distinct_edges(
+            _links_as_subj_obj(host_link_graph(rd.read_parquet(oracle_dir)))
+        ),
+    )
+
+
+def _host_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus over the undirected host graph
+    (host2vec-style export; pure reuse of
+    kazu_ray/ops/graph.py::random_walks)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.graph import _distinct_edges, random_walks
+    from kazu_ray.ops.web import _links_as_subj_obj, host_link_graph
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return random_walks(
+        None,
+        walk_len=4,
+        edges=_distinct_edges(
+            _links_as_subj_obj(host_link_graph(rd.read_parquet(oracle_dir)))
+        ),
+    )
+
+
 def _host_communities(sf_dir: str):
     """Host communities by the same deterministic LPA over the
     undirected host link graph (kazu_ray/ops/web.py::host_communities)."""
@@ -1820,6 +1858,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _retention_cohorts,
         "host_quota_sample": _host_quota_sample,
         "frontier_priority": _frontier_priority,
+        "host_ktruss": _host_ktruss,
+        "host_random_walks": _host_random_walks,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1996,7 +2036,7 @@ def _lpa_oracle_sql(edges_with: str, rounds: int = 3, node_out: str = "node") ->
     return sql.replace("= 1),\n SELECT", "= 1)\n SELECT")
 
 
-def _walks_oracle_sql(walk_len: int = 4) -> str:
+def _walks_oracle_sql(walk_len: int = 4, edges_with: str = None) -> str:
     """Unrolled deterministic random-walk replay
     (kazu_ray/ops/graph.py::random_walks): neighbors ranked by sort
     order, step t moves a walker from u to the neighbor at rank
@@ -2007,7 +2047,7 @@ def _walks_oracle_sql(walk_len: int = 4) -> str:
     wraparound."""
     mask = "18446744073709551616"
     parts = [
-        _KG_EDGES_WITH,
+        edges_with if edges_with is not None else _KG_EDGES_WITH,
         " und AS MATERIALIZED (SELECT a AS u, b AS v FROM e"
         "       UNION ALL SELECT b, a FROM e),",
         " adj AS MATERIALIZED (SELECT u, v,"
@@ -2115,7 +2155,7 @@ def _nbhood_function_oracle_sql(max_hops: int = 3, k: int = 8) -> str:
     return "\n".join(parts) + "\n" + "\n UNION ALL".join(selects)
 
 
-def _ktruss_oracle_sql(k: int = 4, rounds: int = 10) -> str:
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 10, edges_with: str = None) -> str:
     """Unrolled k-truss peel (kazu_ray/ops/graph.py::ktruss): each
     round enumerates triangles x<y<z over the survivor set, counts
     per-edge support (each triangle contributes to all three edges),
@@ -2126,11 +2166,9 @@ def _ktruss_oracle_sql(k: int = 4, rounds: int = 10) -> str:
     compare loudly (the kcore-oracle convention). AS MATERIALIZED for
     the same chain-inlining reason as :func:`_kcore_oracle_sql`."""
     need = k - 2
-    src = "read_parquet('/tmp/kazu_ray_oracle/triples_sf0.01/*.parquet')"
     parts = [
-        f"WITH t AS (SELECT subj, obj FROM {src}),",
-        " e0 AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a,"
-        "       greatest(subj, obj) AS b FROM t WHERE subj <> obj),",
+        (edges_with if edges_with is not None else _KG_EDGES_WITH),
+        " e0 AS MATERIALIZED (SELECT a, b FROM e),",
     ]
     for r in range(1, rounds + 1):
         parts.append(
@@ -2224,6 +2262,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_random_walks": _walks_oracle_sql(walk_len=4),
         "kg_ktruss": _ktruss_oracle_sql(k=4, rounds=10),
+        "host_ktruss": _ktruss_oracle_sql(
+            k=4, rounds=10, edges_with=_HOST_EDGES_WITH
+        ),
+        "host_random_walks": _walks_oracle_sql(
+            walk_len=4, edges_with=_HOST_EDGES_WITH
+        ),
         "kg_neighborhood_sizes": _nbhood_oracle_sql(hops=2, k=8),
         "kg_neighborhood_function": _nbhood_function_oracle_sql(max_hops=3, k=8),
         "warc_ingest": """
