@@ -323,6 +323,18 @@ def _host_random_walks(sf_dir: str):
     )
 
 
+def _host_mirror_merge(sf_dir: str):
+    """Mirror-host consolidation: outlink-Jaccard clusters → lexmin
+    canonical hosts → rewritten weighted link graph
+    (kazu_ray/ops/web.py::host_mirror_merge)."""
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_mirror_merge
+
+    oracle_dir = _write_linkgraph_pages(sf_dir)
+    return host_mirror_merge(rd.read_parquet(oracle_dir))
+
+
 def _host_communities(sf_dir: str):
     """Host communities by the same deterministic LPA over the
     undirected host link graph (kazu_ray/ops/web.py::host_communities)."""
@@ -1860,6 +1872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_priority": _frontier_priority,
         "host_ktruss": _host_ktruss,
         "host_random_walks": _host_random_walks,
+        "host_mirror_merge": _host_mirror_merge,
         # --- no-oracle trio (rows-only driver check) ---
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -3423,6 +3436,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.src_host = ha
             JOIN sizes sb ON sb.src_host = hb
             WHERE (i * 1000000) // (sa.k + sb.k - i) >= 500000
+        """,
+        "host_mirror_merge": """
+            WITH RECURSIVE pages AS (
+                SELECT lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)) AS src_host,
+                       decode(html) AS h
+                FROM read_parquet('/tmp/kazu_ray_oracle/linkgraph_sf0.01/*.parquet')
+            ),
+            raw AS (
+                SELECT src_host,
+                       lower(unnest(regexp_extract_all(h, '<a\\s+href="https?://([^/"]+)', 1))) AS dst_host
+                FROM pages
+            ),
+            linksw AS (
+                SELECT src_host, dst_host, count(*)::BIGINT AS w
+                FROM raw GROUP BY 1, 2
+            ),
+            links AS (SELECT DISTINCT src_host, dst_host FROM raw),
+            sizes AS (SELECT src_host, count(*) AS k FROM links GROUP BY 1),
+            inter AS (
+                SELECT a.src_host AS ha, b.src_host AS hb, count(*) AS i
+                FROM links a JOIN links b
+                  ON a.dst_host = b.dst_host AND a.src_host < b.src_host
+                GROUP BY 1, 2
+            ),
+            mpairs AS MATERIALIZED (
+                SELECT ha, hb FROM inter
+                JOIN sizes sa ON sa.src_host = ha
+                JOIN sizes sb ON sb.src_host = hb
+                WHERE (i * 1000000) // (sa.k + sb.k - i) >= 500000
+            ),
+            mnodes AS (SELECT DISTINCT n FROM (SELECT ha AS n FROM mpairs
+                                               UNION ALL SELECT hb FROM mpairs)),
+            bidir AS (SELECT ha AS src, hb AS dst FROM mpairs
+                      UNION ALL SELECT hb, ha FROM mpairs),
+            reach(id, lbl) AS (
+                SELECT n, n FROM mnodes
+                UNION
+                SELECT bd.dst, r.lbl FROM reach r JOIN bidir bd ON bd.src = r.id
+            ),
+            canon AS (SELECT id AS host, min(lbl) AS canon
+                      FROM reach GROUP BY id)
+            SELECT COALESCE(cs.canon, l.src_host) AS src_host,
+                   COALESCE(cd.canon, l.dst_host) AS dst_host,
+                   sum(l.w)::BIGINT AS n_links
+            FROM linksw l
+            LEFT JOIN canon cs ON cs.host = l.src_host
+            LEFT JOIN canon cd ON cd.host = l.dst_host
+            GROUP BY 1, 2
         """,
         "host_assortativity": """
             WITH pages AS (

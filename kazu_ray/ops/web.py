@@ -2375,3 +2375,85 @@ def frontier_priority(pages_ds, iterations: int = 3, scale: int = 10**12):
         )
 
     return crawl_frontier(pages_ds).map_batches(score, batch_format="pyarrow")
+
+
+def host_mirror_merge(pages_ds, threshold_ppm: int = 500_000):
+    """Mirror-host consolidation — the link-graph analogue of entity
+    canonicalization (``ops/graph.py::entity_merge``): mirror pairs
+    from :func:`host_outlink_jaccard` close transitively into clusters
+    labeled by their lexmin host, and one streaming pass rewrites both
+    endpoints of the weighted link graph to canonical hosts and re-sums
+    the link weights. Running analytics on the merged graph stops
+    mirrors/CDN aliases from double-counting authority. Returns the
+    canonicalized (src_host, dst_host, n_links).
+
+    Shapes: the merge map is bounded by the MIRROR-PAIR contract (the
+    similarity join is threshold-filtered and hub-capped — mirrors are
+    a vanishing fraction of hosts), so it collects driver-side and
+    broadcasts once; the link graph streams through one vectorized
+    rewrite + a pair-keyed combiner-first exchange."""
+    import ray
+
+    from kazu_ray.ops.dedup import shuffle_parts
+    from kazu_ray.ops.exchange import exchange_groups
+    from kazu_ray.ops.graph import components_labeled
+
+    links = host_link_graph(pages_ds).materialize()
+    pairs = host_outlink_jaccard(links, threshold_ppm=threshold_ppm)
+    lbl = components_labeled(
+        pairs, a_col="host_a", b_col="host_b"
+    ).to_pandas()  # mirror-pair-bounded (docstring contract)
+    merge_map = {
+        n: c for n, c in zip(lbl["node"], lbl["component"]) if n != c
+    }
+    map_ref = ray.put(merge_map)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        src = t["src_host"].to_pandas()
+        dst = t["dst_host"].to_pandas()
+        if m:
+            src = src.map(m).fillna(src)
+            dst = dst.map(m).fillna(dst)
+        g = (
+            pd.DataFrame(
+                {
+                    "src_host": src,
+                    "dst_host": dst,
+                    "n": t["n_links"].to_pandas(),
+                }
+            )
+            .groupby(["src_host", "dst_host"], as_index=False)["n"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "src_host": pa.array(g["src_host"], type=pa.string()),
+                "dst_host": pa.array(g["dst_host"], type=pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src_host", "dst_host"]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                "src_host": g["src_host"],
+                "dst_host": g["dst_host"],
+                "n_links": g["n_sum"].cast(pa.int64()),
+            }
+        )
+
+    return exchange_groups(
+        links.map_batches(rewrite, batch_format="pyarrow"),
+        ["src_host", "dst_host"],
+        shuffle_parts(),
+        sum_bucket,
+        pa.table(
+            {
+                "src_host": pa.array([], type=pa.string()),
+                "dst_host": pa.array([], type=pa.string()),
+                "n_links": pa.array([], type=pa.int64()),
+            }
+        ),
+    )

@@ -3953,3 +3953,43 @@ def test_warc_roundtrip_adversarial_bodies(ray_session):
         assert parse_warc_bytes(write_warc_bytes(rws)) == rws
 
     roundtrip()
+
+
+def test_host_mirror_merge_hand(ray_session):
+    """Two mirror hosts with identical outlink sets merge to the lexmin
+    host and their link weights re-sum; a host with a disjoint profile
+    stays itself."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kazu_ray.ops.web import host_mirror_merge
+
+    def page(url, links):
+        nav = "".join(f'<a href="{u}">x</a>' for u in links)
+        return url, f"<html><body><nav>{nav}</nav></body></html>".encode()
+
+    targets = [f"https://t{i}.org/x" for i in range(4)]
+    rows = [
+        page("https://mirror-a.org/1", targets),
+        page("https://mirror-b.org/1", targets),
+        page("https://other.org/1", ["https://elsewhere.org/x"] * 2),
+    ]
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "html": pa.array([r[1] for r in rows], type=pa.binary()),
+            }
+        )
+    ).repartition(2)
+    got = host_mirror_merge(pages).to_pandas()
+    merged = got[got["src_host"] == "mirror-a.org"]
+    # both mirrors' links collapse onto mirror-a: weight 2 per target
+    assert dict(zip(merged["dst_host"], merged["n_links"])) == {
+        f"t{i}.org": 2 for i in range(4)
+    }
+    assert "mirror-b.org" not in set(got["src_host"])
+    other = got[got["src_host"] == "other.org"]
+    assert dict(zip(other["dst_host"], other["n_links"])) == {
+        "elsewhere.org": 2
+    }
